@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline workload queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the no-op sink (full computation,
+no driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.session import get_spark
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERIES
+
+# Headline queries: the scale-relevant core (wide agg, joins incl.
+# broadcast star, window top-k, fact build, dedup family, ANN, text
+# analysis). q_dedup_jaccard is excluded: all-pairs-within-block is the
+# known-quadratic baseline; its scale path (q_dedup_minhash) is included.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_agg",
+    "q_broadcast_star",
+    "q_left_join_counts",
+    "q_expr_key_join",
+    "q_window_topk",
+    "q_fact_star_shape",
+    "q_rollup",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_embedding",
+    "q_ann_topk",
+    "q_text_quality",
+    "q_fingerprint",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("secspark-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, each a DataFrame→DataFrame function designed around
+Spark's shuffle model:
+
+- ``exact_dedup``         — hash-groupBy on a content fingerprint. One
+                            shuffle on the hash; partial aggregation
+                            (map-side combine) keeps it cheap at 100 TB.
+- ``ngram_jaccard_pairs`` — token-postings self-join. The inverted-index
+                            join keys on the *token*, so common tokens fan
+                            out; at scale you cap posting-list length
+                            (``max_postings``) — standard practice, drops
+                            only stop-token-only matches.
+- ``minhash_lsh_pairs``   — MinHash signatures + banded LSH. The only
+                            shuffle that matters is the band-bucket
+                            self-join; candidate pairs ≪ n². Hashes are
+                            md5-based so results are portable/deterministic
+                            (no engine-specific murmur seeds).
+- ``simhash_pairs``       — 16-bit SimHash from per-hex-digit majority
+                            vote; near-dup = Hamming distance ≤ k. The
+                            16-bit space doubles as its own LSH bucket at
+                            scale (group by simhash, compare in-bucket).
+- ``embedding_neardup_pairs`` — cosine threshold over embedding pairs;
+                            blocked by a coarse key to avoid n² (here:
+                            label; in production: an IVF/LSH bucket —
+                            see operators/similarity.py).
+
+All of it is pure DataFrame composition — no UDFs — so Catalyst sees
+through every stage (predicate pushdown into the parquet scan, AQE
+choosing broadcast vs shuffle joins at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vector as V
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content fingerprint; keep the lowest id as canonical.
+
+    Returns (content_hash, keep_id, n_dupes). One shuffle, map-side
+    combined. At 100 TB this is the cheapest possible dedup: the hash is
+    computed scan-side, and only (hash, id) pairs shuffle.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_dupes"),
+        )
+    )
+
+
+def token_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: one row per (doc, distinct lowercase token)."""
+    return docs.select(
+        F.col(id_col), F.explode(TX.distinct_tokens(text_col)).alias("token")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jaccard similarity over distinct-token sets, via postings self-join.
+
+    ``block_col`` restricts candidate pairs to equal blocks (e.g. language)
+    — the standard blocking trick that turns O(n²) into O(Σ block²).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    post = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.explode(TX.distinct_tokens(text_col)).alias("token"),
+    )
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = post.alias("a")
+    b = post.alias("b")
+    join_keys = [F.col("a.token") == F.col("b.token")]
+    if block_col:
+        join_keys.append(F.col("a.blk") == F.col("b.blk"))
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def _minhash_sig(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Per-(doc, seed) minhash = min(md5(seed || ':' || shingle)).
+
+    md5-as-hash-family: portable, deterministic, and uniformly distributed;
+    min over the hex string is a valid minhash (order on [0, 16^32)).
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingled.select("id", "shingle", seeds)
+        .select(
+            "id",
+            "seed",
+            F.md5(
+                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs.
+
+    Signature of ``num_hashes`` md5-minhashes, split into ``bands`` bands
+    of ``num_hashes/bands`` rows; docs sharing any band signature are
+    candidates. Returns distinct (id_a, id_b), id_a < id_b.
+
+    Scale posture: the only n²-risk is docs sharing a band bucket — i.e.
+    actual near-duplicates, which is the output itself. Everything else is
+    linear scans + groupBys with map-side combine.
+    """
+    rows_per_band = num_hashes // bands
+    sig = _minhash_sig(docs, id_col, text_col, num_hashes, shingle_n)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        # deterministic band signature: md5 of the seed-ordered minhashes
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws("=", F.col("seed").cast("string"), "minhash")
+                        )
+                    ),
+                    "|",
+                )
+            ).alias("sig")
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Bit *i* (i = 1..16) is the majority vote, over the doc's distinct
+    tokens, of the high bit of hex digit *i* of md5(token) — i.e. digit in
+    [8-f] votes +1, else -1. Portable across engines (pure string ops).
+    Returns (id, simhash long).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(TX.distinct_tokens(text_col)).alias("token")
+    ).withColumn("h", F.md5("token"))
+    # one row per (doc, token, bit-position)
+    bits = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(
+            F.substring("h", F.col("pos").cast("int"), 1).isin(
+                *list("89abcdef")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    per_bit = bits.groupBy("id", "pos").agg(
+        F.when(F.sum("vote") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(16 - pos AS INT))"))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    With blocking on ``block_col``; pairwise within block. At 100 TB you
+    would additionally band the 16 bits into 4 exact-match chunks
+    (pigeonhole: distance ≤ 3 ⇒ one of 4 chunks matches exactly) and join
+    on chunks — same trick as MinHash bands.
+    """
+    keep = [F.col(block_col).alias("blk")] if block_col else []
+    sh = simhash(
+        docs.select(F.col(id_col), F.col(text_col), *([F.col(block_col)] if block_col else [])),
+        id_col,
+        text_col,
+    )
+    if block_col:
+        sh = sh.join(
+            docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        cond.append(F.col("a.blk") == F.col("b.blk"))
+    joined = a.join(b, cond[1] if block_col else F.lit(True)).filter(cond[0])
+    return joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        .cast("int")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+    round_to: int = 3,
+) -> DataFrame:
+    """Pairs of embeddings with cosine ≥ threshold, blocked by
+    ``block_col`` (a label / cluster / LSH-bucket column) to avoid n²."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    e = emb.select(*cols)
+    a, b = e.alias("a"), e.alias("b")
+    cond = (
+        (F.col("a.blk") == F.col("b.blk")) if block_col else F.lit(True)
+    )
+    return (
+        a.join(b, cond)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(V.cosine(F.col("a.v"), F.col("b.v")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

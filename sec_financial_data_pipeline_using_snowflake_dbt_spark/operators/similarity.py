@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k: queries × corpus cross join,
+  window top-k. Correctness baseline; also the right answer when the
+  query set is small (broadcast the queries, scan the corpus once —
+  linear in corpus size, embarrassingly parallel).
+
+- ``lsh_topk`` — random-hyperplane LSH (SimHash for vectors): bucket
+  corpus and queries by the sign pattern of ``n_planes`` fixed
+  hyperplanes, compare only within-bucket (+ optional multi-probe via
+  extra tables). At 100 TB this is the scale path: the cross join
+  becomes a bucket equi-join, and bucket sizes are ~corpus/2^planes.
+
+The hyperplanes are derived deterministically from md5 — no RNG state,
+so any two runs (and any two engines) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """Exact top-k by cosine. Returns (query_id, neighbor_id, rank, cos).
+
+    Broadcasts the query side: the corpus never shuffles, each task scores
+    its partition — the optimal plan for few-queries/huge-corpus.
+    Self-matches (same id) are excluded; ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    import hashlib
+
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"plane:{plane}:{i}".encode()).digest()
+        for b in h:
+            if len(vals) >= dim:
+                break
+            vals.append((b - 127.5) / 127.5)
+        i += 1
+    return vals
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8
+) -> DataFrame:
+    """Add a ``bucket`` column: the sign pattern of n_planes fixed random
+    hyperplanes, packed into a long. Pure Column math (dot product against
+    literal arrays) — codegen'd, no UDF."""
+    out = df
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        sign = (V.dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(sign, p)
+    return out.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall < 1.0 by design; raise recall with fewer planes or
+    multiple hash tables."""
+    qb = lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        dim,
+        n_planes,
+    )
+    cb = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        dim,
+        n_planes,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,69 @@
+"""SparkSession construction.
+
+One place to encode the engine-wide execution posture:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  — replaces the reference's manual warehouse resizing
+  (reference: Airflow/dags/Sec_data_pipeline.py:423,449).
+- ANSI off — Snowflake's TRY_TO_DATE / lenient-cast semantics map to
+  Spark's null-on-error behavior with ANSI disabled
+  (reference: Airflow/masterfindata/models/Facts/fct_balanceSheet.sql:54).
+- UTC session timezone — deterministic timestamp semantics for the
+  correctness oracle.
+- shuffle partitions sized to cores locally; on a real cluster AQE
+  coalescing makes the initial number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Spark-side default parallelism. On a 1000-executor cluster you would set
+# spark.sql.shuffle.partitions ~ 2-3x total cores (or rely on AQE
+# auto-coalesce from a high initial value); locally, ~cores.
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "secspark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    The configuration is scale-aware: everything here is equally valid on
+    ``local[32]`` and on a 1000-executor YARN/K8s cluster — only
+    ``master`` and the memory sizing change.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- parallelism / adaptivity ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- semantics ---
+        .config("spark.sql.ansi.enabled", "false")
+        # read parquet TIMESTAMP(NANOS) columns as long (converted by readers)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- python<->jvm transfer ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- local-mode ergonomics ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # parquet scans: split files so local cores all engage even on
+        # one file; at 100 TB the same knob bounds per-task input size.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

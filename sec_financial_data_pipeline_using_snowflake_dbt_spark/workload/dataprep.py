@@ -1,0 +1,281 @@
+"""Training-data-pipeline workload: deduplication, similarity search,
+text analysis over the ``documents`` and ``embeddings`` tables — the
+100 TB-scale extension operators, each with a DuckDB oracle.
+
+The Spark side delegates to the real operator implementations in
+``operators/dedup.py``, ``operators/similarity.py``,
+``operators/textops.py``; the SQL here re-derives the same math so the
+driver can hash-match values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators import textops as TO
+from .common import table
+
+PREP_QUERIES: dict[str, object] = {}
+PREP_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        PREP_QUERIES[name] = fn
+        if sql is not None:
+            PREP_ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# Shared SQL fragments (DuckDB): tokenization identical to functions/text.py
+SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+SQL_DTOKENS = f"list_distinct({SQL_TOKENS})"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content fingerprint.
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_exact",
+    """
+    SELECT MD5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dupes
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram (token-set) Jaccard near-dup pairs, blocked by language.
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ovl
+      FROM toks a JOIN toks b ON a.token = b.token AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(ovl AS DOUBLE) / CAST(sa.sz + sb.sz - ovl AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(CAST(ovl AS DOUBLE) / CAST(sa.sz + sb.sz - ovl AS DOUBLE), 6) >= 0.8
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), block_col="lang", threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH candidate pairs (md5 hash family, 8 hashes,
+# 4 bands × 2 rows).
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_minhash",
+    f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], '␟')))) AS shingle
+      FROM tk
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(MD5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             MD5(STRING_AGG(CAST(seed AS VARCHAR) || '=' || minhash, '|'
+                 ORDER BY CAST(seed AS VARCHAR) || '=' || minhash)) AS sig
+      FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (16-bit portable simhash, Hamming ≤ 3, blocked
+# by language).
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, lang, pos,
+             CASE WHEN SUBSTR(MD5(token), CAST(pos AS INTEGER), 1)
+                       IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+      FROM toks CROSS JOIN (SELECT UNNEST(generate_series(1, 16)) AS pos) p
+    ),
+    perbit AS (
+      SELECT doc_id, lang, pos, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+      FROM bits GROUP BY doc_id, lang, pos
+    ),
+    sh AS (
+      SELECT doc_id, lang, CAST(SUM(bit * (1 << CAST(16 - pos AS INTEGER))) AS BIGINT) AS simhash
+      FROM perbit GROUP BY doc_id, lang
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) <= 3
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        table(spark, sf_dir, "documents"), block_col="lang", max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, blocked by label.
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_embedding",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact baseline; queries = vec_id < 8).
+# ---------------------------------------------------------------------------
+@q(
+    "q_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(q.v, c.v), 3) AS cos
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5
+    ).select("query_id", "neighbor_id", "cos", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring.
+# ---------------------------------------------------------------------------
+@q(
+    "q_text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LEN({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             text
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+           CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           CAST(n_tokens >= 5
+                AND ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) >= 2.0
+                AND ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) <= 12.0
+                AS INTEGER) AS quality_keep
+    FROM base
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.text_quality(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (marker-word scores + argmax).
+# ---------------------------------------------------------------------------
+def _lang_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(LEN(list_filter({SQL_TOKENS}, t -> t IN ({markers}))) AS BIGINT) AS score_{lang}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    pred_cases = " ".join(
+        f"WHEN score_{la} = {greatest} THEN '{la}'" for la in langs
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+    SELECT doc_id, {", ".join(f"score_{la}" for la in langs)},
+           CASE {pred_cases} END AS pred_lang
+    FROM scored
+    """
+
+
+@q("q_language_id", _lang_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.language_id(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (normalized-text md5).
+# ---------------------------------------------------------------------------
+@q(
+    "q_fingerprint",
+    r"""
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[.,!?;:]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.fingerprints(table(spark, sf_dir, "documents"))

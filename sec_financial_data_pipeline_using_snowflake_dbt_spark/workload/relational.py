@@ -1,0 +1,817 @@
+"""Relational workload: scans, projections, filters, joins, aggregates,
+windows, sorts/limits, set ops, scalar functions — the SURVEY §2
+inventory expressed over the driver's TPC-H-ish tables, each with a
+DuckDB oracle.
+
+Operator coverage tags reference SURVEY.md §2 ids (P*, J*, A*, W*, O*,
+F*) and the reference files they derive from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import surrogate_key
+from .common import (
+    SQL_CHARGE,
+    SQL_REVENUE,
+    as_dbl,
+    charge_expr,
+    dec,
+    money_sum,
+    revenue_expr,
+    table,
+)
+
+REL_QUERIES: dict[str, object] = {}
+REL_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REL_QUERIES[name] = fn
+        if sql is not None:
+            REL_ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1/P5/F4 — hash aggregate over filtered scan (the fct_* shape:
+# reference Airflow/masterfindata/models/Facts/fct_balanceSheet.sql:60-73).
+# TPC-H Q1 flavor: 2 group keys, 8 aggregates.
+# ---------------------------------------------------------------------------
+@q(
+    "q_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                   AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE)                AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE)                 AS sum_charge,
+           ROUND(SUM(l_quantity) / COUNT(*), 4)              AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)      AS avg_disc,
+           COUNT(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp")
+    )
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        as_dbl(F.sum(revenue_expr())).alias("sum_disc_price"),
+        as_dbl(F.sum(charge_expr())).alias("sum_charge"),
+        F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
+        F.round(money_sum("l_extendedprice") / n, 4).alias("avg_price"),
+        F.round(money_sum("l_discount") / n, 4).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P4/F1 — projection, rename, null-default, derived key, split_part
+# (reference stg_sub.sql:6-21, stg_num.sql:17, dim_company.sql:15).
+# ---------------------------------------------------------------------------
+@q(
+    "q_projection",
+    """
+    SELECT p_partkey,
+           UPPER(p_name)                                     AS name_upper,
+           CAST(SPLIT_PART(p_brand, '#', 2) AS BIGINT)       AS brand_num,
+           CONCAT_WS('-', p_brand, p_type)                   AS brand_type_key,
+           COALESCE(NULLIF(p_type, 'ECONOMY'), 'Unknown')    AS type_defaulted,
+           CAST(LENGTH(p_name) AS BIGINT)                    AS name_len
+    FROM part
+    """,
+)
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2))
+        .cast("long")
+        .alias("brand_num"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type_key"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.lit("Unknown")).alias(
+            "type_defaulted"
+        ),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5-P7/F8 — composed predicates: equality, BETWEEN, IN, date range
+# (reference Frontend/app.py:182-198 dynamic predicate builder).
+# ---------------------------------------------------------------------------
+@q(
+    "q_filter_compose",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def q_filter_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1998-12-31 00:00:00").cast("timestamp"),
+        )
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/A1 — inner equi-join then aggregate (reference fct_balanceSheet.sql:16-21).
+# ---------------------------------------------------------------------------
+@q(
+    "q_join_agg",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            as_dbl(F.sum(revenue_expr())).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast-hinted dimension joins (reference fct_balanceSheet.sql:25-37
+# /*+ BROADCAST(stg_sub) */): fact scans never shuffle, dims ship to tasks.
+# ---------------------------------------------------------------------------
+@q(
+    "q_broadcast_star",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_items,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY r_name, n_name
+    """,
+)
+def q_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            as_dbl(F.sum(revenue_expr())).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/P2/A-counts — left outer join to dimension + COUNT(col) null semantics
+# + COUNT(DISTINCT) (reference fct_balanceSheet.sql:48-49).
+# ---------------------------------------------------------------------------
+@q(
+    "q_left_join_counts",
+    """
+    SELECT c_mktsegment,
+           COUNT(o_orderkey)            AS n_orders,
+           COUNT(DISTINCT c_custkey)    AS n_customers,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless_rows
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orderless_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — join on an *expression* key (reference fct_balanceSheet.sql:53-54
+# TRY_TO_DATE(...) = dim_date.Full_DT): here month-truncation equality.
+# ---------------------------------------------------------------------------
+@q(
+    "q_expr_key_join",
+    """
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS ship_month,
+           COUNT(*) AS n_same_month_lines
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND DATE_TRUNC('month', l_shipdate) = DATE_TRUNC('month', o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q_expr_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    joined = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (F.date_trunc("month", l.l_shipdate) == F.date_trunc("month", o.o_orderdate)),
+    )
+    return joined.groupBy(
+        F.date_format(F.date_trunc("month", o.o_orderdate), "yyyy-MM").alias(
+            "ship_month"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_same_month_lines"))
+
+
+# ---------------------------------------------------------------------------
+# J10 — anti join (dbt relationships-test semantics:
+# reference masterfindata sub_source.yml RAW_NUM FK block).
+# ---------------------------------------------------------------------------
+@q(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS) — P6's "null-rejecting filter after left join" done
+# idiomatically (reference fct_balanceSheet.sql:55-57).
+# ---------------------------------------------------------------------------
+@q(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+    )
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 100000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — DISTINCT projection (reference dim_company.sql:6).
+# ---------------------------------------------------------------------------
+@q(
+    "q_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# F5 — dbt_utils-compatible MD5 surrogate keys, incl. the null sentinel
+# (reference dim_company.sql:7-12, Notes.md:242-247).
+# ---------------------------------------------------------------------------
+@q(
+    "q_surrogate_key",
+    """
+    SELECT n_nationkey,
+           MD5(CONCAT_WS('-',
+               COALESCE(CAST(n_nationkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+               COALESCE(NULLIF(n_name, 'NATION_0'), '_dbt_utils_surrogate_key_null_'),
+               COALESCE(r_name, '_dbt_utils_surrogate_key_null_'))) AS nation_sk
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_nationkey",
+            surrogate_key(
+                F.col("n_nationkey"),
+                F.nullif(F.col("n_name"), F.lit("NATION_0")),
+                F.col("r_name"),
+            ).alias("nation_sk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/O — window functions: top-k per group with deterministic tie-break
+# (reference dim_date.sql:9 is the only window; top-k is the idiomatic
+# serving-layer extension).
+# ---------------------------------------------------------------------------
+@q(
+    "q_window_topk",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — lag/lead + running frames (engine completeness; reference has only
+# row_number, SURVEY §2.5).
+# ---------------------------------------------------------------------------
+@q(
+    "q_window_running",
+    """
+    SELECT user_id,
+           event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)                     AS seq,
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) :: DOUBLE AS running_value,
+           COALESCE(LAG(event_type) OVER w, 'none')                AS prev_type
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.round(
+            F.sum(dec("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        )
+        .cast("double")
+        .alias("running_value"),
+        F.coalesce(F.lag("event_type").over(w), F.lit("none")).alias("prev_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4/F3/F2 — generated calendar dimension (reference dim_date.sql:7-29),
+# with the weekend-flag fixed to cover Sat+Sun (SURVEY §4 gotcha 1).
+# ---------------------------------------------------------------------------
+@q(
+    "q_date_dim",
+    """
+    SELECT CAST(STRFTIME(full_dt, '%Y%m%d') AS BIGINT) AS date_sk,
+           STRFTIME(full_dt, '%Y-%m-%d')               AS full_dt_str,
+           CAST(YEAR(full_dt) AS BIGINT)               AS y,
+           CAST(MONTH(full_dt) AS BIGINT)              AS m,
+           CAST(DAY(full_dt) AS BIGINT)                AS d,
+           CAST(CASE WHEN MONTH(full_dt) BETWEEN 1 AND 3 THEN 1
+                     WHEN MONTH(full_dt) BETWEEN 4 AND 6 THEN 2
+                     WHEN MONTH(full_dt) BETWEEN 7 AND 9 THEN 3
+                     ELSE 4 END AS BIGINT)             AS qtr,
+           CASE WHEN DAYOFWEEK(full_dt) IN (0, 6) THEN 'Y' ELSE 'N' END AS is_weekend
+    FROM (SELECT DATE '2000-01-01' + CAST(i AS INTEGER) AS full_dt
+          FROM RANGE(0, 1000) t(i))
+    """,
+)
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spark.range instead of ROW_NUMBER-over-GENERATOR: no single-partition
+    # sort, embarrassingly parallel (SURVEY §2.5 W1 idiomatic replacement).
+    days = spark.range(0, 1000)
+    full_dt = F.date_add(F.lit("2000-01-01").cast("date"), F.col("id").cast("int"))
+    m = F.month(full_dt)
+    return days.select(
+        F.date_format(full_dt, "yyyyMMdd").cast("long").alias("date_sk"),
+        F.date_format(full_dt, "yyyy-MM-dd").alias("full_dt_str"),
+        F.year(full_dt).cast("long").alias("y"),
+        m.cast("long").alias("m"),
+        F.dayofmonth(full_dt).cast("long").alias("d"),
+        F.when(m.between(1, 3), 1)
+        .when(m.between(4, 6), 2)
+        .when(m.between(7, 9), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("qtr"),
+        # Spark dayofweek: Sun=1..Sat=7 (DuckDB: Sun=0..Sat=6)
+        F.when(F.dayofweek(full_dt).isin(1, 7), "Y").otherwise("N").alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/F6 — collect-to-array aggregate with deterministic ordering
+# (reference financial_statements_json.sql:13-32 ARRAY_AGG(OBJECT_CONSTRUCT)).
+# Emitted as a sorted joined string so the multiset compare is exact.
+# ---------------------------------------------------------------------------
+@q(
+    "q_collect_list",
+    """
+    SELECT l_orderkey,
+           STRING_AGG(CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_quantity AS INTEGER),
+                      ',' ORDER BY CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_quantity AS INTEGER)) AS items
+    FROM lineitem
+    WHERE l_orderkey < 500
+    GROUP BY l_orderkey
+    """,
+)
+def q_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    item = F.concat_ws(
+        ":",
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("int").cast("string"),
+    )
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list(item)), ",").alias("items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11/A4 — incremental high-watermark filter via scalar subquery
+# (reference json_transform/macros/incremental_filter.sql:1-5).
+# ---------------------------------------------------------------------------
+@q(
+    "q_watermark",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 90 DAY
+    GROUP BY o_orderstatus
+    """,
+)
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wm = o.agg(F.max("o_orderdate").alias("wm"))
+    return (
+        o.join(F.broadcast(wm))
+        .filter(F.col("o_orderdate") >= F.col("wm") - F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3 — CASE WHEN quarter mapping + weekend flag over order dates
+# (reference dim_date.sql:18-29, Backend/api.py:22-26).
+# ---------------------------------------------------------------------------
+@q(
+    "q_case_quarter",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           CAST(YEAR(o_orderdate) AS VARCHAR) || 'q' ||
+             CAST(CAST((MONTH(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS VARCHAR) AS year_quarter,
+           CASE WHEN DAYOFWEEK(o_orderdate) IN (0, 6) THEN 'Y' ELSE 'N' END AS is_weekend,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_case_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    yq = F.concat_ws(
+        "q",
+        F.year(d).cast("string"),
+        (((F.month(d) - 1) / 3).cast("int") + 1).cast("long").cast("string"),
+    )
+    return (
+        o.groupBy(
+            F.year(d).cast("long").alias("y"),
+            yq.alias("year_quarter"),
+            F.when(F.dayofweek(d).isin(1, 7), "Y").otherwise("N").alias("is_weekend"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7/F8/F9 — regex / range / length validation aggregates (the
+# dbt_expectations surface: reference sub_source.yml, num_source.yml,
+# pre_source.yml, tag_source.yml).
+# ---------------------------------------------------------------------------
+@q(
+    "q_validation_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN REGEXP_MATCHES(text, 'table.*value') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex_hit,
+           CAST(SUM(CASE WHEN LENGTH(text) BETWEEN 1 AND 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_textlen_ok,
+           CAST(SUM(CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_accepted
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_validation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+
+    def flag(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        flag(F.col("n_chars").between(100, 300)).alias("n_len_ok"),
+        flag(F.col("text").rlike("table.*value")).alias("n_regex_hit"),
+        flag(F.length("text").between(1, 512)).alias("n_textlen_ok"),
+        flag(F.col("lang").isin("en", "de")).alias("n_lang_accepted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O3 — deterministic pagination: ORDER BY + LIMIT/OFFSET
+# (reference Frontend/app.py:135,198 — with the determinism fix from
+# SURVEY §4 gotcha 3).
+# ---------------------------------------------------------------------------
+@q(
+    "q_pagination",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 1000
+    """,
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .offset(1000)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6/S8 — JSON document construction (reference
+# financial_statements_json.sql:6-25 OBJECT_CONSTRUCT → to_json(struct)).
+# ---------------------------------------------------------------------------
+@q(
+    "q_json_doc",
+    """
+    SELECT o_orderkey,
+           CAST(TO_JSON(STRUCT_PACK(
+               order_key := o_orderkey,
+               status := o_orderstatus,
+               order_date := STRFTIME(o_orderdate, '%Y-%m-%d'))) AS VARCHAR) AS doc
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_key"),
+                F.col("o_orderstatus").alias("status"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            )
+        ).alias("doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON path extraction (VARIANT access: reference txt_to_json.py:108-116;
+# events.props carries a JSON payload).
+# ---------------------------------------------------------------------------
+@q(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long"))
+        .cast("long")
+        .alias("k_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — absent in reference; engine completeness).
+# ---------------------------------------------------------------------------
+@q(
+    "q_set_ops",
+    """
+    SELECT nationkey, 'both' AS which FROM
+      (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT DISTINCT s_nationkey FROM supplier) t
+    UNION ALL
+    SELECT nationkey, 'cust_only' AS which FROM
+      (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT DISTINCT s_nationkey FROM supplier) t
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.intersect(s).withColumn("which", F.lit("both")).unionAll(
+        c.exceptAll(s).distinct().withColumn("which", F.lit("cust_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup with grouping-id (engine completeness).
+# ---------------------------------------------------------------------------
+@q(
+    "q_rollup",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.grouping_id().alias("_gid"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            F.col("_gid").cast("long").alias("gid"),
+            "n_customers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (reference Frontend/app.py:567 value_counts → wide counts).
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "q_pivot",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# The star-schema fact build shape (reference fct_balanceSheet.sql whole
+# file): filtered fact ⋈ header (broadcast) ⟕ SK dims → group → SUM →
+# ROUND. Expressed over the TPC-H tables so the oracle can check it; the
+# true SEC pipeline lives in operators/facts.py with golden tests.
+# ---------------------------------------------------------------------------
+@q(
+    "q_fact_star_shape",
+    f"""
+    WITH key_data AS (
+      SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_custkey, o.o_orderdate,
+             {SQL_REVENUE} AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+    ),
+    dim_cust AS (
+      SELECT DISTINCT c_custkey,
+             MD5(CONCAT_WS('-', COALESCE(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+                                COALESCE(c_name, '_dbt_utils_surrogate_key_null_'))) AS company_sk
+      FROM customer
+    )
+    SELECT d.company_sk,
+           STRFTIME(k.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(SUM(k.revenue), 2) AS DOUBLE) AS fct_value,
+           COUNT(*) AS n_facts
+    FROM key_data k
+    JOIN dim_cust d ON k.o_custkey = d.c_custkey
+    GROUP BY d.company_sk, STRFTIME(k.o_orderdate, '%Y-%m-%d')
+    """,
+)
+def q_fact_star_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    key_data = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "o_custkey",
+        "o_orderdate",
+        revenue_expr().alias("revenue"),
+    )
+    dim_cust = c.select(
+        "c_custkey", surrogate_key("c_custkey", "c_name").alias("company_sk")
+    ).distinct()
+    return (
+        key_data.join(F.broadcast(dim_cust), key_data.o_custkey == dim_cust.c_custkey)
+        .groupBy(
+            "company_sk", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+        .agg(
+            # round the exact DECIMAL sum, then cast: rounding a double
+            # diverges between engines on half-way values (.895 cases)
+            as_dbl(F.round(F.sum("revenue"), 2)).alias("fct_value"),
+            F.count(F.lit(1)).alias("n_facts"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Streaming workload entries.
+
+The reference is batch-only (SURVEY §2.9); the idiomatic Spark upgrade
+for its incremental high-watermark macro is Structured Streaming with
+``Trigger.AvailableNow`` over the landing directory. These queries run a
+real streaming pipeline to completion (memory sink) and return the
+result as a DataFrame, so the driver's DuckDB oracle can hash-match a
+batch-SQL equivalent — i.e. the streaming path is held to the same
+correctness bar as batch.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import table
+
+STREAM_QUERIES: dict[str, object] = {}
+STREAM_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        STREAM_QUERIES[name] = fn
+        if sql is not None:
+            STREAM_ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+@q(
+    "q_stream_hourly",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over a file stream, run to completion.
+
+    readStream(parquet) → window(1 hour) agg → memory sink (complete).
+    Watermarking is omitted because the batch oracle must see every row
+    (late-data semantics are exercised in tests/test_streaming.py).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
