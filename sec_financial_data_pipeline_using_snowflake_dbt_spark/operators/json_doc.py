@@ -1,0 +1,152 @@
+"""Nested-JSON document pipeline (reference: Airflow/json_transform/
+models/staging/stg_financial_data.sql, raw_stg_sub_modified.sql,
+models/json/financial_statements_json.sql).
+
+OBJECT_CONSTRUCT → F.struct; ARRAY_AGG → F.collect_list(struct).
+ARRAY_AGG order is engine-unspecified in both systems (SURVEY §4
+gotcha 7): ``deterministic=True`` sorts the array for reproducible
+output/hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import handle_null_date
+
+
+def raw_stg_sub_modified(sub: DataFrame) -> DataFrame:
+    """reference raw_stg_sub_modified.sql: passthrough with NULL period →
+    '9999-12-31' (handle_null_date macro)."""
+    return sub.withColumn("period", handle_null_date("period"))
+
+
+def stg_financial_data(
+    sub: DataFrame, num: DataFrame, tag: DataFrame, pre: DataFrame
+) -> DataFrame:
+    """reference stg_financial_data.sql:1-67: renamed projections +
+    multi-way left-join flattening (J9)."""
+    s = raw_stg_sub_modified(sub).select(
+        "adsh",
+        "cik",
+        F.col("filed").alias("filing_date"),
+        F.col("fy").alias("fiscal_year"),
+        F.col("fp").alias("fiscal_period"),
+        F.col("name").alias("company_name"),
+        "sic",
+    )
+    n = num.select(
+        "adsh",
+        "tag",
+        "version",
+        F.col("ddate").alias("period_end_date"),
+        F.col("qtrs").alias("quarters_duration"),
+        F.col("uom").alias("unit_of_measure"),
+        F.col("value").alias("numeric_value"),
+        "footnote",
+    )
+    t = tag.select(
+        "tag",
+        "version",
+        F.col("tlabel").alias("tag_label"),
+        F.col("doc").alias("tag_description"),
+    )
+    p = pre.select(
+        "adsh",
+        "tag",
+        F.col("stmt").alias("statement_type"),
+        F.col("plabel").alias("presentation_label"),
+    )
+    return (
+        s.join(n, "adsh", "left")
+        .join(F.broadcast(t), ["tag", "version"], "left")
+        .join(p, ["adsh", "tag"], "left")
+        .select(
+            "adsh",
+            "cik",
+            "filing_date",
+            "fiscal_year",
+            "fiscal_period",
+            "company_name",
+            "sic",
+            "tag",
+            "version",
+            "period_end_date",
+            "quarters_duration",
+            "unit_of_measure",
+            "numeric_value",
+            "footnote",
+            "tag_label",
+            "tag_description",
+            "statement_type",
+            "presentation_label",
+        )
+    )
+
+
+FINANCIAL_DATA_FIELDS = (
+    "tag",
+    "tag_label",
+    "tag_description",
+    "value",
+    "unit_of_measure",
+    "period_end_date",
+    "quarters_duration",
+    "statement_type",
+    "presentation_label",
+)
+
+
+def financial_statements_json(
+    staged: DataFrame, deterministic: bool = True
+) -> DataFrame:
+    """reference financial_statements_json.sql:1-34: per-filing nested doc
+    {filing_id, company_info{...}, financial_data[{...}×9], ...}."""
+    entry = F.struct(
+        F.col("tag"),
+        F.col("tag_label"),
+        F.col("tag_description"),
+        F.col("numeric_value").alias("value"),
+        F.col("unit_of_measure"),
+        F.col("period_end_date"),
+        F.col("quarters_duration"),
+        F.col("statement_type"),
+        F.col("presentation_label"),
+    )
+    arr = F.collect_list(entry)
+    if deterministic:
+        arr = F.array_sort(arr)
+    return (
+        staged.groupBy(
+            "adsh", "cik", "company_name", "sic", "filing_date", "fiscal_year",
+            "fiscal_period",
+        )
+        .agg(arr.alias("financial_data"))
+        .select(
+            F.col("adsh").alias("filing_id"),
+            F.struct("company_name", "cik", "sic").alias("company_info"),
+            "financial_data",
+            "filing_date",
+            "fiscal_year",
+            "fiscal_period",
+        )
+    )
+
+
+def to_json_documents(docs: DataFrame) -> DataFrame:
+    """Serialize the nested docs to JSON strings (≙ the S3 JSON sink,
+    reference txt_to_json.py:69-87)."""
+    return docs.select(
+        "filing_id",
+        F.to_json(
+            F.struct(
+                "filing_id",
+                "company_info",
+                "financial_data",
+                "filing_date",
+                "fiscal_year",
+                "fiscal_period",
+            )
+        ).alias("doc"),
+    )

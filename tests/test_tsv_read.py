@@ -1,0 +1,70 @@
+"""COPY INTO semantics of the TSV reader: typed schema, yyyyMMdd dates,
+empty/'NULL' → null, ON_ERROR=CONTINUE (drop malformed), PERMISSIVE
+audit mode."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.schemas import (
+    NUM_SCHEMA,
+    SUB_SCHEMA,
+)
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.tsv import (
+    read_sec_quarter,
+    read_tsv,
+)
+
+from .sec_fixtures import generate_sec_quarter
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sec_dirty"))
+    generate_sec_quarter(d, dirty=True)
+    return d
+
+
+def test_schema_and_dates(spark, dirty_dir):
+    sub = read_tsv(spark, f"{dirty_dir}/sub.txt", SUB_SCHEMA)
+    assert dict(sub.dtypes)["filed"] == "date"
+    assert dict(sub.dtypes)["accepted"] == "timestamp_ntz"
+    assert dict(sub.dtypes)["wksi"] == "boolean"
+    row = sub.filter(F.col("adsh").endswith("000000")).first()
+    assert isinstance(row.filed, datetime.date)
+
+
+def test_null_semantics(spark, dirty_dir):
+    sub = read_tsv(spark, f"{dirty_dir}/sub.txt", SUB_SCHEMA)
+    # empty fields → null (EMPTY_FIELD_AS_NULL)
+    assert sub.filter(F.col("bas2").isNull()).count() > 0
+    # some periods intentionally null
+    assert sub.filter(F.col("period").isNull()).count() > 0
+
+
+def test_on_error_continue_drops_malformed(spark, dirty_dir):
+    strict = read_tsv(
+        spark,
+        f"{dirty_dir}/num.txt",
+        NUM_SCHEMA,
+        on_error_continue=False,
+        corrupt_record_col="_corrupt",
+    )
+    dropped = read_tsv(spark, f"{dirty_dir}/num.txt", NUM_SCHEMA)
+    n_bad = strict.filter(F.col("_corrupt").isNotNull()).count()
+    assert n_bad == 2  # the short row + the type-malformed row
+    assert dropped.count() == strict.count() - n_bad
+    # NULL_IF literal in a typed column is salvaged, not dropped
+    salvaged = dropped.filter(F.col("footnote") == "salvaged")
+    row = salvaged.first()
+    assert row is not None and row.qtrs is None and float(row.value) == 7.5
+
+
+def test_quarter_glob_routing(spark, dirty_dir):
+    tables = read_sec_quarter(spark, dirty_dir)
+    assert set(tables) == {"sub", "tag", "num", "pre"}
+    assert tables["tag"].count() > 0
+    assert dict(tables["num"].dtypes)["value"] == "decimal(28,4)"
