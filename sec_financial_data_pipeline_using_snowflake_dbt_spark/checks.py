@@ -1,0 +1,193 @@
+"""Declarative data-quality framework — the engine's ``dbt test``.
+
+Every generic/singular test in the reference's YAML+SQL test surface
+(reference: Airflow/masterfindata/models/Staging/sub_source.yml,
+num_source.yml, pre_source.yml, tag_source.yml,
+json_transformation_source.yml, json_transform/tests/
+testing_for_date_validity.sql, Notes.md:367-404) maps to a check here.
+
+A check is a function DataFrame → DataFrame of *violating rows* (dbt's
+contract: a test passes iff the generated query returns zero rows).
+``run_checks`` mirrors ``dbt test``: evaluates a suite, reports
+violation counts, optionally raises.
+
+Scale posture: each check is one aggregation/anti-join over the table —
+shuffle-light (count-style checks are map-side combinable), no
+collects; ``run_checks`` can evaluate a suite in one pass per table if
+the checks are count-based (``summarize``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- generic checks (dbt-core) ---------------------------------------------
+
+
+def unique(df: DataFrame, *cols: str) -> DataFrame:
+    """dbt ``unique`` / dbt_utils.unique_combination_of_columns."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def not_null(df: DataFrame, col: str) -> DataFrame:
+    return df.filter(F.col(col).isNull())
+
+
+def relationships(
+    child: DataFrame, parent: DataFrame, keys: list[str] | dict[str, str]
+) -> DataFrame:
+    """dbt ``relationships`` (FK containment), incl. multi-column form:
+    child rows whose key is absent from the parent (left_anti ≙ the
+    violation query). NULL keys are not violations (dbt semantics)."""
+    if isinstance(keys, list):
+        keys = {k: k for k in keys}
+    cond = [child[ck] == parent[pk] for ck, pk in keys.items()]
+    non_null = child
+    for ck in keys:
+        non_null = non_null.filter(F.col(ck).isNotNull())
+    return non_null.join(F.broadcast(parent.select(*keys.values()).distinct()), cond, "left_anti")
+
+
+def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    return df.filter(~F.col(col).isin(values) & F.col(col).isNotNull())
+
+
+# --- dbt_expectations-style checks -----------------------------------------
+
+
+def values_between(
+    df: DataFrame, col: str, lo, hi, inclusive: bool = True
+) -> DataFrame:
+    c = F.col(col)
+    ok = c.between(lo, hi) if inclusive else (c > lo) & (c < hi)
+    return df.filter(~ok & c.isNotNull())
+
+
+def matches_regex(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ~c.rlike(pattern))
+
+
+def value_lengths_between(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ~F.length(c).between(lo, hi))
+
+
+def column_type_is(df: DataFrame, col: str, type_name: str) -> DataFrame:
+    """Schema-level check; returns an empty frame when the dtype matches,
+    a one-row frame describing the mismatch otherwise."""
+    actual = dict(df.dtypes).get(col)
+    spark = df.sparkSession
+    if actual == type_name:
+        return spark.createDataFrame([], "col string, expected string, actual string")
+    return spark.createDataFrame(
+        [(col, type_name, str(actual))], "col string, expected string, actual string"
+    )
+
+
+# --- custom / singular checks (reference-specific) --------------------------
+
+
+def not_null_except_zero(
+    df: DataFrame, col: str, guard_col: str = "fy"
+) -> DataFrame:
+    """reference json_transform/tests/testing_for_date_validity.sql:1-6:
+    NULL allowed only where ``guard_col`` = 0."""
+    return df.filter(F.col(col).isNull() & (F.col(guard_col) != 0))
+
+
+def expression_holds(df: DataFrame, expr: Column) -> DataFrame:
+    """Singular test: rows violating a boolean business rule
+    (≙ dbt singular tests, reference Notes.md:380-404)."""
+    return df.filter(~expr)
+
+
+# --- suite runner (≙ `dbt test`) -------------------------------------------
+
+
+@dataclass
+class CheckResult:
+    name: str
+    violations: int
+
+    @property
+    def passed(self) -> bool:
+        return self.violations == 0
+
+
+def run_checks(
+    suite: dict[str, Callable[[], DataFrame]], fail_fast: bool = False
+) -> list[CheckResult]:
+    """Evaluate a named suite of zero-arg check thunks; mirrors the dbt
+    test runner (reference Airflow/dags/rdbms_transformation.py:147-152:
+    nonzero rows ⇒ fail)."""
+    results = []
+    for name, thunk in suite.items():
+        n = thunk().count()
+        results.append(CheckResult(name, n))
+        if fail_fast and n:
+            break
+    return results
+
+
+def assert_checks(suite: dict[str, Callable[[], DataFrame]]) -> None:
+    results = run_checks(suite)
+    failed = [r for r in results if not r.passed]
+    if failed:
+        raise AssertionError(
+            "data-quality failures: "
+            + ", ".join(f"{r.name}={r.violations}" for r in failed)
+        )
+
+
+def sec_quarter_suite(
+    sub: DataFrame, tag: DataFrame, num: DataFrame, pre: DataFrame
+) -> dict[str, Callable[[], DataFrame]]:
+    """The reference's full declared test surface for a raw SEC quarter
+    (reference: masterfindata + json_transform source YAMLs)."""
+    return {
+        # sub_source.yml
+        "sub.adsh.unique": lambda: unique(sub, "adsh"),
+        "sub.adsh.not_null": lambda: not_null(sub, "adsh"),
+        "sub.name.not_null": lambda: not_null(sub, "name"),
+        "sub.form.not_null": lambda: not_null(sub, "form"),
+        "sub.wksi.accepted": lambda: accepted_values(sub, "wksi", [True, False]),
+        # fy = 0 is the reference's "missing" sentinel (see
+        # not_null_except_zero) — exempt it from the range test
+        "sub.fy.between": lambda: values_between(
+            sub.filter(F.col("fy") != 0), "fy", 1900, 2100
+        ),
+        "sub.aciks.regex": lambda: matches_regex(sub, "aciks", r"^[0-9,]*$"),
+        "sub.period.not_null_except_zero": lambda: not_null_except_zero(
+            sub, "period", "fy"
+        ),
+        # tag_source.yml
+        "tag.tag.not_null": lambda: not_null(tag, "tag"),
+        "tag.version.not_null": lambda: not_null(tag, "version"),
+        "tag.tag_version.unique": lambda: unique(tag, "tag", "version"),
+        "tag.iord.accepted": lambda: accepted_values(tag, "iord", ["I", "D"]),
+        "tag.crdr.accepted": lambda: accepted_values(tag, "crdr", ["C", "D"]),
+        "tag.doc.lengths": lambda: value_lengths_between(tag, "doc", 1, 16777216),
+        # num_source.yml
+        "num.adsh.not_null": lambda: not_null(num, "adsh"),
+        "num.value.between": lambda: values_between(num, "value", 0, 1_000_000_000),
+        "num.adsh.fk_sub": lambda: relationships(num, sub, ["adsh"]),
+        "num.tag_version.fk_tag": lambda: relationships(num, tag, ["tag", "version"]),
+        # pre_source.yml
+        "pre.adsh.not_null": lambda: not_null(pre, "adsh"),
+        "pre.stmt.accepted": lambda: accepted_values(
+            pre, "stmt", ["BS", "IS", "CF", "EQ", "CI", "SI", "UN"]
+        ),
+        "pre.plabel.lengths": lambda: value_lengths_between(pre, "plabel", 1, 512),
+        "pre.adsh.fk_sub": lambda: relationships(pre, sub, ["adsh"]),
+        "pre.tag_version.fk_tag": lambda: relationships(pre, tag, ["tag", "version"]),
+    }

@@ -1,0 +1,218 @@
+"""Serving layer: the engine-side replacement for the reference's
+Streamlit/Redis data-explorer backend (reference: Frontend/app.py).
+
+- ``list_catalog``      — schema/table introspection (S11: app.py:87,113)
+- ``build_predicate``   — the dynamic filter builder (P7: app.py:182-198)
+- ``filtered_read``     — filtered + paginated fetch with a deterministic
+                          sort (O3 + SURVEY §4 gotcha 3 fixed)
+- ``guarded_sql``       — SELECT-only SQL passthrough (P9: app.py:277-281),
+                          enforced on the *parsed plan*, not a string
+                          prefix — `WITH ... INSERT` can't sneak through
+- ``ResultCache``       — TTL result cache keyed on the optimized plan's
+                          semantic hash (X13: app.py:98-133; plan-keyed
+                          instead of SQL-text-keyed, so equivalent
+                          spellings share an entry)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def list_catalog(spark: SparkSession) -> dict[str, list[str]]:
+    """database -> table names (reference app.py:87,113 INFORMATION_SCHEMA)."""
+    out: dict[str, list[str]] = {}
+    for db in spark.catalog.listDatabases():
+        out[db.name] = [t.name for t in spark.catalog.listTables(db.name)]
+    return out
+
+
+# --- dynamic predicates -----------------------------------------------------
+
+
+@dataclass
+class ColumnFilter:
+    """One UI filter: categorical equality, numeric range, or date range
+    (reference app.py:182-198)."""
+
+    column: str
+    eq: Any = None
+    between: tuple[Any, Any] | None = None
+
+    def to_column(self) -> Column:
+        c = F.col(self.column)
+        if self.eq is not None:
+            return c == self.eq
+        if self.between is not None:
+            return c.between(*self.between)
+        raise ValueError(f"filter on {self.column} needs eq or between")
+
+
+def build_predicate(filters: list[ColumnFilter]) -> Column:
+    """AND-combine filters (empty list ⇒ TRUE)."""
+    if not filters:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, (f.to_column() for f in filters))
+
+
+def filtered_read(
+    df: DataFrame,
+    filters: list[ColumnFilter] | None = None,
+    sort: list[str] | None = None,
+    limit: int = 5000,
+    offset: int = 0,
+) -> DataFrame:
+    """Filter + paginate. A deterministic sort is mandatory: the
+    reference paginates unordered SELECTs (app.py:198), which reshuffles
+    between pages; we default to sorting by every projected column."""
+    out = df.filter(build_predicate(filters or []))
+    sort_cols = sort or df.columns
+    out = out.orderBy(*sort_cols)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
+
+
+def filter_widget_probe(df: DataFrame, max_categories: int = 15) -> dict[str, dict]:
+    """Derive per-column filter-widget specs the way the UI does
+    (reference app.py:485-505): categorical when < max_categories
+    distinct values, otherwise min/max range for numerics and dates.
+    One aggregate pass; approx_count_distinct for the cardinality probe."""
+    num_types = {"int", "bigint", "double", "float", "decimal"}
+    aggs = []
+    for name, dtype in df.dtypes:
+        base = dtype.split("(")[0]
+        aggs.append(F.approx_count_distinct(name).alias(f"{name}__card"))
+        if base in num_types or base in {"date", "timestamp", "timestamp_ntz"}:
+            aggs.append(F.min(name).alias(f"{name}__min"))
+            aggs.append(F.max(name).alias(f"{name}__max"))
+    stats = df.agg(*aggs).first().asDict()
+    widgets: dict[str, dict] = {}
+    for name, dtype in df.dtypes:
+        card = stats[f"{name}__card"]
+        if card < max_categories:
+            vals = [r[0] for r in df.select(name).distinct().limit(max_categories).collect()]
+            widgets[name] = {"kind": "categorical", "values": sorted(map(str, vals))}
+        elif f"{name}__min" in stats:
+            widgets[name] = {
+                "kind": "range",
+                "min": stats[f"{name}__min"],
+                "max": stats[f"{name}__max"],
+            }
+        else:
+            widgets[name] = {"kind": "search"}
+    return widgets
+
+
+# --- SELECT-only SQL gate ---------------------------------------------------
+
+
+class SqlGateError(ValueError):
+    pass
+
+
+def guarded_sql(spark: SparkSession, query: str) -> DataFrame:
+    """Execute ``query`` iff its *parsed plan* is a pure query.
+
+    The reference gates on ``query.lower().startswith('select')``
+    (app.py:277-281), which both rejects legitimate ``WITH ...`` queries
+    and can be fooled. We parse without executing and reject any plan
+    whose class is a command/DML/DDL node.
+    """
+    import re
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        plan = parser.parsePlan(query)
+    except Exception as e:  # noqa: BLE001 — surface parse errors as gate errors
+        raise SqlGateError(f"unparseable SQL: {e}") from None
+    banned = (
+        "Command",
+        "Insert",
+        "Create",
+        "Drop",
+        "Alter",
+        "Delete",
+        "Update",
+        "Merge",
+        "Set",
+        "Cache",
+        "Refresh",
+        "Truncate",
+        "AddColumns",
+        "Analyze",
+    )
+    # scan every NODE of the parsed tree (a command can hide under a CTE:
+    # `WITH x AS (...) INSERT INTO ...`); node names are the first
+    # identifier of each treeString line, so table/column identifiers
+    # can't false-positive
+    node_names = {
+        m.group(1)
+        for line in plan.treeString().splitlines()
+        if (m := re.match(r"^[\s:+\-']*([A-Za-z]+)", line))
+    }
+    offending = [
+        n for n in node_names if any(b in n for b in banned)
+    ]
+    if offending:
+        raise SqlGateError(
+            f"only read-only queries allowed; got plan nodes {sorted(offending)}"
+        )
+    return spark.sql(query)
+
+
+# --- plan-keyed result cache ------------------------------------------------
+
+
+@dataclass
+class _Entry:
+    expires_at: float
+    value: Any
+
+
+@dataclass
+class ResultCache:
+    """TTL result cache keyed by the DataFrame's semantic hash — two
+    queries with the same optimized plan share one entry (stronger than
+    the reference's normalized-SQL-text key, app.py:151,303)."""
+
+    ttl_seconds: float = 3600.0
+    _store: dict[int, dict[int, _Entry]] = field(default_factory=dict)
+    hits: int = 0
+    misses: int = 0
+
+    @staticmethod
+    def key_for(df: DataFrame) -> int:
+        # hash the OPTIMIZED plan: trivially-different spellings (extra
+        # projections, reordered filters) collapse to one key;
+        # df.semanticHash() hashes the analyzed plan and would not
+        return df._jdf.queryExecution().optimizedPlan().semanticHash()
+
+    def fetch(self, df: DataFrame, limit: int = 5000):
+        """Collect (bounded) through the cache; returns list[Row]."""
+        plan_key = self.key_for(df)
+        now = time.monotonic()
+        entry = self._store.get(plan_key, {}).get(limit)
+        if entry and entry.expires_at > now:
+            self.hits += 1
+            return entry.value
+        self.misses += 1
+        value = df.limit(limit).collect()
+        self._store.setdefault(plan_key, {})[limit] = _Entry(
+            now + self.ttl_seconds, value
+        )
+        return value
+
+    def invalidate(self, df: DataFrame | None = None) -> None:
+        """Keyed invalidation (one plan) or flush-all (≙ Redis delete /
+        flushall, app.py:212-215,300-304)."""
+        if df is None:
+            self._store.clear()
+        else:
+            self._store.pop(self.key_for(df), None)

@@ -1,0 +1,149 @@
+"""Extended workload: sessionization, as-of join, LSH ANN, multimodal —
+the custom operators, run through the driver gate. Oracle-backed where
+SQL can express the semantics; rows-only otherwise (approximate or
+UDF-stubbed ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import asof as ASOF
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from .common import table
+
+EXT_QUERIES: dict[str, object] = {}
+EXT_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        EXT_QUERIES[name] = fn
+        if sql is not None:
+            EXT_ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: lag + gap-flag + cumulative count (the guide's
+# canonical pattern; streaming twin is streaming/incremental.py
+# sessionized_stream).
+# ---------------------------------------------------------------------------
+@q(
+    "q_sessionization",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           COUNT(*) AS n_events
+    FROM seq GROUP BY user_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_ts", F.lag("ts").over(w))
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return seq.groupBy("user_id").agg(
+        F.sum(new_sess).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the latest click at-or-before it per
+# user (ties on the timestamp resolved to the max value — documented
+# in operators/asof.py).
+# ---------------------------------------------------------------------------
+@q(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    best AS (
+      SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS ts_asof
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT b.event_id,
+           STRFTIME(b.ts_asof, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           MAX(c2.value) AS click_value
+    FROM best b LEFT JOIN c c2 ON c2.user_id = b.user_id AND c2.ts = b.ts_asof
+    GROUP BY b.event_id, b.ts_asof
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = ASOF.asof_join(
+        purchases, clicks, on="ts", by="user_id", value_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate ANN (rows-only: recall < 1 by design, so no
+# exact oracle; the exact baseline q_ann_topk is the oracle-checked twin).
+# ---------------------------------------------------------------------------
+@q("q_ann_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: synthesize image/video payloads from the documents table
+# (PNG magic + utf-8 text bytes), then run the Pandas-UDF decode and
+# frame-sample stages. Rows-only: the stub decoder is not SQL-expressible.
+# ---------------------------------------------------------------------------
+def _synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    png = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("unknown").alias("modality"),
+        F.concat(
+            F.lit(b"\x89PNG\r\n\x1a\n"), F.encode("text", "UTF-8")
+        ).alias("payload"),
+    )
+    mp4 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.md5(F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("unknown").alias("modality"),
+        F.concat(
+            F.lit(b"\x00\x00\x00\x18ftypmp42"), F.encode("text", "UTF-8")
+        ).alias("payload"),
+    )
+    return png.unionByName(mp4)
+
+
+@q("q_multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _synth_assets(spark, sf_dir)
+    return MM.decode_image_features(assets)
+
+
+@q("q_multimodal_frames", None)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _synth_assets(spark, sf_dir)
+    return MM.sample_video_frames(assets, every_n_bytes=64, max_frames=4)

@@ -1,0 +1,54 @@
+"""The two as-of join implementations (DataFrame composition vs
+applyInPandas merge_asof) agree."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import asof
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.common import (
+        read_events,
+    )
+
+    return read_events(spark, SF_SMOKE).cache()
+
+
+def test_asof_implementations_agree(events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    a = asof.asof_join(purchases, clicks, on="ts", by="user_id", value_cols=["value"])
+    b = asof.asof_join_pandas(
+        purchases, clicks, on="ts", by="user_id", value_cols=["value"]
+    )
+    ka = sorted(
+        (r.event_id, r.ts_asof, r.value_asof) for r in a.collect()
+    )
+    kb = sorted(
+        (r.event_id, r.ts_asof, r.value_asof) for r in b.collect()
+    )
+    assert ka == kb
+    assert len(ka) == purchases.count()  # every left row survives
+
+
+def test_asof_no_match_keeps_nulls(events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side from the future only → every match is NULL
+    future = events.filter(F.col("event_type") == "click").select(
+        "user_id", (F.col("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"), "value"
+    )
+    a = asof.asof_join(purchases, future, on="ts", by="user_id", value_cols=["value"])
+    assert a.filter(F.col("ts_asof").isNotNull()).count() == 0
+    assert a.count() == purchases.count()

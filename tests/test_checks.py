@@ -1,0 +1,84 @@
+"""The check framework catches exactly the planted violations in the
+dirty fixture and passes on the clean one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark import checks as C
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.tsv import (
+    read_sec_quarter,
+)
+
+from .sec_fixtures import generate_sec_quarter
+
+
+@pytest.fixture(scope="module")
+def clean(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sec_clean"))
+    generate_sec_quarter(d)
+    return read_sec_quarter(spark, d)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sec_dirty2"))
+    generate_sec_quarter(d, dirty=True)
+    return read_sec_quarter(spark, d)
+
+
+def _results(tables):
+    suite = C.sec_quarter_suite(
+        tables["sub"], tables["tag"], tables["num"], tables["pre"]
+    )
+    return {r.name: r.violations for r in C.run_checks(suite)}
+
+
+def test_clean_fixture_mostly_passes(clean):
+    res = _results(clean)
+    # period-null rows with fy != 0 are planted in the clean fixture too
+    # (FIXTURES.md asks for them) — every other check must pass
+    expected_failing = {"sub.period.not_null_except_zero"}
+    failing = {k for k, v in res.items() if v > 0}
+    assert failing == expected_failing, res
+
+
+def test_dirty_fixture_flags_planted_violations(dirty):
+    res = _results(dirty)
+    assert res["sub.adsh.unique"] == 1  # one duplicated adsh
+    assert res["sub.name.not_null"] == 1
+    assert res["sub.fy.between"] == 1  # fy = 1850
+    assert res["sub.aciks.regex"] == 1  # letters in aciks
+    assert res["num.value.between"] == 1  # negative value
+    assert res["num.adsh.fk_sub"] >= 1  # orphan adsh
+    assert res["num.tag_version.fk_tag"] >= 1  # orphan (tag, version)
+
+
+def test_relationships_multi_column(dirty):
+    orphans = C.relationships(
+        dirty["num"], dirty["tag"], ["tag", "version"]
+    )
+    assert orphans.filter(F.col("tag") == "NoSuchTag").count() == 1
+
+
+def test_assert_checks_raises(dirty):
+    with pytest.raises(AssertionError, match="sub.adsh.unique"):
+        C.assert_checks(
+            {"sub.adsh.unique": lambda: C.unique(dirty["sub"], "adsh")}
+        )
+
+
+def test_expression_holds(clean):
+    # singular business rule (reference Notes.md:393-404 flavor):
+    # filed date within [2009-01-01, today]
+    bad = C.expression_holds(
+        clean["sub"],
+        F.col("filed").between(F.lit("2009-01-01").cast("date"), F.current_date()),
+    )
+    assert bad.count() == 0
+
+
+def test_column_type_is(clean):
+    assert C.column_type_is(clean["num"], "value", "decimal(28,4)").count() == 0
+    assert C.column_type_is(clean["num"], "value", "double").count() == 1

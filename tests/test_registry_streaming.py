@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.plans.registry import (
+    sec_registry,
+)
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.tsv import (
+    read_sec_quarter,
+)
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.streaming import (
+    incremental as INC,
+)
+
+from .sec_fixtures import generate_sec_quarter
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sec_reg"))
+    generate_sec_quarter(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def raw(spark, fixture_dir):
+    return read_sec_quarter(spark, fixture_dir)
+
+
+def test_registry_topology_and_run(spark, raw, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    reg = sec_registry()
+    order = reg.order()
+    assert order.index("stg_num") < order.index("fact_spine")
+    assert order.index("fact_spine") < order.index("fct_balance_sheet")
+    built = reg.run(spark, dict(raw), warehouse_dir=wh)
+    assert built["fct_balance_sheet"].count() > 0
+    assert built["fct_income_statement"].count() > 0
+    assert built["financial_statements_json"].count() == raw["sub"].count()
+    # table materializations landed in the warehouse and are re-readable
+    assert spark.read.parquet(f"{wh}/fct_balance_sheet").count() > 0
+
+
+def test_registry_select_subtree(spark, raw, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse2"))
+    reg = sec_registry()
+    built = reg.run(spark, dict(raw), warehouse_dir=wh, select=["dim_company"])
+    assert "dim_company" in built
+    assert "fct_balance_sheet" not in built
+
+
+def test_incremental_filter(spark, raw):
+    sub = raw["sub"]
+    old = sub.filter(F.col("filed") < "2024-01-20")
+    delta = INC.incremental_filter(sub, "filed", old)
+    wm = old.agg(F.max("filed")).first()[0]
+    assert delta.agg(F.min("filed")).first()[0] >= wm
+    assert INC.incremental_filter(sub, "filed", None).count() == sub.count()
+
+
+def test_incremental_append(spark, raw, tmp_path_factory):
+    target = str(tmp_path_factory.mktemp("inc")) + "/sub"
+    sub = raw["sub"]
+    first = INC.incremental_append(
+        spark, sub.filter(F.col("filed") < "2024-01-20"), target, "filed"
+    )
+    n1 = first.count()
+    assert n1 > 0
+    total = INC.incremental_append(spark, sub, target, "filed")
+    # watermark row(s) double-append (>= semantics, exactly the
+    # reference macro's behavior); everything strictly older is skipped
+    assert total.count() >= sub.count()
+
+
+def test_stream_sec_quarter_matches_batch(spark, fixture_dir, raw, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    INC.stream_sec_quarter(
+        spark, fixture_dir, "num", f"{base}/ckpt", f"{base}/out"
+    )
+    streamed = spark.read.parquet(f"{base}/out")
+    assert streamed.count() == raw["num"].count()
+    assert dict(streamed.dtypes)["value"] == "decimal(28,4)"
+
+
+def test_hourly_watermark_stream(spark):
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    )
+    agg = INC.hourly_event_aggregate(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_wm_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("hourly_wm_test")
+    # append mode emits only windows sealed by the watermark; with
+    # availableNow the final watermark seals all but the tail window(s)
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        .groupBy(F.date_trunc("hour", "ts"), "event_type")
+        .count()
+    )
+    assert out.count() > 0
+    assert out.count() <= batch.count()
+
+
+def test_sessionized_stream(spark):
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    )
+    q = (
+        INC.sessionized_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sessions_test")
+    assert out.count() > 0
+    assert out.filter(F.col("n_events") <= 0).count() == 0

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.plans import serve
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+def test_filtered_read_deterministic_pagination(orders):
+    f = [serve.ColumnFilter("o_orderstatus", eq="F")]
+    p1 = serve.filtered_read(orders, f, sort=["o_orderkey"], limit=10, offset=0)
+    p2 = serve.filtered_read(orders, f, sort=["o_orderkey"], limit=10, offset=10)
+    k1 = [r.o_orderkey for r in p1.collect()]
+    k2 = [r.o_orderkey for r in p2.collect()]
+    assert len(set(k1) & set(k2)) == 0
+    assert k1 == sorted(k1) and k2 == sorted(k2) and k1[-1] < k2[0]
+
+
+def test_build_predicate_compose(orders):
+    f = [
+        serve.ColumnFilter("o_orderstatus", eq="F"),
+        serve.ColumnFilter("o_totalprice", between=(1000, 50000)),
+    ]
+    got = orders.filter(serve.build_predicate(f)).count()
+    exp = orders.filter(
+        (F.col("o_orderstatus") == "F") & F.col("o_totalprice").between(1000, 50000)
+    ).count()
+    assert got == exp
+
+
+def test_filter_widget_probe(orders):
+    w = serve.filter_widget_probe(orders)
+    assert w["o_orderstatus"]["kind"] == "categorical"
+    assert w["o_totalprice"]["kind"] == "range"
+    assert w["o_orderkey"]["kind"] == "range"
+
+
+def test_guarded_sql_allows_queries(spark, orders):
+    orders.createOrReplaceTempView("orders_serve")
+    df = serve.guarded_sql(spark, "SELECT count(*) AS n FROM orders_serve")
+    assert df.first().n == orders.count()
+    # CTEs are legitimate queries (the reference's prefix check rejects them)
+    df2 = serve.guarded_sql(
+        spark, "WITH t AS (SELECT 1 AS x) SELECT x FROM t"
+    )
+    assert df2.first().x == 1
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        "DROP TABLE orders_serve",
+        "CREATE TABLE t2 AS SELECT 1",
+        "INSERT INTO orders_serve VALUES (1)",
+        "SET spark.sql.shuffle.partitions=1",
+        "WITH x AS (SELECT 1 AS a) INSERT INTO orders_serve SELECT * FROM x",
+    ],
+)
+def test_guarded_sql_blocks_commands(spark, stmt):
+    with pytest.raises(serve.SqlGateError):
+        serve.guarded_sql(spark, stmt)
+
+
+def test_result_cache_hit_and_invalidate(orders):
+    cache = serve.ResultCache(ttl_seconds=60)
+    q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    r1 = cache.fetch(q, limit=50)
+    # a semantically-equal but differently-constructed plan hits the cache
+    q2 = orders.select("o_orderkey", "o_orderstatus").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    r2 = cache.fetch(q2, limit=50)
+    assert cache.hits == 1 and cache.misses == 1
+    assert [r.o_orderkey for r in r1] == [r.o_orderkey for r in r2]
+    cache.invalidate(q)
+    cache.fetch(q, limit=50)
+    assert cache.misses == 2
+
+
+def test_list_catalog(spark):
+    cat = serve.list_catalog(spark)
+    assert "default" in cat
