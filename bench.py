@@ -35,6 +35,8 @@ HEADLINE = [
     "q_window_topk",
     "q_fact_star_shape",
     "q_rollup",
+    "q_sessionization",
+    "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_embedding",
@@ -52,6 +54,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("secspark-bench")
+
+    # warm-up: JVM/codegen/parquet-footer costs land here, not in the
+    # first timed query
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count() if t != "events" else None
+    force(QUERIES["q_distinct"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

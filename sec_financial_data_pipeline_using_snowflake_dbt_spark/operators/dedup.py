@@ -39,6 +39,19 @@ from ..functions import text as TX
 from ..functions import vector as V
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism.
+
+    Small inputs (one parquet file → one split) would otherwise run the
+    whole expensive downstream (shingling, hashing, pairwise math) in a
+    SINGLE task. The shuffle moves only the tiny input; the win is every
+    core engaging on the expansion. On big inputs (many splits) this is
+    a cheap rebalance; spark.sql.files.maxPartitionBytes already splits
+    large files.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -81,7 +94,7 @@ def ngram_jaccard_pairs(
     — the standard blocking trick that turns O(n²) into O(Σ block²).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    post = docs.select(
+    post = _spread(docs).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(TX.distinct_tokens(text_col)).alias("token"),
@@ -125,27 +138,26 @@ def _minhash_sig(
     num_hashes: int,
     shingle_n: int,
 ) -> DataFrame:
-    """Per-(doc, seed) minhash = min(md5(seed || ':' || shingle)).
+    """Per-doc minhash signature: column ``h{i}`` = min over shingles of
+    md5(i || ':' || shingle).
 
-    md5-as-hash-family: portable, deterministic, and uniformly distributed;
-    min over the hex string is a valid minhash (order on [0, 16^32)).
+    md5-as-hash-family: portable, deterministic, and uniformly
+    distributed; min over the hex string is a valid minhash (order on
+    [0, 16^32)). All ``num_hashes`` functions are aggregate COLUMNS of
+    one groupBy — one shuffle of (id, k hashes), no seed explode (a ×k
+    row-count blowup), full map-side combine.
     """
-    shingled = docs.select(
+    shingled = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(TX.word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        shingled.select("id", "shingle", seeds)
-        .select(
-            "id",
-            "seed",
-            F.md5(
-                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    return shingled.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(
+                f"h{i}"
+            )
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -163,36 +175,44 @@ def minhash_lsh_pairs(
     of ``num_hashes/bands`` rows; docs sharing any band signature are
     candidates. Returns distinct (id_a, id_b), id_a < id_b.
 
-    Scale posture: the only n²-risk is docs sharing a band bucket — i.e.
-    actual near-duplicates, which is the output itself. Everything else is
-    linear scans + groupBys with map-side combine.
+    Scale posture: the signature build is one shuffle; the band table is
+    tiny (n_docs × bands rows of 32-char sigs) and persisted so the
+    self-join doesn't recompute the signatures. The only n²-risk is docs
+    sharing a band bucket — i.e. actual near-duplicates, which is the
+    output itself.
     """
     rows_per_band = num_hashes // bands
     sig = _minhash_sig(docs, id_col, text_col, num_hashes, shingle_n)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        # deterministic band signature: md5 of the seed-ordered minhashes
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.array_sort(
-                        F.collect_list(
-                            F.concat_ws("=", F.col("seed").cast("string"), "minhash")
-                        )
-                    ),
-                    "|",
-                )
-            ).alias("sig")
+    # band signature: md5 of the sorted 'seed=minhash' strings — kept
+    # byte-identical to the seed-exploded formulation (sorted order =
+    # seed order while num_hashes ≤ 10)
+    band_cols = []
+    for b in range(bands):
+        seeds = range(b * rows_per_band, (b + 1) * rows_per_band)
+        parts = sorted(
+            (f"{s}=", f"h{s}") for s in seeds
+        )  # lexicographic on the seed prefix
+        joined = F.concat_ws(
+            "|", *[F.concat(F.lit(p), F.col(h)) for p, h in parts]
         )
-    )
+        band_cols.append(F.md5(joined).alias(f"sig{b}"))
+    sigs = sig.select("id", *band_cols)
+    band_sig = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    band_sig = band_sig.persist()
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
-        )
+        a.join(b, ["band", "sig"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -209,7 +229,7 @@ def simhash(
     [8-f] votes +1, else -1. Portable across engines (pure string ops).
     Returns (id, simhash long).
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(TX.distinct_tokens(text_col)).alias("token")
     ).withColumn("h", F.md5("token"))
     # one row per (doc, token, bit-position)
@@ -284,22 +304,37 @@ def embedding_neardup_pairs(
     round_to: int = 3,
 ) -> DataFrame:
     """Pairs of embeddings with cosine ≥ threshold, blocked by
-    ``block_col`` (a label / cluster / LSH-bucket column) to avoid n²."""
+    ``block_col`` (a label / cluster / LSH-bucket column) to avoid n².
+
+    Plan shape: broadcast-hash-join on the block key with the probe side
+    spread across all cores. A plain shuffle join on a low-cardinality
+    block key degenerates to #blocks tasks (and AQE then *coalesces*
+    further, because the pair stream is byte-small but compute-heavy);
+    broadcasting the build side makes parallelism = probe-side
+    partitions, which ``_spread`` pins to the core count. When one side
+    stops fitting in a broadcast (huge corpora), switch the block key to
+    a finer LSH bucket (similarity.lsh_bucket) instead of salting —
+    finer blocks cut the n² term itself, not just the skew. Norms are
+    computed once per ROW, not per pair; the cosine formula dot/(na·nb)
+    is unchanged so values are bit-identical to the naive form.
+    """
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    e = emb.select(*cols)
-    a, b = e.alias("a"), e.alias("b")
+    e = emb.select(*cols).withColumn("nrm", V.norm(F.col("v")))
+    a = _spread(e).alias("a")
+    b = e.alias("b")
     cond = (
         (F.col("a.blk") == F.col("b.blk")) if block_col else F.lit(True)
     )
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, cond)
+        a.join(F.broadcast(b), cond)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(V.cosine(F.col("a.v"), F.col("b.v")), round_to).alias("cos"),
+            F.round(cos, round_to).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

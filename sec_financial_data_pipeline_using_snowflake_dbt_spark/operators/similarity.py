@@ -41,15 +41,14 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("qn", V.norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", V.norm(F.col("cv")))
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -109,21 +108,18 @@ def lsh_topk(
         "qv",
         dim,
         n_planes,
-    )
+    ).withColumn("qn", V.norm(F.col("qv")))
     cb = lsh_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         "cv",
         dim,
         n_planes,
-    )
+    ).withColumn("cn", V.norm(F.col("cv")))
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
