@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from ..operators import asof as ASOF
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
-from .common import table
+from ..plans.serve import guarded_sql
+from .common import register_views, table
 
 EXT_QUERIES: dict[str, object] = {}
 EXT_ORACLES: dict[str, str] = {}
@@ -147,3 +148,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _synth_assets(spark, sf_dir)
     return MM.sample_video_frames(assets, every_n_bytes=64, max_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# SQL passthrough THROUGH the serving gate (P9/S12: the reference's
+# SELECT-only custom-query path, Frontend/app.py:277-309) — the gate
+# parses the plan, rejects commands, then executes.
+# ---------------------------------------------------------------------------
+_GATE_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@q("q_sql_gate", _GATE_SQL)
+def q_sql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return guarded_sql(spark, _GATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot via stack() (pivot's inverse — engine completeness; the pivot
+# twin is q_pivot in relational.py).
+# ---------------------------------------------------------------------------
+@q(
+    "q_unpivot",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             SUM(l_quantity) AS sum_qty,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'disc' AS measure, sum_disc AS value FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import dec
+
+    l = table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', sum_qty, 'disc', sum_disc) AS (measure, value)",
+    )
