@@ -44,6 +44,15 @@ def materialize(
         raise ValueError(f"unknown materialization {mode!r}")
     if bucket_by:
         n, keys = bucket_by
+        # a previous session may have left the managed location behind
+        # without a catalog entry — clear both before writing
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        location = f"{warehouse_dir}/{name}" if warehouse_dir else (
+            f"{spark.conf.get('spark.sql.warehouse.dir')}/{name}"
+        )
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(location)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
         writer = df.write.mode("overwrite").bucketBy(n, *keys).sortBy(*keys)
         if warehouse_dir:
             writer = writer.option("path", f"{warehouse_dir}/{name}")
