@@ -146,3 +146,37 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total) maintained in explicit
+    state across micro-batches — the arbitrary-state API that windowed
+    aggregation can't express (e.g. conditional resets, per-key
+    accounting).
+
+    State schema: (n long, total double). Emits one row per user per
+    micro-batch with the post-batch totals.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_total": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, value_total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=f"{timeout}",
+        )
+    )

@@ -815,3 +815,111 @@ def q_fact_star_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_facts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group (interpolated — identical definition to
+# ANSI quantile_cont; integral double inputs keep the interpolation
+# arithmetic exact).
+# ---------------------------------------------------------------------------
+@q(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.99), 4) AS p99_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 4).alias("p99_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiple DISTINCT aggregates in one pass (Expand-based plan).
+# ---------------------------------------------------------------------------
+@q(
+    "q_multi_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function battery (F1 coverage beyond upper/split_part/concat).
+# ---------------------------------------------------------------------------
+@q(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           SUBSTR(p_name, 1, 4)                       AS name_head,
+           REPLACE(p_name, ' ', '_')                  AS name_snake,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0')  AS key_padded,
+           REVERSE(p_brand)                           AS brand_rev,
+           CAST(STRPOS(p_name, 'e') AS BIGINT)        AS first_e,
+           REPEAT(p_type, 2)                          AS type_twice,
+           TRIM(CONCAT('  ', p_name, '  '))           AS name_trimmed
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("name_head"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
+        F.repeat("p_type", 2).alias("type_twice"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode / unnest WITH ORDINALITY (lateral array expansion).
+# ---------------------------------------------------------------------------
+@q(
+    "q_explode_pos",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    u AS (
+      SELECT doc_id,
+             UNNEST(list_transform(toks, (t, i) -> struct_pack(pos := i - 1, token := t))) AS e
+      FROM tk
+    )
+    SELECT doc_id, CAST(e.pos AS INTEGER) AS pos, e.token AS token FROM u
+    """,
+)
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(TX.tokens(F.lower(F.col("text")))).alias("pos", "token"),
+    )

@@ -139,3 +139,35 @@ def test_sessionized_stream(spark):
     out = spark.table("sessions_test")
     assert out.count() > 0
     assert out.filter(F.col("n_events") <= 0).count() == 0
+
+
+def test_stateful_user_totals(spark):
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    )
+    q = (
+        INC.stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stateful_totals_test")
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    got = {r.user_id: (r.n_events, r.value_total) for r in out.collect()}
+    exp = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    # final state per user matches the batch aggregate (one micro-batch)
+    assert got == exp
