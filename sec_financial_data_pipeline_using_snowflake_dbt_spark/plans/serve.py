@@ -216,3 +216,19 @@ class ResultCache:
             self._store.clear()
         else:
             self._store.pop(self.key_for(df), None)
+
+
+HIDDEN_EXACT = ("cik", "ein", "changed", "value")
+HIDDEN_SUFFIXES = ("_sk", "_dt", "_id", "_code")
+
+
+def drop_hidden_columns(df: DataFrame) -> DataFrame:
+    """UI column exclusion (P10: reference app.py:488-493 hides key/
+    internal columns — exact names and *_sk/_dt/_id/_code suffixes)."""
+    drop = [
+        c
+        for c in df.columns
+        if c.lower() in HIDDEN_EXACT
+        or any(c.lower().endswith(s) for s in HIDDEN_SUFFIXES)
+    ]
+    return df.drop(*drop)

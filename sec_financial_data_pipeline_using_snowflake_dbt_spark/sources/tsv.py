@@ -137,3 +137,22 @@ def read_json_variant(spark: SparkSession, path: str) -> DataFrame:
     """JSON load with schema inference (≙ COPY INTO VARIANT:
     reference txt_to_json.py:89-116)."""
     return spark.read.option("multiLine", True).json(path)
+
+
+def to_row_records_json(df: DataFrame, table_name: str) -> DataFrame:
+    """One JSON document per table: ``{"<table>": [row-objects...]}``
+    (S8 ≙ the reference's pandas ``to_dict(orient='records')`` JSON sink,
+    txt_to_json.py:69-87). Returns a 1-row DataFrame with the document.
+
+    Scale note: this materializes the whole table into one document — by
+    construction a driver-scale artifact in the reference too; for large
+    tables use ``df.write.json`` (one object per line) instead.
+    """
+    return df.agg(
+        F.to_json(
+            F.create_map(
+                F.lit(table_name),
+                F.collect_list(F.struct(*[F.col(c) for c in df.columns])),
+            )
+        ).alias("doc")
+    )

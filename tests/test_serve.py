@@ -87,3 +87,12 @@ def test_result_cache_hit_and_invalidate(orders):
 def test_list_catalog(spark):
     cat = serve.list_catalog(spark)
     assert "default" in cat
+
+
+def test_drop_hidden_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3, "x", "y", 4)],
+        ["cik", "company_sk", "created_dt", "name", "status_code", "total"],
+    )
+    out = serve.drop_hidden_columns(df)
+    assert out.columns == ["name", "total"]

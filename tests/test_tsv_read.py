@@ -68,3 +68,33 @@ def test_quarter_glob_routing(spark, dirty_dir):
     assert set(tables) == {"sub", "tag", "num", "pre"}
     assert tables["tag"].count() > 0
     assert dict(tables["num"].dtypes)["value"] == "decimal(28,4)"
+
+
+def test_row_records_json_sink(spark):
+    import json
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.tsv import (
+        to_row_records_json,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    doc = json.loads(to_row_records_json(df, "demo").first().doc)
+    assert sorted(doc["demo"], key=lambda r: r["k"]) == [
+        {"k": 1, "v": "a"},
+        {"k": 2, "v": "b"},
+    ]
+
+
+def test_json_variant_inference(spark, tmp_path_factory):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.tsv import (
+        read_json_variant,
+    )
+
+    d = tmp_path_factory.mktemp("variant")
+    (d / "doc.json").write_text(
+        '{"sub": [{"adsh": "x", "cik": 1}], "meta": {"quarter": "2024q1"}}'
+    )
+    df = read_json_variant(spark, str(d))
+    row = df.first()
+    assert row.meta.quarter == "2024q1"
+    assert row.sub[0].adsh == "x"
