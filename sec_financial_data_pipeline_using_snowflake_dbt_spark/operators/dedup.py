@@ -87,11 +87,17 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     round_to: int = 6,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity over distinct-token sets, via postings self-join.
 
     ``block_col`` restricts candidate pairs to equal blocks (e.g. language)
     — the standard blocking trick that turns O(n²) into O(Σ block²).
+    ``max_postings`` drops tokens whose posting list exceeds the cap
+    (stop-token suppression): the fan-out of the self-join is bounded by
+    cap² per token, at the cost of *underestimating* similarity for pairs
+    that only share ultra-common tokens — the standard trade at scale.
+    Leave it None for exact results (the oracle-checked mode).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     post = _spread(docs).select(
@@ -99,7 +105,15 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(TX.distinct_tokens(text_col)).alias("token"),
     )
+    # sizes use the FULL token sets (denominator stays exact even when
+    # the intersection is capped)
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_postings is not None:
+        freq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+        post = post.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_postings).select("token")),
+            "token",
+        )
 
     a = post.alias("a")
     b = post.alias("b")

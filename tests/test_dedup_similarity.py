@@ -1,0 +1,77 @@
+"""Behavioral tests for the dedup/similarity operators beyond the oracle
+hash-matches: LSH recall, posting caps, planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+    dedup as DD,
+    similarity as SIM,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, docs):
+    planted = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    d2 = docs.unionByName(planted)
+    dupes = DD.exact_dedup(d2).filter(F.col("n_dupes") > 0)
+    assert dupes.count() == 1
+    r = dupes.first()
+    assert r.keep_id == docs.first().doc_id  # lowest id wins
+
+
+def test_minhash_finds_planted_near_duplicate(spark, docs):
+    base = docs.limit(1)
+    # near-duplicate: append two words — most shingles survive
+    near = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail words")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    d2 = docs.unionByName(near.select(docs.columns))
+    pairs = DD.minhash_lsh_pairs(d2)
+    base_id = base.first().doc_id
+    assert pairs.filter(
+        (F.col("id_a") == base_id) & (F.col("id_b") == base_id + 1_000_000)
+    ).count() == 1
+
+
+def test_jaccard_max_postings_bounds_fanout(spark, docs):
+    exact = DD.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
+    capped = DD.ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.5, max_postings=10
+    )
+    # capped intersections only shrink → capped pairs ⊆ exact pairs
+    extra = capped.select("id_a", "id_b").exceptAll(exact.select("id_a", "id_b"))
+    assert extra.count() == 0
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.lsh_topk(queries, emb, dim=64, k=5, n_planes=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 3 hyperplanes = 8 buckets over 200 vectors: recall is partial by
+    # design but must be far above chance (5/199 ≈ 0.025)
+    assert recall >= 0.2, recall
+
+
+def test_simhash_is_16_bit(spark, docs):
+    sh = DD.simhash(docs)
+    r = sh.agg(F.min("simhash"), F.max("simhash")).first()
+    assert 0 <= r[0] and r[1] < 2**16

@@ -1,0 +1,50 @@
+"""Quarter-partitioned raw layer: idempotent per-quarter ingest +
+partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.raw_layer import (
+    ingest_quarter,
+    read_raw,
+)
+
+from .sec_fixtures import generate_sec_quarter
+
+
+@pytest.fixture(scope="module")
+def raw_dir(spark, tmp_path_factory):
+    land1 = str(tmp_path_factory.mktemp("land_q1"))
+    land2 = str(tmp_path_factory.mktemp("land_q2"))
+    generate_sec_quarter(land1, seed=42)
+    generate_sec_quarter(land2, seed=77)
+    raw = str(tmp_path_factory.mktemp("raw"))
+    ingest_quarter(spark, land1, raw, "2024q1")
+    ingest_quarter(spark, land2, raw, "2024q2")
+    return raw
+
+
+def test_two_quarters_land(spark, raw_dir):
+    num = read_raw(spark, raw_dir, "num")
+    quarters = {r.quarter for r in num.select("quarter").distinct().collect()}
+    assert quarters == {"2024q1", "2024q2"}
+
+
+def test_quarter_reingest_is_idempotent(spark, raw_dir, tmp_path_factory):
+    land = str(tmp_path_factory.mktemp("land_q1b"))
+    generate_sec_quarter(land, seed=42)
+    before = read_raw(spark, raw_dir, "num", "2024q1").count()
+    ingest_quarter(spark, land, raw_dir, "2024q1")  # re-run same quarter
+    after_q1 = read_raw(spark, raw_dir, "num", "2024q1").count()
+    after_q2 = read_raw(spark, raw_dir, "num", "2024q2").count()
+    assert after_q1 == before  # replaced, not appended
+    assert after_q2 > 0  # other partitions untouched
+
+
+def test_partition_pruning(spark, raw_dir):
+    q = read_raw(spark, raw_dir, "num", "2024q1").select("adsh")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "2024q1" in plan  # the literal reached the scan's partition filter
