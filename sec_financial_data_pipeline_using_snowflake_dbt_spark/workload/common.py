@@ -35,6 +35,9 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # deterministic timestamp rendering regardless of the host session:
+    # the oracle (DuckDB) is timezone-naive, so date_format must run UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
