@@ -182,8 +182,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Banded MinHash-LSH candidate pairs.
+
+    ``cache_signatures`` persists the tiny band table so the self-join
+    doesn't compute the signatures twice (Spark does not reuse the
+    exchange across the two sides here). The cache is NOT auto-released
+    — callers running many batches should ``spark.catalog.clearCache()``
+    between them or pass False (costs ~2× signature compute).
 
     Signature of ``num_hashes`` md5-minhashes, split into ``bands`` bands
     of ``num_hashes/bands`` rows; docs sharing any band signature are
@@ -222,7 +229,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    band_sig = band_sig.persist()
+    if cache_signatures:
+        band_sig = band_sig.persist()
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (

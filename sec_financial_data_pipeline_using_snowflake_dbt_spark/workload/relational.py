@@ -923,3 +923,200 @@ def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(TX.tokens(F.lower(F.col("text")))).alias("pos", "token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (stddev/variance/corr/covar) — rounded: sample
+# statistics over doubles accumulate in engine-specific order.
+# ---------------------------------------------------------------------------
+@q(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 4)         AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: first/last/nth value over ROWS frames, percent_rank,
+# cume_dist (deterministic ordering with key tie-break).
+# ---------------------------------------------------------------------------
+@q(
+    "q_window_frames",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS frame_min_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS frame_max_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("frame_min_price"),
+        F.last("o_totalprice").over(wfull).alias("frame_max_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic: add_months-equivalent, datediff, last_day, truncation.
+# ---------------------------------------------------------------------------
+@q(
+    "q_date_arith",
+    """
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+           STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           STRFTIME(DATE_TRUNC('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias(
+            "days_to_2002"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "qtr_start"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# greatest / least / nullif / ifnull conditional scalars.
+# ---------------------------------------------------------------------------
+@q(
+    "q_greatest_least",
+    """
+    SELECT p_partkey,
+           GREATEST(p_size, 25)                          AS size_floor25,
+           LEAST(p_retailprice, 1500.0)                  AS price_cap,
+           COALESCE(NULLIF(p_size, 25), -1)              AS size_not25,
+           CASE WHEN p_size IS NULL THEN 0 ELSE p_size END AS size_nvl
+    FROM part
+    """,
+)
+def q_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.greatest("p_size", F.lit(25)).alias("size_floor25"),
+        F.least("p_retailprice", F.lit(1500.0)).alias("price_cap"),
+        F.coalesce(F.nullif(F.col("p_size"), F.lit(25)), F.lit(-1)).alias(
+            "size_not25"
+        ),
+        F.when(F.col("p_size").isNull(), 0).otherwise(F.col("p_size")).alias(
+            "size_nvl"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array operations: intersect/union/except/flatten/slice (emitted sorted
+# + joined, so ordering semantics can't flake the hash).
+# ---------------------------------------------------------------------------
+@q(
+    "q_array_ops",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 30
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+      FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT id_a, id_b,
+           array_to_string(list_sort(list_distinct(list_intersect(ta, tb))), ',') AS common,
+           CAST(LEN(list_distinct(list_concat(ta, tb))) AS INTEGER)  AS n_union,
+           COALESCE(array_to_string(list_sort(list_filter(list_distinct(ta), x -> NOT list_contains(tb, x))), ','), '') AS only_a,
+           array_to_string(ta[1:3], ',') AS head3
+    FROM pairs
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    tk = d.select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("toks"))
+    a, b = tk.alias("a"), tk.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.toks").alias("ta"),
+        F.col("b.toks").alias("tb"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect("ta", "tb"))), ","
+        ).alias("common"),
+        F.size(F.array_distinct(F.concat("ta", "tb"))).alias("n_union"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_except("ta", "tb"))), ","
+        ).alias("only_a"),
+        F.array_join(F.slice("ta", 1, 3), ",").alias("head3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+@q(
+    "q_null_safe_join",
+    """
+    WITH c AS (SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg FROM customer),
+    segs AS (SELECT DISTINCT NULLIF(c_mktsegment, 'MACHINERY') AS seg FROM customer)
+    SELECT s.seg AS seg, COUNT(*) AS n_customers
+    FROM c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg
+    GROUP BY s.seg
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg")
+    )
+    segs = c.select("seg").distinct().alias("s")
+    return (
+        c.alias("c")
+        .join(segs, F.col("c.seg").eqNullSafe(F.col("s.seg")))
+        .groupBy(F.col("s.seg").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
