@@ -75,3 +75,20 @@ def test_simhash_is_16_bit(spark, docs):
     sh = DD.simhash(docs)
     r = sh.agg(F.min("simhash"), F.max("simhash")).first()
     assert 0 <= r[0] and r[1] < 2**16
+
+
+def test_gemm_neardup_agrees_with_column_version(spark, emb):
+    col_pairs = DD.embedding_neardup_pairs(
+        emb, block_col="label", threshold=0.3
+    )
+    gemm_pairs = DD.embedding_neardup_pairs_gemm(
+        emb, block_col="label", threshold=0.3
+    )
+    a = {(r.id_a, r.id_b, r.cos) for r in col_pairs.collect()}
+    b = {(r.id_a, r.id_b, r.cos) for r in gemm_pairs.collect()}
+    # identical pair sets; cos equal after rounding (BLAS accumulation
+    # order differs at ~1e-15, far below the 1e-3 rounding)
+    assert {(x, y) for x, y, _ in a} == {(x, y) for x, y, _ in b}
+    ca = {(x, y): c for x, y, c in a}
+    cb = {(x, y): c for x, y, c in b}
+    assert all(abs(ca[k] - cb[k]) <= 0.001 for k in ca)
