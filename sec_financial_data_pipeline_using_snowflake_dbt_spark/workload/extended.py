@@ -103,10 +103,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed approximate ANN (rows-only: recall < 1 by design, so no
-# exact oracle; the exact baseline q_ann_topk is the oracle-checked twin).
+# LSH-bucketed approximate ANN. Approximate w.r.t. the exact top-k
+# (q_ann_topk), but fully DETERMINISTIC: the md5-derived hyperplanes are
+# fixed constants, so the oracle replicates the bucketing bit-for-bit
+# with the plane vectors embedded as SQL literals.
 # ---------------------------------------------------------------------------
-@q("q_ann_lsh", None)
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, k: int = 5) -> str:
+    bucket_terms = []
+    for p in range(n_planes):
+        plane = SIM._hyperplane(dim, p)
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, CAST({lit} AS DOUBLE[])) > 0 "
+            f"THEN 1 ELSE 0 END) * {1 << p}"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(q.v, c.v), 3) AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@q("q_ann_lsh", _ann_lsh_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(
