@@ -127,3 +127,114 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic Lloyd iterations.
+
+    Initial centroids = the ``n_centroids`` lowest-id vectors (no RNG, so
+    runs are reproducible); ``n_iters`` rounds of assign + mean. Returns
+    (assignments(id, cell), centroids(cell, cvec)).
+
+    Scale shape per iteration: one broadcast of the centroid table (tiny)
+    + one linear scan scoring each vector against k centroids + one
+    groupBy(cell) mean with map-side combine. No all-pairs term anywhere.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    centroids = (
+        c.orderBy("id")
+        .limit(n_centroids)
+        .select(F.row_number().over(Window.orderBy("id")).alias("cell"), F.col("v").alias("cvec"))
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vecs.join(F.broadcast(cents))
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+        return (
+            scored.withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "v", "cell")
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(c, centroids)
+        # new centroid = element-wise mean of member vectors
+        exploded = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        )
+        means = (
+            exploded.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell", F.transform(F.col("pm"), lambda s: s.m).alias("cvec")
+            )
+        )
+        centroids = means
+    return assign(c, centroids), centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell; each query probes its ``n_probe`` nearest cells and
+    scores only those members. The inverted-file analogue of lsh_topk —
+    data-adaptive cells instead of fixed hyperplanes."""
+    assignments, centroids = ivf_assign(
+        corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    members = assignments.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    ).withColumn("cn", V.norm(F.col("cv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", V.norm(F.col("qv")))
+    qc = q.join(F.broadcast(centroids))
+    qdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qd").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("qd", qdist)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        members.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -92,3 +92,16 @@ def test_gemm_neardup_agrees_with_column_version(spark, emb):
     ca = {(x, y): c for x, y, c in a}
     cb = {(x, y): c for x, y, c in b}
     assert all(abs(ca[k] - cb[k]) <= 0.001 for k in ca)
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    ivf1 = SIM.ivf_topk(queries, emb, dim=64, k=5, n_centroids=8, n_probe=3)
+    ivf2 = SIM.ivf_topk(queries, emb, dim=64, k=5, n_centroids=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a1 = {(r.query_id, r.neighbor_id, r.rank) for r in ivf1.collect()}
+    a2 = {(r.query_id, r.neighbor_id, r.rank) for r in ivf2.collect()}
+    assert a1 == a2  # deterministic (no RNG)
+    recall = len(e & {(q, n) for q, n, _ in a1}) / len(e)
+    assert recall >= 0.3, recall  # 3/8 cells probed: far above chance

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from sec_financial_data_pipeline_using_snowflake_dbt_spark.functions import (

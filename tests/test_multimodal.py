@@ -3,11 +3,9 @@ decode/frame-sample stages over binary columns."""
 
 from __future__ import annotations
 
-import os
 import struct
 
 import pytest
-from pyspark.sql import functions as F
 
 from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
     multimodal as MM,

@@ -4,7 +4,6 @@ partition pruning."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.raw_layer import (
     ingest_quarter,
