@@ -35,9 +35,11 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # deterministic timestamp rendering regardless of the host session:
-    # the oracle (DuckDB) is timezone-naive, so date_format must run UTC
+    # deterministic semantics regardless of the host session: UTC for
+    # timestamp rendering (the DuckDB oracle is tz-naive) and ANSI off
+    # for Snowflake-style null-on-error casts (Spark 4 defaults ANSI on)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
