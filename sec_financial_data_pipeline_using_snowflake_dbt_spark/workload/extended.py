@@ -228,3 +228,16 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "stack(2, 'qty', sum_qty, 'disc', sum_disc) AS (measure, value)",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate ANN (rows-only: the Lloyd-iteration quantizer is
+# deterministic but not reasonably SQL-expressible; the exact twin
+# q_ann_topk and the LSH twin q_ann_lsh are both oracle-checked).
+# ---------------------------------------------------------------------------
+@q("q_ann_ivf", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8, n_probe=3
+    )
