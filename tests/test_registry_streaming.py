@@ -171,3 +171,41 @@ def test_stateful_user_totals(spark):
     exp = {r.user_id: (r.n, r.t) for r in batch.collect()}
     # final state per user matches the batch aggregate (one micro-batch)
     assert got == exp
+
+
+def test_stream_merge_sink_idempotent(spark, fixture_dir, tmp_path_factory):
+    import sec_financial_data_pipeline_using_snowflake_dbt_spark.schemas as SCH
+
+    base = str(tmp_path_factory.mktemp("merge_sink"))
+    target, ckpt = f"{base}/target", f"{base}/ckpt"
+
+    def run(ckpt_dir):
+        stream = (
+            spark.readStream.schema(
+                spark.createDataFrame([], SCH.SUB_SCHEMA).schema
+            )
+            .option("pathGlobFilter", "*sub.txt")
+            .format("csv")
+            .option("sep", "\t")
+            .option("header", True)
+            .option("dateFormat", "yyyyMMdd")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+            .load(fixture_dir)
+        )
+        INC.stream_merge_sink(stream, target, ckpt_dir, ["adsh"])
+
+    run(ckpt)
+    n1 = spark.read.parquet(target).count()
+    # simulate a redelivery: NEW checkpoint, same files → batch re-runs,
+    # but the anti-join keeps the target key-unique
+    run(f"{base}/ckpt2")
+    n2 = spark.read.parquet(target).count()
+    assert n1 == n2
+    dupes = (
+        spark.read.parquet(target)
+        .groupBy("adsh")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0

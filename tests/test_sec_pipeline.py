@@ -279,3 +279,24 @@ def test_financial_statements_json(raw, oracle):
     assert len(row.financial_data[0]) == 9
     js = JD.to_json_documents(docs)
     assert js.count() == docs.count()
+
+
+def test_json_document_roundtrip(spark, raw):
+    """F6 both directions: the serialized JSON documents parse back
+    (from_json with the docs' own schema) to the same nested values."""
+    staged = JD.stg_financial_data(raw["sub"], raw["num"], raw["tag"], raw["pre"])
+    docs = JD.financial_statements_json(staged)
+    js = JD.to_json_documents(docs)
+    schema = docs.schema
+    parsed = js.select(
+        "filing_id", JD.F.from_json("doc", schema).alias("d")
+    ).select("filing_id", "d.company_info", "d.financial_data")
+    back = {
+        r.filing_id: (r.company_info, len(r.financial_data))
+        for r in parsed.collect()
+    }
+    orig = {
+        r.filing_id: (r.company_info, len(r.financial_data))
+        for r in docs.collect()
+    }
+    assert back == orig
