@@ -75,3 +75,44 @@ def fingerprints(
         F.col(id_col),
         TX.fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 90,
+    val: int = 5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment for corpus building.
+
+    Bucket = first 4 hex digits of md5(id) mod ``buckets`` — a pure
+    function of the row id: stable across runs, engines, partitionings,
+    and cluster sizes (unlike ``rand()`` or Spark's ``hash()``), so a
+    document never migrates between splits as the corpus grows.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % buckets).alias(
+        "bucket"
+    )
+    split = (
+        F.when(F.col("bucket") < train, "train")
+        .when(F.col("bucket") < train + val, "val")
+        .otherwise("test")
+    )
+    return docs.select(F.col(id_col), bucket).select(
+        id_col, F.col("bucket").cast("int").alias("bucket"), split.alias("split")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling (e.g. language rebalancing for a training
+    mix): ``sampleBy`` with a fixed seed. Deterministic for a fixed
+    partitioning, but NOT across engines/layouts — downsampling is a
+    statistical op, so correctness checks assert rates, not rows."""
+    return docs.sampleBy(strata_col, fractions, seed)

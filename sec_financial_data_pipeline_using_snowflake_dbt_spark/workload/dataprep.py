@@ -279,3 +279,40 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.fingerprints(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splitting (md5-bucketed train/val/test).
+# ---------------------------------------------------------------------------
+_HEX = "0123456789abcdef"
+_SQL_HEX_BYTE = " + ".join(
+    f"(STRPOS('{_HEX}', SUBSTR(h, {i}, 1)) - 1) * {16 ** (4 - i)}" for i in range(1, 5)
+)
+
+
+@q(
+    "q_corpus_split",
+    f"""
+    WITH hashed AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    b AS (SELECT doc_id, CAST(({_SQL_HEX_BYTE}) % 100 AS INTEGER) AS bucket FROM hashed)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.assign_split(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (rows-only: sampling is engine-layout dependent by
+# nature; tests assert the rates instead).
+# ---------------------------------------------------------------------------
+@q("q_stratified_sample", None)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TO.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    ).select("doc_id", "lang")

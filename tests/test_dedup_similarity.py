@@ -105,3 +105,35 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     assert a1 == a2  # deterministic (no RNG)
     recall = len(e & {(q, n) for q, n, _ in a1}) / len(e)
     assert recall >= 0.3, recall  # 3/8 cells probed: far above chance
+
+
+def test_assign_split_rates_and_stability(spark, docs):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    s1 = TO.assign_split(docs)
+    s2 = TO.assign_split(docs.repartition(13))  # layout must not matter
+    m1 = {r.doc_id: r.split for r in s1.collect()}
+    m2 = {r.doc_id: r.split for r in s2.collect()}
+    assert m1 == m2
+    from collections import Counter
+
+    rates = Counter(m1.values())
+    n = len(m1)
+    assert 0.8 < rates["train"] / n < 0.97
+    assert rates["val"] > 0 and rates["test"] > 0
+
+
+def test_stratified_sample_rates(spark, docs):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    sampled = TO.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    )
+    full = {r.lang: r.cnt for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    got = {r.lang: r.cnt for r in sampled.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert got["de"] == full["de"]  # fraction 1.0 keeps everything
+    assert 0.2 < got["en"] / full["en"] < 0.8  # ~0.5 within tolerance
