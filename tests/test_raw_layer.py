@@ -47,3 +47,25 @@ def test_partition_pruning(spark, raw_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "2024q1" in plan  # the literal reached the scan's partition filter
+
+
+def test_schema_evolution_across_quarters(spark, tmp_path_factory):
+    """Quarterly schema drift (the SEC adds columns over the years):
+    mergeSchema unions the partitions' schemas; old quarters read the
+    new column as NULL."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("evolve"))
+    q1 = spark.createDataFrame(
+        [("a-1", 10)], ["adsh", "value"]
+    ).withColumn("quarter", F.lit("2023q4"))
+    q2 = spark.createDataFrame(
+        [("b-1", 20, "new-col")], ["adsh", "value", "segments"]
+    ).withColumn("quarter", F.lit("2024q1"))
+    q1.write.mode("append").partitionBy("quarter").parquet(base)
+    q2.write.mode("append").partitionBy("quarter").parquet(base)
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"adsh", "value", "segments", "quarter"}
+    rows = {r.adsh: r.segments for r in merged.collect()}
+    assert rows["a-1"] is None and rows["b-1"] == "new-col"
