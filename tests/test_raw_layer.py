@@ -69,3 +69,28 @@ def test_schema_evolution_across_quarters(spark, tmp_path_factory):
     assert set(merged.columns) == {"adsh", "value", "segments", "quarter"}
     rows = {r.adsh: r.segments for r in merged.collect()}
     assert rows["a-1"] is None and rows["b-1"] == "new-col"
+
+
+def test_multi_quarter_star_build(spark, raw_dir):
+    """raw layer → star schema across quarters: the fact build consumes
+    the union of quarters transparently (partition columns dropped)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        facts as FCT,
+    )
+
+    tables = {
+        t: read_raw(spark, raw_dir, t).drop("quarter")
+        for t in ("sub", "tag", "num", "pre")
+    }
+    facts = FCT.build_all_facts(
+        spark, tables["sub"], tables["tag"], tables["num"], tables["pre"]
+    )
+    n_all = facts["BS"].count()
+    q1 = {
+        t: read_raw(spark, raw_dir, t, "2024q1").drop("quarter")
+        for t in ("sub", "tag", "num", "pre")
+    }
+    n_q1 = FCT.build_all_facts(
+        spark, q1["sub"], q1["tag"], q1["num"], q1["pre"]
+    )["BS"].count()
+    assert n_all > n_q1 > 0
