@@ -85,12 +85,19 @@ def test_multi_quarter_star_build(spark, raw_dir):
     facts = FCT.build_all_facts(
         spark, tables["sub"], tables["tag"], tables["num"], tables["pre"]
     )
-    n_all = facts["BS"].count()
+    from pyspark.sql import functions as F
+
+    all_bs = facts["BS"]
     q1 = {
         t: read_raw(spark, raw_dir, t, "2024q1").drop("quarter")
         for t in ("sub", "tag", "num", "pre")
     }
-    n_q1 = FCT.build_all_facts(
+    q1_bs = FCT.build_all_facts(
         spark, q1["sub"], q1["tag"], q1["num"], q1["pre"]
-    )["BS"].count()
-    assert n_all > n_q1 > 0
+    )["BS"]
+    # both quarters share the fixture's key structure (seeds vary only the
+    # values) → same groups, but the union aggregates strictly more value
+    assert all_bs.count() == q1_bs.count() > 0
+    total_all = all_bs.agg(F.sum("fct_value")).first()[0]
+    total_q1 = q1_bs.agg(F.sum("fct_value")).first()[0]
+    assert total_all > total_q1 > 0
