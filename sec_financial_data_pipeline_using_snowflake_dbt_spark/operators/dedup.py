@@ -8,18 +8,19 @@ Spark's shuffle model:
                             (map-side combine) keeps it cheap at 100 TB.
 - ``ngram_jaccard_pairs`` — token-postings self-join. The inverted-index
                             join keys on the *token*, so common tokens fan
-                            out; at scale you cap posting-list length
+                            out; posting-list length is capped by default
                             (``max_postings``) — standard practice, drops
-                            only stop-token-only matches.
+                            only stop-token-only matches; ``exact=True``
+                            opts into the uncapped quadratic mode.
 - ``minhash_lsh_pairs``   — MinHash signatures + banded LSH. The only
                             shuffle that matters is the band-bucket
                             self-join; candidate pairs ≪ n². Hashes are
                             md5-based so results are portable/deterministic
                             (no engine-specific murmur seeds).
 - ``simhash_pairs``       — 16-bit SimHash from per-hex-digit majority
-                            vote; near-dup = Hamming distance ≤ k. The
-                            16-bit space doubles as its own LSH bucket at
-                            scale (group by simhash, compare in-bucket).
+                            vote; near-dup = Hamming distance ≤ k, found
+                            via the exact pigeonhole band join (k+1
+                            chunks; one must match) — no quadratic stage.
 - ``embedding_neardup_pairs`` — cosine threshold over embedding pairs;
                             blocked by a coarse key to avoid n² (here:
                             label; in production: an IVF/LSH bucket —
@@ -80,6 +81,9 @@ def token_postings(
     )
 
 
+DEFAULT_MAX_POSTINGS = 5000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -87,7 +91,8 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     round_to: int = 6,
-    max_postings: int | None = None,
+    max_postings: int | None = DEFAULT_MAX_POSTINGS,
+    exact: bool = False,
 ) -> DataFrame:
     """Jaccard similarity over distinct-token sets, via postings self-join.
 
@@ -96,10 +101,19 @@ def ngram_jaccard_pairs(
     ``max_postings`` drops tokens whose posting list exceeds the cap
     (stop-token suppression): the fan-out of the self-join is bounded by
     cap² per token, at the cost of *underestimating* similarity for pairs
-    that only share ultra-common tokens — the standard trade at scale.
-    Leave it None for exact results (the oracle-checked mode).
+    that only share ultra-common tokens — the standard trade at scale,
+    and ON BY DEFAULT (a single stop-token shared by 1M docs would
+    otherwise fan out 10¹² join rows). Pass ``exact=True`` for the
+    uncapped, exactly-quadratic mode (the oracle-checked one — at corpus
+    scale prefer ``minhash_lsh_pairs``).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    No explicit broadcasts: the per-doc ``sizes`` table is corpus-sized
+    (one row per document), so it shuffle-joins on the id; AQE turns
+    that into a broadcast join at runtime when it actually fits.
     """
+    if exact:
+        max_postings = None
     post = _spread(docs).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
@@ -111,8 +125,7 @@ def ngram_jaccard_pairs(
     if max_postings is not None:
         freq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
         post = post.join(
-            F.broadcast(freq.filter(F.col("df_") <= max_postings).select("token")),
-            "token",
+            freq.filter(F.col("df_") <= max_postings).select("token"), "token"
         )
 
     a = post.alias("a")
@@ -129,8 +142,8 @@ def ngram_jaccard_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
-        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
@@ -250,32 +263,46 @@ def simhash(
     tokens, of the high bit of hex digit *i* of md5(token) — i.e. digit in
     [8-f] votes +1, else -1. Portable across engines (pure string ops).
     Returns (id, simhash long).
+
+    Plan shape: the 16 bit votes are 16 aggregate COLUMNS of one
+    groupBy over the (doc, token) rows — one explode, one map-side-
+    combined shuffle of (id, 16 ints). (The naive formulation explodes
+    16 rows per token and shuffles 16× the data for the same answer.)
     """
     toks = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(TX.distinct_tokens(text_col)).alias("token")
     ).withColumn("h", F.md5("token"))
-    # one row per (doc, token, bit-position)
-    bits = toks.select(
-        "id",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"),
-        F.col("h"),
-    ).withColumn(
-        "vote",
-        F.when(
-            F.substring("h", F.col("pos").cast("int"), 1).isin(
-                *list("89abcdef")
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
-    )
-    per_bit = bits.groupBy("id", "pos").agg(
-        F.when(F.sum("vote") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
-    )
-    return per_bit.groupBy("id").agg(
-        F.sum(F.expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(16 - pos AS INT))"))
-        .cast("long")
-        .alias("simhash")
-    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i, 1).isin(*list("89abcdef")), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(1, 17)
+    ]
+    per_doc = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(1, 17):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << (16 - i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return per_doc.select("id", sig.cast("long").alias("simhash"))
+
+
+def _simhash_chunks(max_hamming: int, bits: int = 16) -> list[tuple[int, int]]:
+    """(shift, mask) for each of ``max_hamming + 1`` contiguous bit
+    chunks covering ``bits`` bits as evenly as possible. Pigeonhole: two
+    signatures within Hamming distance ``max_hamming`` differ in at most
+    ``max_hamming`` chunks, so at least one chunk matches exactly."""
+    nchunks = max_hamming + 1
+    base, rem = divmod(bits, nchunks)
+    out, offset = [], 0
+    for c in range(nchunks):
+        width = base + (1 if c < rem else 0)
+        out.append((offset, (1 << width) - 1))
+        offset += width
+    return out
 
 
 def simhash_pairs(
@@ -284,37 +311,73 @@ def simhash_pairs(
     text_col: str = "text",
     block_col: str | None = None,
     max_hamming: int = 3,
+    band_join: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    With blocking on ``block_col``; pairwise within block. At 100 TB you
-    would additionally band the 16 bits into 4 exact-match chunks
-    (pigeonhole: distance ≤ 3 ⇒ one of 4 chunks matches exactly) and join
-    on chunks — same trick as MinHash bands.
+    Default (``band_join`` unset/True when ``max_hamming < 16``): the
+    pigeonhole band join — split the 16 bits into ``max_hamming + 1``
+    exact-match chunks; distance ≤ k ⇒ at least one of k+1 chunks
+    matches, so an equi-join on (chunk_idx, chunk_val) finds every
+    qualifying pair with NO quadratic stage (same trick as MinHash
+    bands; candidate fan-out is per-bucket, i.e. actual near-duplicates
+    plus chunk collisions, not n²). EXACT, not approximate: the chunk
+    join over-generates candidates and the Hamming filter prunes them.
+
+    ``band_join=False`` forces the all-pairs comparison (within
+    ``block_col`` blocks if given) — only sensible for small corpora or
+    as a test oracle for the banded path.
     """
-    keep = [F.col(block_col).alias("blk")] if block_col else []
-    sh = simhash(
-        docs.select(F.col(id_col), F.col(text_col), *([F.col(block_col)] if block_col else [])),
-        id_col,
-        text_col,
-    )
+    sh = simhash(docs.select(F.col(id_col), F.col(text_col)), id_col, text_col)
     if block_col:
         sh = sh.join(
             docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
         )
+    if band_join is None:
+        band_join = max_hamming < 16
     a = sh.alias("a")
     b = sh.alias("b")
-    cond = [F.col("a.id") < F.col("b.id")]
-    if block_col:
-        cond.append(F.col("a.blk") == F.col("b.blk"))
-    joined = a.join(b, cond[1] if block_col else F.lit(True)).filter(cond[0])
-    return joined.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
+    hamming = (
         F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
         .cast("int")
-        .alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+        .alias("hamming")
+    )
+    if band_join:
+        chunks = _simhash_chunks(max_hamming)
+        chunked = sh.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("c_idx"),
+                            F.shiftright("simhash", shift)
+                            .bitwiseAND(F.lit(mask))
+                            .cast("int")
+                            .alias("c_val"),
+                        )
+                        for i, (shift, mask) in enumerate(chunks)
+                    ]
+                )
+            ).alias("c"),
+        ).select("*", F.col("c.c_idx").alias("c_idx"), F.col("c.c_val").alias("c_val"))
+        a = chunked.alias("a")
+        b = chunked.alias("b")
+        keys = ["c_idx", "c_val"] + (["blk"] if block_col else [])
+        return (
+            a.join(b, keys)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    cond = F.col("a.blk") == F.col("b.blk") if block_col else F.lit(True)
+    return (
+        a.join(b, cond)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def embedding_neardup_pairs(
@@ -328,15 +391,15 @@ def embedding_neardup_pairs(
     """Pairs of embeddings with cosine ≥ threshold, blocked by
     ``block_col`` (a label / cluster / LSH-bucket column) to avoid n².
 
-    Plan shape: broadcast-hash-join on the block key with the probe side
-    spread across all cores. A plain shuffle join on a low-cardinality
-    block key degenerates to #blocks tasks (and AQE then *coalesces*
-    further, because the pair stream is byte-small but compute-heavy);
-    broadcasting the build side makes parallelism = probe-side
-    partitions, which ``_spread`` pins to the core count. When one side
-    stops fitting in a broadcast (huge corpora), switch the block key to
-    a finer LSH bucket (similarity.lsh_bucket) instead of salting —
-    finer blocks cut the n² term itself, not just the skew. Norms are
+    Plan shape: equi-join on the block key with the probe side spread
+    across all cores and the build side UN-hinted — AQE picks broadcast
+    at runtime when the build side measures small (small corpora keep
+    the broadcast-hash-join plan) and falls back to a shuffle join with
+    skew splitting when it doesn't, so there is no corpus-sized
+    broadcast baked into the plan. When blocks themselves grow wide,
+    switch the block key to a finer LSH bucket (similarity.lsh_bucket)
+    — finer blocks cut the n² term itself — or route to
+    ``embedding_neardup_pairs_gemm`` (BLAS per block). Norms are
     computed once per ROW, not per pair; the cosine formula dot/(na·nb)
     is unchanged so values are bit-identical to the naive form.
     """
@@ -346,13 +409,22 @@ def embedding_neardup_pairs(
     e = emb.select(*cols).withColumn("nrm", V.norm(F.col("v")))
     a = _spread(e).alias("a")
     b = e.alias("b")
-    cond = (
-        (F.col("a.blk") == F.col("b.blk")) if block_col else F.lit(True)
-    )
     cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    if block_col:
+        # equi-join on the block key, NO explicit broadcast: the build
+        # side is the whole corpus, so a broadcast hint is a hard OOM
+        # ceiling at scale. AQE broadcasts at runtime when it actually
+        # fits (small corpora keep the fast plan), and splits skewed
+        # blocks otherwise; for blocks too wide even for that, use
+        # embedding_neardup_pairs_gemm.
+        joined = a.join(b, F.col("a.blk") == F.col("b.blk"))
+    else:
+        # no block key ⇒ genuine all-pairs: only valid when one side is
+        # broadcast-small by construction. Callers at scale must pass a
+        # block_col (label / cluster / similarity.lsh_bucket).
+        joined = a.join(F.broadcast(b), F.lit(True))
     return (
-        a.join(F.broadcast(b), cond)
-        .filter(F.col("a.id") < F.col("b.id"))
+        joined.filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -379,7 +451,8 @@ def embedding_neardup_pairs_gemm(
     JVM-side and composes with Catalyst (filters/pruning around it); the
     GEMM version wins when blocks are wide (hundreds+ of vectors) and
     dims are high — dense math belongs in BLAS. Both return the same
-    (id_a, id_b, cos) rows (cos rounded identically).
+    (id_a, id_b, cos) rows (cos rounded identically to ``round_to``
+    places; the ``cos`` column is double regardless of ``round_to``).
 
     At scale, blocks must fit in executor memory (a 50k-vector block at
     dim 1024 is ~200 MB for N + the k×k similarity tile); beyond that,
@@ -400,7 +473,7 @@ def embedding_neardup_pairs_gemm(
         normed = mat / norms
         sims = normed @ normed.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        cos = np.round(sims[iu, ju], 3)
+        cos = np.round(sims[iu, ju], round_to)
         keep = cos >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)

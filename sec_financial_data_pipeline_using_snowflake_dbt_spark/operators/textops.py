@@ -113,6 +113,39 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling (e.g. language rebalancing for a training
     mix): ``sampleBy`` with a fixed seed. Deterministic for a fixed
-    partitioning, but NOT across engines/layouts — downsampling is a
-    statistical op, so correctness checks assert rates, not rows."""
+    partitioning, but NOT across engines/layouts — prefer
+    ``stratified_sample_hash`` when reproducibility across runs,
+    engines, or cluster sizes matters (it usually does)."""
     return docs.sampleBy(strata_col, fractions, seed)
+
+
+def stratified_sample_hash(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling by hash threshold.
+
+    Keep a row iff ``uniform(id) < fraction(stratum)`` where
+    ``uniform(id)`` = first 8 hex digits of md5(id ‖ ':' ‖ salt) taken
+    mod ``resolution`` — a pure function of the row id, like
+    ``assign_split``: stable across runs, engines, partitionings, and
+    cluster sizes, so the sample never churns as the corpus grows. The
+    ``salt`` decorrelates independent sampling passes (and decorrelates
+    sampling from split assignment, which hashes the bare id).
+
+    Strata missing from ``fractions`` are dropped (sampleBy parity).
+    Fraction granularity is 1/resolution (md5's 32-bit prefix is
+    uniform, so the realized rate concentrates at the requested one).
+    """
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % resolution
+    thr = F.lit(-1)  # unknown stratum ⇒ threshold -1 ⇒ never kept
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * resolution)))
+        ).otherwise(thr)
+    return docs.filter(u < thr)

@@ -79,8 +79,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact=True: the uncapped mode the SQL oracle replicates (the
+    # capped default is the at-scale posture; its subset property is
+    # covered by test_jaccard_max_postings_bounds_fanout)
     return DD.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), block_col="lang", threshold=0.8
+        table(spark, sf_dir, "documents"), block_col="lang", threshold=0.8, exact=True
     )
 
 
@@ -307,12 +310,41 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stratified sampling (rows-only: sampling is engine-layout dependent by
-# nature; tests assert the rates instead).
+# Stratified sampling — deterministic hash-threshold sampler (pure
+# function of the row id, so the oracle replays it exactly; the sampleBy
+# variant stays available for Bernoulli-style sampling and is covered by
+# rate-assertion tests).
 # ---------------------------------------------------------------------------
-@q("q_stratified_sample", None)
+_SQL_HEX8 = " + ".join(
+    f"(STRPOS('{_HEX}', SUBSTR(h, {i}, 1)) - 1) * {16 ** (8 - i)}" for i in range(1, 9)
+)
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+_SQL_SAMPLE_THR = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{s}' THEN {int(round(f * 1_000_000))}"
+        for s, f in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    + " ELSE -1 END"
+)
+
+
+@q(
+    "q_stratified_sample",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             MD5(CAST(doc_id AS VARCHAR) || ':' || 'sample') AS h
+      FROM documents
+    )
+    SELECT doc_id, lang
+    FROM hashed
+    WHERE ({_SQL_HEX8}) % 1000000 < {_SQL_SAMPLE_THR}
+    """,
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return TO.stratified_sample(
-        docs, "lang", {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    ).select("doc_id", "lang")
+    return TO.stratified_sample_hash(docs, "lang", _SAMPLE_FRACTIONS).select(
+        "doc_id", "lang"
+    )

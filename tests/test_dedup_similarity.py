@@ -49,6 +49,22 @@ def test_minhash_finds_planted_near_duplicate(spark, docs):
     ).count() == 1
 
 
+def test_dedup_plans_hint_no_unbounded_broadcast(spark, docs, emb):
+    """Corpus-sized relations must never carry an explicit broadcast
+    hint (a hard OOM ceiling at 100 TB). AQE may still pick a broadcast
+    join at runtime from measured sizes — that's the point: the DECISION
+    stays with the runtime, not the plan."""
+    for df in (
+        DD.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8, exact=True),
+        DD.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8),
+        DD.embedding_neardup_pairs(emb, block_col="label", threshold=0.35),
+        DD.minhash_lsh_pairs(docs, cache_signatures=False),
+        DD.simhash_pairs(docs, block_col="lang"),
+    ):
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
 def test_jaccard_max_postings_bounds_fanout(spark, docs):
     exact = DD.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
     capped = DD.ngram_jaccard_pairs(
@@ -75,6 +91,25 @@ def test_simhash_is_16_bit(spark, docs):
     sh = DD.simhash(docs)
     r = sh.agg(F.min("simhash"), F.max("simhash")).first()
     assert 0 <= r[0] and r[1] < 2**16
+
+
+def test_simhash_band_join_matches_all_pairs(spark, docs):
+    # pigeonhole banding is exact: same pairs as the quadratic scan
+    banded = DD.simhash_pairs(docs, block_col="lang", max_hamming=3, band_join=True)
+    full = DD.simhash_pairs(docs, block_col="lang", max_hamming=3, band_join=False)
+    a = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+    b = {(r.id_a, r.id_b, r.hamming) for r in full.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_simhash_chunks_cover_16_bits():
+    for k in (0, 1, 2, 3, 5, 15):
+        chunks = DD._simhash_chunks(k)
+        assert len(chunks) == k + 1
+        covered = 0
+        for shift, mask in chunks:
+            covered |= mask << shift
+        assert covered == (1 << 16) - 1
 
 
 def test_gemm_neardup_agrees_with_column_version(spark, emb):
@@ -137,3 +172,23 @@ def test_stratified_sample_rates(spark, docs):
     got = {r.lang: r.cnt for r in sampled.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
     assert got["de"] == full["de"]  # fraction 1.0 keeps everything
     assert 0.2 < got["en"] / full["en"] < 0.8  # ~0.5 within tolerance
+
+
+def test_stratified_sample_hash_rates_and_stability(spark, docs):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    fr = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    s1 = TO.stratified_sample_hash(docs, "lang", fr)
+    s2 = TO.stratified_sample_hash(docs.repartition(13), "lang", fr)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # layout-invariant: exact same rows, not just rates
+    full = {r.lang: r.cnt for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    got = {r.lang: r.cnt for r in s1.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert got["de"] == full["de"]  # fraction 1.0 keeps everything
+    assert 0.3 < got["en"] / full["en"] < 0.7  # ~0.5 within tolerance
+    # a stratum absent from fractions is dropped entirely (sampleBy parity)
+    dropped = TO.stratified_sample_hash(docs, "lang", {"de": 1.0})
+    assert {r.lang for r in dropped.select("lang").distinct().collect()} == {"de"}
