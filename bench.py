@@ -26,6 +26,9 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERI
 # broadcast star, window top-k, fact build, dedup family, ANN, text
 # analysis). q_dedup_jaccard is excluded: all-pairs-within-block is the
 # known-quadratic baseline; its scale path (q_dedup_minhash) is included.
+# r2 additions (suite total is NOT comparable to r1's 16-query total;
+# compare per-query): q_sec_fact_bs (the real SEC staging→dims→fact
+# pipeline) and q_dedup_simhash (value-level banded rewrite).
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -34,11 +37,13 @@ HEADLINE = [
     "q_expr_key_join",
     "q_window_topk",
     "q_fact_star_shape",
+    "q_sec_fact_bs",
     "q_rollup",
     "q_sessionization",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_dedup_embedding",
     "q_ann_topk",
     "q_text_quality",

@@ -2,25 +2,49 @@
 reference has no theta/as-of joins either; this is engine completeness
 for time-series workloads).
 
-Two implementations with identical semantics (latest right-side row at
-or before each left-side timestamp, per key):
+Three implementations with identical semantics — for each left ROW
+(duplicates preserved), the right row with the greatest ``on`` at or
+before the left's ``on``, matching ``by``; ties on the timestamp are
+broken to ONE whole right row, the one with the lexicographically
+greatest ``value_cols`` tuple; unmatched left rows keep NULLs:
 
-- ``asof_join``        — pure DataFrame composition: range join + groupBy
-                         max + self-join back. Catalyst-visible, no
-                         Python; the default. At scale, the range join is
-                         the cost center — bucketize the time axis first
-                         (``time_bucket``) to turn it into an equi-join.
-- ``asof_join_pandas`` — ``applyInPandas`` per key group using
-                         ``pd.merge_asof`` (sorted-merge, O(n+m) per
-                         group). Wins when per-key data is large and the
-                         range join would fan out.
+- ``asof_join``          — range join + one max-of-struct aggregate.
+  Catalyst-visible, no Python. The range join fans out per key (every
+  left row meets every earlier right row of its key), so it's the
+  small/medium-per-key default.
+- ``asof_join_bucketed`` — time-bucketized: same-bucket candidates via
+  an equi-join on (key, bucket) + earlier-bucket candidates via a
+  running max over per-bucket summaries. Fan-out is bounded by the
+  bucket width instead of the whole key history — the 100 TB path.
+- ``asof_join_pandas``   — ``applyInPandas`` per key group using
+  ``pd.merge_asof`` (sorted-merge, O(n+m) per group). Wins when a
+  whole key's data fits one task and Python batch overhead amortizes.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _right_struct(on: str, value_cols: list[str], prefix: str = "") -> Column:
+    """Comparable candidate: (on, *value_cols). Struct max = latest
+    timestamp, ties broken by the greatest value tuple — one whole row."""
+    return F.struct(
+        F.col(f"{prefix}{on}").alias("__on"),
+        *[F.col(f"{prefix}{c}").alias(f"__v_{c}") for c in value_cols],
+    )
+
+
+def _expand_best(
+    df: DataFrame, left_cols: list[str], on: str, value_cols: list[str], suffix: str
+) -> DataFrame:
+    return df.select(
+        *left_cols,
+        F.col("__best.__on").alias(f"{on}{suffix}"),
+        *[F.col(f"__best.__v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def asof_join(
@@ -31,34 +55,124 @@ def asof_join(
     value_cols: list[str],
     suffix: str = "_asof",
 ) -> DataFrame:
-    """For each left row: the right row with the greatest ``on`` ≤ the
-    left's ``on``, matching ``by``. Left rows with no match keep NULLs."""
-    l = left.alias("l")
-    r = right.alias("r")
+    """Range-join formulation: one left join + one max-of-struct agg.
+
+    A ``__rid`` row id keys the aggregate, so duplicate left rows are
+    preserved (each gets its own match), and the max is over a single
+    struct — one whole right row, never a column-wise mix.
+    """
+    lc = list(left.columns)
+    l = left.withColumn("__rid", F.monotonically_increasing_id()).alias("l")
+    r = right.select(by, on, *value_cols).alias("r")
     cond = (F.col(f"l.{by}") == F.col(f"r.{by}")) & (
         F.col(f"r.{on}") <= F.col(f"l.{on}")
     )
-    # step 1: per left row, the max right timestamp at-or-before
-    lkey = [F.col(f"l.{c}") for c in left.columns]
+    cand = F.when(F.col(f"r.{on}").isNotNull(), _right_struct(on, value_cols, "r."))
     best = (
         l.join(r, cond, "left")
-        .groupBy(*lkey)
-        .agg(F.max(F.col(f"r.{on}")).alias(f"{on}{suffix}"))
+        .groupBy(F.col("l.__rid"), *[F.col(f"l.{c}") for c in lc])
+        .agg(F.max(cand).alias("__best"))
     )
-    # step 2: join the right values back on (by, exact matched timestamp)
-    b = best.alias("b")
-    r2 = right.alias("r2")
-    back = (F.col(f"b.{by}") == F.col(f"r2.{by}")) & (
-        F.col(f"b.{on}{suffix}") == F.col(f"r2.{on}")
+    return _expand_best(best, lc, on, value_cols, suffix)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Time-bucketized as-of join — the scale path.
+
+    Both sides get ``bkt = floor(epoch(on) / bucket_seconds)``. A right
+    row can best-match a left row either (a) in the SAME bucket — found
+    by an equi-join on (by, bkt) + the ``r.on <= l.on`` filter, fan-out
+    bounded by per-bucket right rows instead of the whole key history —
+    or (b) in an EARLIER bucket — in which case only the latest right
+    row per (by, bkt) can win, so we reduce right to per-bucket
+    summaries and take a running max over buckets (a window over
+    #buckets rows per key, not #rows). Bucketing by truncated epoch
+    seconds is order-preserving across buckets (bkt(r) < bkt(l) ⇒
+    r.on < l.on), so the union of (a) and (b) is EXACT, not heuristic.
+
+    Every join is an equi-join; no per-key quadratic stage. Pick
+    ``bucket_seconds`` ≈ the median right-side inter-arrival × desired
+    fan-out (too fine → more summary rows; too coarse → (a) degenerates
+    toward the range join).
+    """
+    lc = list(left.columns)
+    bkt = F.floor(F.unix_timestamp(F.col(on)) / F.lit(bucket_seconds))
+    l = (
+        left.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__bkt", bkt)
+        .alias("l")
     )
-    out_cols = [F.col(f"b.{c}") for c in left.columns] + [
-        F.col(f"b.{on}{suffix}")
-    ] + [F.col(f"r2.{c}").alias(f"{c}{suffix}") for c in value_cols]
-    # dropDuplicates: several right rows can share the max timestamp;
-    # keep one deterministically via the max of the value columns
-    joined = b.join(r2, back, "left").select(*out_cols)
-    agg = [F.max(f"{c}{suffix}").alias(f"{c}{suffix}") for c in value_cols]
-    return joined.groupBy(*[c for c in left.columns], f"{on}{suffix}").agg(*agg)
+    r = (
+        right.select(by, on, *value_cols)
+        .filter(F.col(on).isNotNull())
+        .withColumn("__bkt", bkt)
+        .alias("r")
+    )
+
+    # (a) same-bucket candidates
+    same = (
+        l.join(
+            r,
+            (F.col(f"l.{by}") == F.col(f"r.{by}"))
+            & (F.col("l.__bkt") == F.col("r.__bkt")),
+        )
+        .filter(F.col(f"r.{on}") <= F.col(f"l.{on}"))
+        .groupBy(F.col("l.__rid").alias("__srid"))
+        .agg(F.max(_right_struct(on, value_cols, "r.")).alias("__c1"))
+        .alias("s")
+    )
+
+    # (b) earlier-bucket candidates: per-bucket summaries, then a running
+    # max over buckets aligned to the LEFT buckets that need them.
+    summaries = (
+        r.groupBy(F.col(f"r.{by}").alias(by), F.col("r.__bkt").alias("__bkt"))
+        .agg(F.max(_right_struct(on, value_cols, "r.")).alias("__s"))
+        .withColumn("__side", F.lit(1))
+    )
+    left_buckets = (
+        l.select(F.col(f"l.{by}").alias(by), F.col("l.__bkt").alias("__bkt"))
+        .distinct()
+        .withColumn("__side", F.lit(0))
+        .withColumn("__s", F.lit(None).cast(summaries.schema["__s"].dataType))
+    )
+    # order (bkt, side): a left marker (side 0) sees summaries (side 1)
+    # of strictly earlier buckets only
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__bkt", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        summaries.select(by, "__bkt", "__side", "__s")
+        .unionByName(left_buckets.select(by, "__bkt", "__side", "__s"))
+        .withColumn("__c2", F.last("__s", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 0)
+        .select(by, "__bkt", "__c2")
+        .alias("p")
+    )
+
+    combined = (
+        l.join(same, F.col("l.__rid") == F.col("s.__srid"), "left")
+        .join(
+            prefix,
+            (F.col(f"l.{by}") == F.col(f"p.{by}"))
+            & (F.col("l.__bkt") == F.col("p.__bkt")),
+            "left",
+        )
+        # greatest skips NULL candidates; same-bucket beats earlier-bucket
+        # by timestamp order anyway, so this is just NULL handling
+        .withColumn("__best", F.greatest("__c1", "__c2"))
+        .select(*[F.col(f"l.{c}") for c in lc], "__best")
+    )
+    return _expand_best(combined, lc, on, value_cols, suffix)
 
 
 def asof_join_pandas(
@@ -69,7 +183,10 @@ def asof_join_pandas(
     value_cols: list[str],
     suffix: str = "_asof",
 ) -> DataFrame:
-    """Same semantics via per-key ``pd.merge_asof`` (applyInPandas)."""
+    """Same semantics via per-key ``pd.merge_asof`` (applyInPandas).
+    The right side is sorted by (on, *value_cols), so backward-merge
+    picks the greatest value tuple among timestamp ties — matching the
+    struct-max tie-break of the DataFrame variants."""
     lc = list(left.columns)
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]

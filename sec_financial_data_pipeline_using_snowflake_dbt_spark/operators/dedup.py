@@ -33,6 +33,8 @@ choosing broadcast vs shuffle joins at runtime).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -316,68 +318,115 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Default (``band_join`` unset/True when ``max_hamming < 16``): the
-    pigeonhole band join — split the 16 bits into ``max_hamming + 1``
-    exact-match chunks; distance ≤ k ⇒ at least one of k+1 chunks
-    matches, so an equi-join on (chunk_idx, chunk_val) finds every
-    qualifying pair with NO quadratic stage (same trick as MinHash
-    bands; candidate fan-out is per-bucket, i.e. actual near-duplicates
-    plus chunk collisions, not n²). EXACT, not approximate: the chunk
-    join over-generates candidates and the Hamming filter prunes them.
+    VALUE-level pigeonhole join. The 16-bit signature space caps the
+    distinct values at 65 536, so pairing happens on distinct
+    (block, simhash) VALUES — a relation whose size is bounded by the
+    hash space, NOT the corpus — via the band trick (split the 16 bits
+    into ``max_hamming + 1`` exact-match chunks; distance ≤ k ⇒ at
+    least one chunk matches). Candidate generation is therefore O(1) in
+    corpus size; the only corpus-sized stages are the signature groupBy
+    and the final expansion of value-pairs back to doc-pairs, which is
+    bounded by the OUTPUT size (every expanded row is a result row).
+    EXACT, not approximate: the chunk join over-generates value
+    candidates and the Hamming filter prunes them.
 
-    ``band_join=False`` forces the all-pairs comparison (within
-    ``block_col`` blocks if given) — only sensible for small corpora or
-    as a test oracle for the banded path.
+    ``band_join=False`` forces the doc-level all-pairs comparison
+    (within ``block_col`` blocks if given) — the test oracle for the
+    banded path.
     """
     sh = simhash(docs.select(F.col(id_col), F.col(text_col)), id_col, text_col)
     if block_col:
         sh = sh.join(
             docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
         )
+    keys = ["blk"] if block_col else []
     if band_join is None:
         band_join = max_hamming < 16
-    a = sh.alias("a")
-    b = sh.alias("b")
-    hamming = (
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-        .cast("int")
-        .alias("hamming")
-    )
-    if band_join:
-        chunks = _simhash_chunks(max_hamming)
-        chunked = sh.select(
-            "*",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("c_idx"),
-                            F.shiftright("simhash", shift)
-                            .bitwiseAND(F.lit(mask))
-                            .cast("int")
-                            .alias("c_val"),
-                        )
-                        for i, (shift, mask) in enumerate(chunks)
-                    ]
-                )
-            ).alias("c"),
-        ).select("*", F.col("c.c_idx").alias("c_idx"), F.col("c.c_val").alias("c_val"))
-        a = chunked.alias("a")
-        b = chunked.alias("b")
-        keys = ["c_idx", "c_val"] + (["blk"] if block_col else [])
+    if not band_join:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        cond = F.col("a.blk") == F.col("b.blk") if block_col else F.lit(True)
         return (
-            a.join(b, keys)
+            a.join(b, cond)
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("int")
+                .alias("hamming"),
+            )
             .filter(F.col("hamming") <= max_hamming)
-            .distinct()
         )
-    cond = F.col("a.blk") == F.col("b.blk") if block_col else F.lit(True)
-    return (
-        a.join(b, cond)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming)
+
+    # 1. distinct signature values per block — ≤ 2^16 rows per block
+    vals = sh.select(*keys, "simhash").distinct()
+    chunks = _simhash_chunks(max_hamming)
+    chunked = vals.select(
+        *keys,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("c_idx"),
+                        F.shiftright("simhash", shift)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("int")
+                        .alias("c_val"),
+                    )
+                    for i, (shift, mask) in enumerate(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(*keys, "simhash", F.col("c.c_idx").alias("c_idx"), F.col("c.c_val").alias("c_val"))
+    va, vb = chunked.alias("va"), chunked.alias("vb")
+    vpairs = (
+        va.join(vb, ["c_idx", "c_val", *keys])
+        .filter(F.col("va.simhash") < F.col("vb.simhash"))
+        .select(
+            *[F.col(f"va.{k}") for k in keys],
+            F.col("va.simhash").alias("v_a"),
+            F.col("vb.simhash").alias("v_b"),
+            F.bit_count(F.col("va.simhash").bitwiseXOR(F.col("vb.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+    # 2a. same-value doc pairs (hamming 0)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    same = (
+        sa.join(sb, ["simhash", *keys])
+        .filter(F.col("sa.id") < F.col("sb.id"))
+        .select(
+            F.col("sa.id").alias("id_a"),
+            F.col("sb.id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    # 2b. cross-value doc pairs: expand each qualifying value pair —
+    # every produced row IS a result row (output-bound, no pruning)
+    da, db = sh.alias("da"), sh.alias("db")
+    join_a = [F.col("da.simhash") == F.col("v_a")] + [
+        F.col(f"da.{k}") == F.col(f"vp.{k}") for k in keys
+    ]
+    join_b = [F.col("db.simhash") == F.col("v_b")] + [
+        F.col(f"db.{k}") == F.col(f"vp.{k}") for k in keys
+    ]
+    cross = (
+        vpairs.alias("vp")
+        .join(da, reduce(lambda x, y: x & y, join_a))
+        .join(db, reduce(lambda x, y: x & y, join_b))
+        .select(
+            F.least(F.col("da.id"), F.col("db.id")).alias("id_a"),
+            F.greatest(F.col("da.id"), F.col("db.id")).alias("id_b"),
+            F.col("hamming"),
+        )
+    )
+    return same.unionByName(cross)
 
 
 def embedding_neardup_pairs(

@@ -64,6 +64,61 @@ class Registry:
         )
         return list(ts.static_order())
 
+    def lineage(self) -> dict:
+        """Docs/lineage artifact (≙ the reference's terminal `dbt docs
+        generate` task, Airflow/dags/rdbms_transformation.py:202-211):
+        every model with its declared deps, materialization, and
+        clustering, plus sources (deps that aren't models) and the
+        topological execution order."""
+        model_names = set(self.models)
+        sources = sorted(
+            {d for m in self.models.values() for d in m.deps} - model_names
+        )
+        return {
+            "sources": sources,
+            "models": {
+                name: {
+                    "deps": list(m.deps),
+                    "materialization": m.materialization,
+                    "cluster_by": list(m.cluster_by),
+                }
+                for name, m in sorted(self.models.items())
+            },
+            "order": self.order(),
+        }
+
+    def to_dot(self) -> str:
+        """The same graph as Graphviz DOT (sources as boxes, models as
+        ellipses labeled with their materialization)."""
+        lin = self.lineage()
+        lines = ["digraph lineage {", "  rankdir=LR;"]
+        for s in lin["sources"]:
+            lines.append(f'  "{s}" [shape=box];')
+        for name, node in lin["models"].items():
+            lines.append(f'  "{name}" [label="{name}\\n({node["materialization"]})"];')
+            for d in node["deps"]:
+                lines.append(f'  "{d}" -> "{name}";')
+        lines.append("}")
+        return "\n".join(lines)
+
+    def emit_docs(self, out_dir: str) -> dict[str, str]:
+        """Write ``lineage.json`` + ``lineage.dot`` to ``out_dir``;
+        returns the paths. Driver-side artifact emission, deliberately
+        tiny — the graph is metadata, not data."""
+        import json
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {
+            "json": os.path.join(out_dir, "lineage.json"),
+            "dot": os.path.join(out_dir, "lineage.dot"),
+        }
+        with open(paths["json"], "w") as fh:
+            json.dump(self.lineage(), fh, indent=2)
+        with open(paths["dot"], "w") as fh:
+            fh.write(self.to_dot())
+        return paths
+
     def run(
         self,
         spark: SparkSession,

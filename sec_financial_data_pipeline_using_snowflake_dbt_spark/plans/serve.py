@@ -117,52 +117,67 @@ class SqlGateError(ValueError):
     pass
 
 
+# Every logical-plan node a pure query can parse to (Spark 4 parser,
+# enumerated by probing the full query surface: CTEs, set ops, windows,
+# pivots, laterals, TVFs, subqueries, hints, sampling, DISTRIBUTE/
+# CLUSTER BY). Anything NOT here — including nodes added by future
+# Spark versions — fails CLOSED: an unknown node is rejected, unlike a
+# denylist where an unlisted command slips through.
+QUERY_PLAN_NODES = frozenset(
+    {
+        "Aggregate", "CTE", "Deduplicate", "Distinct", "Except", "Filter",
+        "Generate", "GlobalLimit", "Intersect", "Join", "LateralJoin",
+        "LocalLimit", "LocalRelation", "Offset", "OneRowRelation", "Pivot",
+        "Project", "Range", "Repartition", "RepartitionByExpression",
+        "Sample", "Sort", "SubqueryAlias", "Tail", "Union", "Unpivot",
+        "UnresolvedHaving", "UnresolvedHint", "UnresolvedInlineTable",
+        "UnresolvedRelation", "UnresolvedSubqueryColumnAliases",
+        "UnresolvedTVFAliases", "UnresolvedTableValuedFunction",
+        "UnresolvedWith", "Window", "WithWindowDefinition",
+    }
+)
+
+
 def guarded_sql(spark: SparkSession, query: str) -> DataFrame:
     """Execute ``query`` iff its *parsed plan* is a pure query.
 
     The reference gates on ``query.lower().startswith('select')``
     (app.py:277-281), which both rejects legitimate ``WITH ...`` queries
-    and can be fooled. We parse without executing and reject any plan
-    whose class is a command/DML/DDL node.
+    and can be fooled. We parse without executing and require every
+    node of the tree (a command can hide under a CTE: ``WITH x AS (...)
+    INSERT INTO ...``) to be on the ``QUERY_PLAN_NODES`` allowlist —
+    exact names, fail-closed on anything unknown.
+
+    Uses the JVM parser bridge (``_jsparkSession``), which Spark Connect
+    doesn't expose; with no parser available the gate REFUSES rather
+    than falling back to executing unvetted SQL (``spark.sql`` runs
+    commands eagerly, so "submit and inspect later" is not a safe
+    fallback).
     """
     import re
 
-    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+    except AttributeError:
+        raise SqlGateError(
+            "no SQL parser bridge on this session (Spark Connect?); "
+            "refusing to execute unvetted SQL"
+        ) from None
     try:
         plan = parser.parsePlan(query)
     except Exception as e:  # noqa: BLE001 — surface parse errors as gate errors
         raise SqlGateError(f"unparseable SQL: {e}") from None
-    banned = (
-        "Command",
-        "Insert",
-        "Create",
-        "Drop",
-        "Alter",
-        "Delete",
-        "Update",
-        "Merge",
-        "Set",
-        "Cache",
-        "Refresh",
-        "Truncate",
-        "AddColumns",
-        "Analyze",
-    )
-    # scan every NODE of the parsed tree (a command can hide under a CTE:
-    # `WITH x AS (...) INSERT INTO ...`); node names are the first
-    # identifier of each treeString line, so table/column identifiers
-    # can't false-positive
+    # node names are the first identifier of each treeString line, so
+    # table/column identifiers can't false-positive
     node_names = {
         m.group(1)
         for line in plan.treeString().splitlines()
         if (m := re.match(r"^[\s:+\-']*([A-Za-z]+)", line))
     }
-    offending = [
-        n for n in node_names if any(b in n for b in banned)
-    ]
+    offending = sorted(node_names - QUERY_PLAN_NODES)
     if offending:
         raise SqlGateError(
-            f"only read-only queries allowed; got plan nodes {sorted(offending)}"
+            f"only read-only queries allowed; got non-query plan nodes {offending}"
         )
     return spark.sql(query)
 
@@ -195,7 +210,14 @@ class ResultCache:
         return df._jdf.queryExecution().optimizedPlan().semanticHash()
 
     def fetch(self, df: DataFrame, limit: int = 5000):
-        """Collect (bounded) through the cache; returns list[Row]."""
+        """Collect (bounded) through the cache; returns list[Row].
+
+        Sorts by every sortable column before the limit (Spark plans it
+        as one TakeOrderedAndProject, not a full sort) so two sessions
+        filling the cache from the same plan hold the same rows — an
+        unordered limit is free to return any subset. Map-typed columns
+        aren't orderable and are skipped from the sort key.
+        """
         plan_key = self.key_for(df)
         now = time.monotonic()
         entry = self._store.get(plan_key, {}).get(limit)
@@ -203,7 +225,13 @@ class ResultCache:
             self.hits += 1
             return entry.value
         self.misses += 1
-        value = df.limit(limit).collect()
+        from pyspark.sql.types import MapType
+
+        sort_cols = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        ]
+        bounded = (df.orderBy(*sort_cols) if sort_cols else df).limit(limit)
+        value = bounded.collect()
         self._store.setdefault(plan_key, {})[limit] = _Entry(
             now + self.ttl_seconds, value
         )

@@ -40,9 +40,18 @@ def get_spark(
     """
     cpus = cpus or _DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    builder = SparkSession.builder
+    # master resolution: explicit env override > launcher-provided
+    # (spark-submit --master / YARN / K8s) > local[cpus] fallback. The
+    # builder must NOT unconditionally set local[] — it would override
+    # the cluster manager a launcher configured.
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env:
+        builder = builder.master(master_env)
+    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         # --- parallelism / adaptivity ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

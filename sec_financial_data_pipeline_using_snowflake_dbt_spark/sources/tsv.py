@@ -65,10 +65,18 @@ def read_tsv(
 
     # strip trailing CR (CRLF files)
     line = F.regexp_replace(F.col("value"), "\r$", "")
-    # NULL_IF=('NULL','null') pre-parse, on unquoted whole tokens only
+    # NULL_IF=('NULL','null'): Snowflake applies it per FIELD after quote
+    # handling. The pre-parse whole-token rewrite below is exact only on
+    # lines with no quote character (a quoted field containing an
+    # embedded delimited NULL token would be corrupted), so it is gated
+    # to quote-free lines; quoted lines get per-field NULL_IF after
+    # from_csv instead (see below).
     null_alt = "|".join(lit for lit in NULL_LITERALS if lit)
     sep_q = "\\Q" + sep + "\\E"
-    line = F.regexp_replace(line, f"(?<=^|{sep_q})(?:{null_alt})(?={sep_q}|$)", "")
+    has_quote = line.contains('"')
+    line = F.when(has_quote, line).otherwise(
+        F.regexp_replace(line, f"(?<=^|{sep_q})(?:{null_alt})(?={sep_q}|$)", "")
+    )
 
     # SKIP_HEADER=1: the header line carries the schema's column names
     header_line = sep.join(f.name for f in schema.fields)
@@ -89,10 +97,23 @@ def read_tsv(
         "columnNameOfCorruptRecord": _CORRUPT,
     }
     rows = lines.filter(not_header).select(
-        F.from_csv(line, parse_schema.simpleString(), opts).alias("_r")
+        F.from_csv(line, parse_schema.simpleString(), opts).alias("_r"),
+        has_quote.alias("_q"),
     )
     bad = F.col(f"_r.{_CORRUPT}").isNotNull()
-    out_cols = [F.col(f"_r.{f.name}").alias(f.name) for f in schema.fields]
+
+    def _out(f: T.StructField) -> F.Column:
+        c = F.col(f"_r.{f.name}")
+        # per-field NULL_IF for quoted lines (string columns only: a
+        # NULL token in a typed column of a quoted line fails the cast
+        # and flags the row — conservative vs Snowflake, which would
+        # load NULL; quoted "NULL" can't be told apart from bare NULL
+        # post-parse — both accepted limitations, SEC files never quote)
+        if isinstance(f.dataType, T.StringType):
+            c = F.when(F.col("_q") & c.isin(*NULL_LITERALS), F.lit(None)).otherwise(c)
+        return c.alias(f.name)
+
+    out_cols = [_out(f) for f in schema.fields]
     if on_error_continue:
         return rows.filter(~bad).select(*out_cols)
     audit = corrupt_record_col or _CORRUPT

@@ -66,8 +66,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # As-of join: for each purchase, the latest click at-or-before it per
-# user (ties on the timestamp resolved to the max value — documented
-# in operators/asof.py).
+# user (ties on the timestamp resolved to one whole row, greatest value
+# tuple — documented in operators/asof.py). Runs through the
+# time-bucketized equi-join variant: the scale path, exact by
+# construction (bucket-order preservation), verified here against the
+# range-join SQL oracle.
 # ---------------------------------------------------------------------------
 @q(
     "q_asof_join",
@@ -92,8 +95,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    joined = ASOF.asof_join(
-        purchases, clicks, on="ts", by="user_id", value_cols=["value"]
+    joined = ASOF.asof_join_bucketed(
+        purchases, clicks, on="ts", by="user_id", value_cols=["value"],
+        bucket_seconds=86400,
     )
     return joined.select(
         "event_id",

@@ -1,0 +1,234 @@
+"""The SEC star build itself as a driver-checked query.
+
+``q_fact_star_shape`` (relational.py) proves the fact PLAN SHAPE on
+TPC-H tables; this module drives the ACTUAL pipeline — ``staging →
+dimensions → build_fact`` (reference:
+Airflow/masterfindata/models/Facts/fct_balanceSheet.sql) — end-to-end
+under the driver's oracle gate. The raw SUB/TAG/NUM/PRE inputs are
+synthesized deterministically from the driver's parquet tables
+(supplier → filings, region → taxonomy tags, lineitem → numeric facts)
+with pure Column expressions, so the DuckDB oracle replays the exact
+same derivation plus the dbt-verbatim model SQL and hash-matches.
+
+The synthesis deliberately exercises the pipeline's edge paths: null
+address fields (staging COALESCE defaults), a null tlabel/doc (dim
+coalesces), and the reference's (stmt, filed)-join fan-out wart in
+``build_fact`` (kept for parity — see operators/facts.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import facts as FCT
+from .common import table
+
+SEC_QUERIES: dict[str, object] = {}
+SEC_ORACLES: dict[str, str] = {}
+
+SENT = "_dbt_utils_surrogate_key_null_"
+
+
+def synth_sec_raw(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Deterministic (sub, tag, num, pre) from supplier/region/lineitem."""
+    supplier = table(spark, sf_dir, "supplier")
+    region = table(spark, sf_dir, "region")
+    lineitem = table(spark, sf_dir, "lineitem")
+
+    sk = F.col("s_suppkey")
+    sub = supplier.select(
+        F.concat(F.lit("A-"), sk.cast("string")).alias("adsh"),
+        sk.cast("long").alias("cik"),
+        F.col("s_name").alias("name"),
+        F.when(sk % 7 == 0, F.lit(None)).otherwise(F.lit("US")).alias("countryba"),
+        F.lit("CA").alias("stprba"),
+        F.lit("City").alias("cityba"),
+        (F.lit(94000) + sk % 100).cast("string").alias("zipba"),
+        F.concat(F.lit("Addr-"), F.col("s_nationkey").cast("string")).alias("bas1"),
+        F.when(sk % 3 == 0, F.lit(None)).otherwise(F.lit("Suite 1")).alias("bas2"),
+        F.lit(None).cast("string").alias("baph"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (sk % 60).cast("int")).alias(
+            "filed"
+        ),
+        F.lit(None).cast("timestamp_ntz").alias("accepted"),
+        F.concat(F.col("s_name"), F.lit("-2024q1.xml")).alias("instance"),
+    )
+
+    rk = F.col("r_regionkey")
+    tag = region.select(
+        F.concat(F.lit("T"), rk.cast("string")).alias("tag"),
+        F.lit("v2024").alias("version"),
+        F.when(rk == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("label "), F.col("r_name")))
+        .alias("tlabel"),
+        F.when(rk == 4, F.lit(None))
+        .otherwise(F.concat(F.lit("doc "), F.col("r_name")))
+        .alias("doc"),
+    )
+
+    num = lineitem.select(
+        F.concat(F.lit("A-"), F.col("l_suppkey").cast("string")).alias("adsh"),
+        F.concat(F.lit("T"), (F.col("l_partkey") % 5).cast("string")).alias("tag"),
+        F.lit("v2024").alias("version"),
+        F.col("l_shipdate").cast("date").alias("ddate"),
+        (F.col("l_linenumber") % 4).cast("int").alias("qtrs"),
+        F.lit("USD").alias("uom"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("value"),
+        F.lit(None).cast("string").alias("footnote"),
+    )
+
+    pre = (
+        num.select("adsh", "tag")
+        .distinct()
+        .select(
+            "adsh",
+            F.when(F.col("tag").isin("T0", "T1"), "BS")
+            .when(F.col("tag").isin("T2", "T3"), "IS")
+            .otherwise("CF")
+            .alias("stmt"),
+            "tag",
+            F.lit("v2024").alias("version"),
+            F.concat(F.lit("p-"), F.col("tag")).alias("plabel"),
+        )
+    )
+    return sub, tag, num, pre
+
+
+# DuckDB replay: the same synthesis + the dbt models verbatim
+# (stg_* / dim_* SQL identical to tests/test_sec_pipeline.py's golden
+# oracle, which transcribes the reference's model SQL; dim_filings uses
+# the proven-identical distinct-pushdown form to keep the oracle fast).
+_SEC_FACT_BS_SQL = f"""
+WITH sub AS (
+  SELECT 'A-' || CAST(s_suppkey AS VARCHAR) AS adsh,
+         CAST(s_suppkey AS BIGINT) AS cik,
+         s_name AS name,
+         CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE 'US' END AS countryba,
+         'CA' AS stprba, 'City' AS cityba,
+         CAST(94000 + s_suppkey % 100 AS VARCHAR) AS zipba,
+         'Addr-' || CAST(s_nationkey AS VARCHAR) AS bas1,
+         CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE 'Suite 1' END AS bas2,
+         DATE '2024-01-01' + CAST(s_suppkey % 60 AS INTEGER) AS filed,
+         s_name || '-2024q1.xml' AS instance
+  FROM supplier
+),
+tagt AS (
+  SELECT 'T' || CAST(r_regionkey AS VARCHAR) AS tag, 'v2024' AS version,
+         CASE WHEN r_regionkey = 4 THEN NULL ELSE 'doc ' || r_name END AS doc
+  FROM region
+),
+num AS (
+  SELECT 'A-' || CAST(l_suppkey AS VARCHAR) AS adsh,
+         'T' || CAST(l_partkey % 5 AS VARCHAR) AS tag,
+         'v2024' AS version, 'USD' AS uom,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS value
+  FROM lineitem
+),
+pre AS (
+  SELECT DISTINCT adsh,
+         CASE WHEN tag IN ('T0','T1') THEN 'BS'
+              WHEN tag IN ('T2','T3') THEN 'IS' ELSE 'CF' END AS stmt,
+         tag, 'v2024' AS version
+  FROM num
+),
+stg_sub AS (
+  SELECT adsh, cik, name, filed, instance,
+         COALESCE(countryba,'Unknown') AS countryba,
+         COALESCE(stprba,'Unknown') AS stprba,
+         COALESCE(zipba,'Unknown') AS zipba,
+         COALESCE(bas1,'Unknown') AS bas1,
+         COALESCE(bas2,'Does not exist or Unknown') AS bas2
+  FROM sub
+),
+stg_num AS (
+  SELECT adsh, tag, version, uom, value, version || '-' || tag AS version_tag
+  FROM num
+),
+stg_tag AS (
+  SELECT tag, version, doc, version || '-' || tag AS version_tag FROM tagt
+),
+stg_pre AS (
+  SELECT adsh, stmt, tag, version, version || '-' || tag AS version_tag FROM pre
+),
+dim_address AS (
+  SELECT MD5(CONCAT_WS('-',
+          COALESCE(CAST(bas1 AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(bas2 AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(stprba AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(countryba AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(zipba AS VARCHAR),'{SENT}'))) AS comp_address_sk,
+         name AS company_name
+  FROM stg_sub
+),
+dim_company AS (
+  SELECT DISTINCT
+         MD5(CONCAT_WS('-',
+          COALESCE(CAST(s.cik AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(a.company_name AS VARCHAR),'{SENT}'))) AS company_sk,
+         s.cik, a.company_name
+  FROM dim_address a JOIN stg_sub s ON a.company_name = s.name
+),
+dim_filings AS (
+  SELECT DISTINCT
+         MD5(CONCAT_WS('-',
+          COALESCE(CAST(t.tag AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(t.version AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(p.stmt AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(n.uom AS VARCHAR),'{SENT}'),
+          COALESCE(CAST(s.filed AS VARCHAR),'{SENT}'))) AS filings_sk,
+         t.tag, t.version, p.stmt AS statement_type,
+         s.filed AS filed_date, n.uom AS unit_of_measure
+  FROM (SELECT DISTINCT version_tag, stmt, adsh FROM stg_pre) p
+  JOIN (SELECT DISTINCT version_tag, tag, version FROM stg_tag) t
+       ON p.version_tag = t.version_tag
+  JOIN (SELECT DISTINCT version_tag, uom FROM stg_num) n
+       ON n.version_tag = t.version_tag
+  JOIN (SELECT DISTINCT adsh, filed FROM stg_sub) s ON s.adsh = p.adsh
+),
+spine AS (
+  SELECT n.value, s.cik, s.filed AS filed_date, p.stmt
+  FROM stg_num n
+  JOIN stg_pre p ON n.adsh = p.adsh AND n.tag = p.tag
+  JOIN stg_sub s ON n.adsh = s.adsh
+  WHERE p.stmt = 'BS'
+),
+key_data AS (
+  SELECT spine.value, dc.company_sk, df.filings_sk
+  FROM spine
+  LEFT JOIN dim_company dc ON spine.cik = dc.cik
+  LEFT JOIN dim_filings df ON spine.stmt = df.statement_type
+                          AND spine.filed_date = df.filed_date
+  WHERE dc.company_sk IS NOT NULL AND df.filings_sk IS NOT NULL
+)
+SELECT CAST(ROUND(SUM(k.value), 2) AS DOUBLE) AS fct_value,
+       dc.company_name,
+       CAST(df.filed_date AS VARCHAR) AS filed_date,
+       df.statement_type, df.tag, df.unit_of_measure, df.version
+FROM key_data k
+JOIN dim_company dc ON k.company_sk = dc.company_sk
+JOIN dim_filings df ON k.filings_sk = df.filings_sk
+GROUP BY dc.company_name, df.filed_date, df.statement_type, df.tag,
+         df.unit_of_measure, df.version
+"""
+
+
+def q_sec_fact_bs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub, tag, num, pre = synth_sec_raw(spark, sf_dir)
+    inputs = FCT.build_fact_inputs(spark, sub, tag, num, pre, cache=True)
+    fact = FCT.build_fact(inputs, "BS")
+    return fact.select(
+        F.col("fct_value").cast("double").alias("fct_value"),
+        "company_name",
+        F.col("filed_date").cast("string").alias("filed_date"),
+        "statement_type",
+        "tag",
+        "unit_of_measure",
+        "version",
+    )
+
+
+SEC_QUERIES["q_sec_fact_bs"] = q_sec_fact_bs
+SEC_ORACLES["q_sec_fact_bs"] = _SEC_FACT_BS_SQL

@@ -1,5 +1,5 @@
-"""The two as-of join implementations (DataFrame composition vs
-applyInPandas merge_asof) agree."""
+"""The three as-of join implementations (range join, time-bucketized
+equi-join, applyInPandas merge_asof) agree."""
 
 from __future__ import annotations
 
@@ -39,6 +39,28 @@ def test_asof_implementations_agree(events):
     )
     assert ka == kb
     assert len(ka) == purchases.count()  # every left row survives
+    # bucketized variant: exact at any bucket width, including widths
+    # far finer / coarser than the data's span
+    for bucket_seconds in (3600, 86400, 86400 * 365):
+        c = asof.asof_join_bucketed(
+            purchases, clicks, on="ts", by="user_id", value_cols=["value"],
+            bucket_seconds=bucket_seconds,
+        )
+        kc = sorted((r.event_id, r.ts_asof, r.value_asof) for r in c.collect())
+        assert kc == ka, f"bucket_seconds={bucket_seconds}"
+
+
+def test_asof_preserves_duplicate_left_rows(events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).limit(50)
+    doubled = purchases.unionByName(purchases)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    for fn in (asof.asof_join, asof.asof_join_bucketed):
+        out = fn(doubled, clicks, on="ts", by="user_id", value_cols=["value"])
+        assert out.count() == 100  # duplicates NOT collapsed
 
 
 def test_asof_no_match_keeps_nulls(events):

@@ -50,6 +50,29 @@ def test_registry_select_subtree(spark, raw, tmp_path_factory):
     assert "fct_balance_sheet" not in built
 
 
+def test_registry_lineage_artifact(tmp_path_factory):
+    import json
+
+    reg = sec_registry()
+    lin = reg.lineage()
+    # raw inputs are sources, not models
+    assert set(lin["sources"]) == {"sub", "num", "tag", "pre"}
+    assert lin["models"]["fct_balance_sheet"]["materialization"] == "table"
+    assert lin["models"]["fct_balance_sheet"]["cluster_by"] == ["company_name"]
+    # order is a valid topological sort of the declared deps
+    pos = {n: i for i, n in enumerate(lin["order"])}
+    for name, node in lin["models"].items():
+        for d in node["deps"]:
+            if d in pos and name in pos and d in lin["models"]:
+                assert pos[d] < pos[name], (d, name)
+    # emit + reread round-trip; DOT mentions every model
+    out = str(tmp_path_factory.mktemp("docs"))
+    paths = reg.emit_docs(out)
+    assert json.load(open(paths["json"])) == lin
+    dot = open(paths["dot"]).read()
+    assert all(name in dot for name in lin["models"])
+
+
 def test_incremental_filter(spark, raw):
     sub = raw["sub"]
     old = sub.filter(F.col("filed") < "2024-01-20")

@@ -68,6 +68,35 @@ def test_guarded_sql_blocks_commands(spark, stmt):
         serve.guarded_sql(spark, stmt)
 
 
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # read-adjacent but not pure queries: must fail CLOSED because
+        # their nodes are simply absent from the allowlist — the
+        # denylist this replaced would have let them through
+        "EXPLAIN SELECT 1",
+        "SHOW TABLES",
+        "DESCRIBE TABLE orders_serve",
+    ],
+)
+def test_guarded_sql_fails_closed_on_unlisted_nodes(spark, stmt):
+    with pytest.raises(serve.SqlGateError):
+        serve.guarded_sql(spark, stmt)
+
+
+def test_guarded_sql_allows_full_query_surface(spark, orders):
+    orders.createOrReplaceTempView("orders_serve")
+    for q in [
+        "SELECT o_orderstatus, count(*) OVER (PARTITION BY o_orderstatus) FROM orders_serve LIMIT 3",
+        "SELECT * FROM orders_serve TABLESAMPLE (1 PERCENT)",
+        "SELECT * FROM range(3)",
+        "SELECT * FROM VALUES (1), (2) AS t(x)",
+        "WITH t(a) AS (SELECT 1) SELECT a FROM t UNION ALL SELECT 2 ORDER BY 1",
+        "SELECT /*+ BROADCAST(orders_serve) */ o_orderkey FROM orders_serve LIMIT 1",
+    ]:
+        serve.guarded_sql(spark, q).collect()
+
+
 def test_result_cache_hit_and_invalidate(orders):
     cache = serve.ResultCache(ttl_seconds=60)
     q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")

@@ -98,3 +98,30 @@ def test_json_variant_inference(spark, tmp_path_factory):
     row = df.first()
     assert row.meta.quarter == "2024q1"
     assert row.sub[0].adsh == "x"
+
+
+def test_null_if_does_not_corrupt_quoted_embedded_tabs(spark, tmp_path_factory):
+    """Snowflake applies NULL_IF per field after quote handling: a quoted
+    field containing an embedded tab-delimited NULL token must survive
+    intact, while bare NULL tokens still load as null on both quoted and
+    quote-free lines."""
+    from pyspark.sql import types as T
+
+    d = tmp_path_factory.mktemp("quoted")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    (d / "q.txt").write_text(
+        "a\tb\tc\n"
+        "x\tNULL\ty\n"                      # quote-free line: pre-parse NULL_IF
+        '"abc\tNULL\tdef"\tNULL\tz\n'       # quoted line: per-field NULL_IF
+    )
+    df = read_tsv(spark, str(d / "q.txt"), schema)
+    rows = {r.c: r for r in df.collect()}
+    assert rows["y"].b is None
+    assert rows["z"].a == "abc\tNULL\tdef"  # embedded token NOT blanked
+    assert rows["z"].b is None
