@@ -314,6 +314,7 @@ def simhash_pairs(
     block_col: str | None = None,
     max_hamming: int = 3,
     band_join: bool | None = None,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -333,12 +334,20 @@ def simhash_pairs(
     ``band_join=False`` forces the doc-level all-pairs comparison
     (within ``block_col`` blocks if given) — the test oracle for the
     banded path.
+
+    ``cache_signatures`` persists the (id, simhash) table — one slim
+    row per doc — because the banded plan reads it from five subtrees
+    (value distinct, same-value pair sides, both expansion sides) and
+    Spark would otherwise recompute the tokenize+hash per subtree.
+    Same contract as ``minhash_lsh_pairs``: not auto-released.
     """
     sh = simhash(docs.select(F.col(id_col), F.col(text_col)), id_col, text_col)
     if block_col:
         sh = sh.join(
             docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
         )
+    if cache_signatures:
+        sh = sh.persist()
     keys = ["blk"] if block_col else []
     if band_join is None:
         band_join = max_hamming < 16
