@@ -20,6 +20,25 @@ def test_contract_shapes():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
 
 
+def test_oracle_queries_inside_driver_window():
+    """The correctness driver checks only the first DRIVER_WINDOW entries of
+    queries(); every oracle-bearing query that isn't explicitly parked in
+    TAIL_QUERIES must sit inside that window (VERDICT r2, task 1)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.registry import (
+        DRIVER_WINDOW,
+        TAIL_QUERIES,
+    )
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    window = set(list(qs)[:DRIVER_WINDOW])
+    stranded = [k for k in osql if k not in window and k not in TAIL_QUERIES]
+    assert stranded == [], f"oracle-bearing queries outside driver window: {stranded}"
+    # The flagship queries called out by the judge must be in the hard signal.
+    for k in ("q_sec_fact_bs", "q_sql_gate", "q_unpivot", "q_ann_ivf"):
+        assert k in window, k
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
