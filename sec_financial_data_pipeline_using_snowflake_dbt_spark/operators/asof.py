@@ -102,6 +102,17 @@ def asof_join_bucketed(
     ``bucket_seconds`` ≈ the median right-side inter-arrival × desired
     fan-out (too fine → more summary rows; too coarse → (a) degenerates
     toward the range join).
+
+    The left side appears in exactly ONE plan subtree and is touched by
+    exactly ONE join + ONE groupBy: the earlier-bucket prefix summaries
+    are folded into the CANDIDATE side (as pseudo-candidates keyed by
+    the left bucket that needs them) before the join, so there is no
+    second join back onto the (full-size) left relation, and the
+    nondeterministic ``__rid`` is generated and consumed in a single
+    evaluation (never compared across independently recomputed
+    subtrees — ADVICE r2). The left-bucket markers that position the
+    prefix rows are derived from ``left``'s deterministic (by, bucket)
+    columns only.
     """
     lc = list(left.columns)
     bkt = F.floor(F.unix_timestamp(F.col(on)) / F.lit(bucket_seconds))
@@ -117,28 +128,17 @@ def asof_join_bucketed(
         .alias("r")
     )
 
-    # (a) same-bucket candidates
-    same = (
-        l.join(
-            r,
-            (F.col(f"l.{by}") == F.col(f"r.{by}"))
-            & (F.col("l.__bkt") == F.col("r.__bkt")),
-        )
-        .filter(F.col(f"r.{on}") <= F.col(f"l.{on}"))
-        .groupBy(F.col("l.__rid").alias("__srid"))
-        .agg(F.max(_right_struct(on, value_cols, "r.")).alias("__c1"))
-        .alias("s")
-    )
-
-    # (b) earlier-bucket candidates: per-bucket summaries, then a running
-    # max over buckets aligned to the LEFT buckets that need them.
+    # (b) earlier-bucket pseudo-candidates, computed on the SMALL side:
+    # per-(by, bucket) right summaries, running-max'd over buckets and
+    # aligned to each left bucket that needs them. Row count ≤ #distinct
+    # (by, bucket) pairs — summary-scale, not data-scale.
     summaries = (
         r.groupBy(F.col(f"r.{by}").alias(by), F.col("r.__bkt").alias("__bkt"))
         .agg(F.max(_right_struct(on, value_cols, "r.")).alias("__s"))
         .withColumn("__side", F.lit(1))
     )
     left_buckets = (
-        l.select(F.col(f"l.{by}").alias(by), F.col("l.__bkt").alias("__bkt"))
+        left.select(F.col(by), bkt.alias("__bkt"))
         .distinct()
         .withColumn("__side", F.lit(0))
         .withColumn("__s", F.lit(None).cast(summaries.schema["__s"].dataType))
@@ -153,26 +153,42 @@ def asof_join_bucketed(
     prefix = (
         summaries.select(by, "__bkt", "__side", "__s")
         .unionByName(left_buckets.select(by, "__bkt", "__side", "__s"))
-        .withColumn("__c2", F.last("__s", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 0)
-        .select(by, "__bkt", "__c2")
-        .alias("p")
+        .withColumn("__c", F.last("__s", ignorenulls=True).over(w))
+        .filter((F.col("__side") == 0) & F.col("__c").isNotNull())
+        .select(by, "__bkt", "__c", F.lit(True).alias("__pref"))
     )
 
-    combined = (
-        l.join(same, F.col("l.__rid") == F.col("s.__srid"), "left")
-        .join(
-            prefix,
-            (F.col(f"l.{by}") == F.col(f"p.{by}"))
-            & (F.col("l.__bkt") == F.col("p.__bkt")),
+    # Candidate union: real same-bucket right rows + one prefix pseudo-row
+    # per (by, left-bucket). Bucket-order preservation makes prefix rows
+    # valid unconditionally (their __on is strictly earlier than any
+    # same-bucket left timestamp), so the union covers every possible
+    # best match exactly once.
+    cands = (
+        r.select(
+            F.col(f"r.{by}").alias(by),
+            F.col("r.__bkt").alias("__bkt"),
+            _right_struct(on, value_cols, "r.").alias("__c"),
+            F.lit(False).alias("__pref"),
+        )
+        .unionByName(prefix)
+        .alias("c")
+    )
+
+    # ONE equi-join on (by, bucket) — fan-out bounded by per-bucket right
+    # rows + 1 — then ONE groupBy keyed by __rid (duplicate left rows
+    # preserved; all left columns ride along in the grouping keys).
+    best = (
+        l.join(
+            cands,
+            (F.col(f"l.{by}") == F.col(f"c.{by}"))
+            & (F.col("l.__bkt") == F.col("c.__bkt"))
+            & (F.col("c.__pref") | (F.col("c.__c.__on") <= F.col(f"l.{on}"))),
             "left",
         )
-        # greatest skips NULL candidates; same-bucket beats earlier-bucket
-        # by timestamp order anyway, so this is just NULL handling
-        .withColumn("__best", F.greatest("__c1", "__c2"))
-        .select(*[F.col(f"l.{c}") for c in lc], "__best")
+        .groupBy(F.col("l.__rid"), *[F.col(f"l.{c}") for c in lc])
+        .agg(F.max(F.col("c.__c")).alias("__best"))
     )
-    return _expand_best(combined, lc, on, value_cols, suffix)
+    return _expand_best(best, lc, on, value_cols, suffix)
 
 
 def asof_join_pandas(
