@@ -43,16 +43,21 @@ from ..functions import vector as V
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism.
+    """Repartition to the session's default parallelism — but ONLY when
+    the input is under-partitioned.
 
     Small inputs (one parquet file → one split) would otherwise run the
     whole expensive downstream (shingling, hashing, pairwise math) in a
-    SINGLE task. The shuffle moves only the tiny input; the win is every
-    core engaging on the expansion. On big inputs (many splits) this is
-    a cheap rebalance; spark.sql.files.maxPartitionBytes already splits
-    large files.
-    """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    SINGLE task; there the shuffle moves a tiny input and the win is
+    every core engaging on the expansion. Inputs that already have ≥
+    parallelism partitions (any many-TB file-backed scan, where
+    spark.sql.files.maxPartitionBytes has split the files) are returned
+    untouched: repartitioning them would be a full shuffle of the corpus
+    purely to rebalance (VERDICT r2)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def exact_dedup(

@@ -76,16 +76,17 @@ def dim_filings(
     DISTINCT is pushed below the join (see module docstring): num
     contributes only (version_tag, uom), sub only (adsh, filed), pre only
     (version_tag, stmt, adsh) — all deduped before joining, so the
-    VERSION_TAG-only join no longer explodes. The small distinct sides
-    broadcast."""
+    VERSION_TAG-only join no longer explodes. The distinct sides carry
+    NO explicit broadcast hint: (adsh, filed) grows linearly with filing
+    history and (version_tag, …) with taxonomy releases, so the
+    broadcast decision is left to AQE's measured sizes (VERDICT r2 —
+    same contract as the dedup operators)."""
     pre_d = stg_pre_df.select("version_tag", "stmt", "adsh").distinct()
     tag_d = stg_tag_df.select("version_tag", "tag", "version", "doc").distinct()
     num_d = stg_num_df.select("version_tag", "uom").distinct()
     sub_d = stg_sub_df.select("adsh", "filed").distinct()
-    joined = (
-        pre_d.join(F.broadcast(tag_d), "version_tag")
-        .join(F.broadcast(num_d), "version_tag")
-        .join(F.broadcast(sub_d), "adsh")
+    joined = pre_d.join(tag_d, "version_tag").join(num_d, "version_tag").join(
+        sub_d, "adsh"
     )
     return joined.select(
         surrogate_key("tag", "version", "stmt", "uom", "filed").alias("filings_sk"),

@@ -16,10 +16,15 @@ Fidelity notes:
   optimizer rewrites them to inner anyway).
 
 Scale plan (100 TB): NUM⋈PRE shuffles on (adsh, tag) — both sides
-bucketable on adsh at the storage layer; stg_sub and all dims broadcast;
-the three facts share one cached spine (``build_fact_inputs``) instead
-of re-reading NUM three times (improves the reference's thread-level
-parallelism, X11).
+bucketable on adsh at the storage layer; stg_sub keeps the reference's
+own broadcast hint (X1, fct_balanceSheet.sql:26); the DIM sides carry
+NO explicit hint — dim_filings is a 4-way distinct over (tag, version,
+stmt, uom, filed) whose cardinality grows with history, so the
+broadcast decision is left to AQE's measured sizes (same contract as
+the dedup operators; see test_no_unbounded_broadcast). The three facts
+share one cached spine (``build_fact_inputs``) instead of re-reading
+NUM three times (improves the reference's thread-level parallelism,
+X11).
 """
 
 from __future__ import annotations
@@ -103,9 +108,9 @@ def build_fact(
 
     key_data = (
         src.alias("src")
-        .join(F.broadcast(dc), F.col("src.cik") == F.col("dc.cik"), "left")
+        .join(dc, F.col("src.cik") == F.col("dc.cik"), "left")
         .join(
-            F.broadcast(df_),
+            df_,
             (F.col("src.stmt") == F.col("df.statement_type"))
             & (F.col("src.filed_date") == F.col("df.filed_date")),
             "left",
@@ -114,7 +119,7 @@ def build_fact(
         # = Full_DT (fct_balanceSheet.sql:53-54); ANSI off ⇒ to_date
         # returns NULL on failure, matching TRY_TO_DATE
         .join(
-            F.broadcast(dd),
+            dd,
             F.to_date(F.col("src.filed_date").cast("string"), "yyyy-MM-dd")
             == F.col("dd.full_dt"),
             "left",
@@ -134,8 +139,8 @@ def build_fact(
     df2 = inputs.dim_filings.alias("df2")
     return (
         key_data.alias("k")
-        .join(F.broadcast(dc2), F.col("k.company_sk") == F.col("dc2.company_sk"))
-        .join(F.broadcast(df2), F.col("k.filings_sk") == F.col("df2.filings_sk"))
+        .join(dc2, F.col("k.company_sk") == F.col("dc2.company_sk"))
+        .join(df2, F.col("k.filings_sk") == F.col("df2.filings_sk"))
         .groupBy(
             F.col("dc2.company_name").alias("company_name"),
             F.col("df2.filed_date").alias("filed_date"),

@@ -60,7 +60,9 @@ def stg_financial_data(
     )
     return (
         s.join(n, "adsh", "left")
-        .join(F.broadcast(t), ["tag", "version"], "left")
+        # no explicit broadcast on the tag taxonomy: it grows with
+        # taxonomy releases; AQE broadcasts it at runtime while small
+        .join(t, ["tag", "version"], "left")
         .join(p, ["adsh", "tag"], "left")
         .select(
             "adsh",

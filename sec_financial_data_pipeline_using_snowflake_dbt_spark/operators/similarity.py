@@ -146,6 +146,11 @@ def ivf_assign(
     Scale shape per iteration: one broadcast of the centroid table (tiny)
     + one linear scan scoring each vector against k centroids + one
     groupBy(cell) mean with map-side combine. No all-pairs term anywhere.
+    Between iterations the centroid table (n_centroids rows) is collected
+    to the driver and rebuilt as a literal-backed DataFrame — the same
+    move MLlib's KMeans makes — so each iteration's plan starts from
+    literals instead of embedding every prior iteration's scan (constant
+    lineage depth; VERDICT r2).
     """
     c = corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     centroids = (
@@ -169,6 +174,8 @@ def ivf_assign(
             .select("id", "v", "cell")
         )
 
+    spark = corpus.sparkSession
+    cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
     for _ in range(n_iters):
         assigned = assign(c, centroids)
         # new centroid = element-wise mean of member vectors
@@ -184,7 +191,11 @@ def ivf_assign(
                 "cell", F.transform(F.col("pm"), lambda s: s.m).alias("cvec")
             )
         )
-        centroids = means
+        # materialize the (tiny) centroid table and restart its lineage
+        # from literals: one job per Lloyd iteration, constant plan depth
+        centroids = spark.createDataFrame(
+            [(r.cell, list(r.cvec)) for r in means.collect()], cent_schema
+        )
     return assign(c, centroids), centroids
 
 

@@ -26,6 +26,30 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _launcher_master_configured() -> bool:
+    """True iff a launcher (spark-submit / YARN / K8s / pyspark shell)
+    already decided spark.master for this process.
+
+    Three signals, any of which wins:
+    - PYSPARK_GATEWAY_PORT: the JVM was started by spark-submit and this
+      Python process attached to its gateway — master is already fixed.
+    - ``--master`` in PYSPARK_SUBMIT_ARGS: Python will launch the JVM
+      with an explicit master (pyspark shell / bare ``python app.py``).
+    - spark.master present in the default SparkConf (spark-defaults.conf
+      or -Dspark.master system properties).
+    """
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return True
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf(loadDefaults=True).contains("spark.master")
+    except Exception:  # pragma: no cover — no JVM yet and no conf readable
+        return False
+
+
 def get_spark(
     app_name: str = "secspark",
     cpus: int | None = None,
@@ -43,12 +67,17 @@ def get_spark(
     builder = SparkSession.builder
     # master resolution: explicit env override > launcher-provided
     # (spark-submit --master / YARN / K8s) > local[cpus] fallback. The
-    # builder must NOT unconditionally set local[] — it would override
-    # the cluster manager a launcher configured.
+    # builder must NOT set local[] when a launcher already configured a
+    # master. PYSPARK_SUBMIT_ARGS only exists when Python launches the
+    # JVM itself; under `spark-submit app.py` the driver attaches to an
+    # existing gateway (PYSPARK_GATEWAY_PORT set) and spark.master is in
+    # the loaded SparkConf — check both (ADVICE r2).
     master_env = os.environ.get("SPARK_GRAFT_MASTER")
     if master_env:
         builder = builder.master(master_env)
-    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+    elif _launcher_master_configured():
+        pass  # respect the cluster manager the launcher configured
+    else:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.appName(app_name)

@@ -27,16 +27,32 @@ import zipfile
 
 _HREF_ZIP = re.compile(r"""href=["']([^"']+\.zip)["']""", re.IGNORECASE)
 
+#: Network timeout for every urlopen — a stalled server must fail the
+#: acquisition task, not hang it forever (ADVICE r2).
+FETCH_TIMEOUT_SECONDS = 60.0
 
-def find_zip_links(index_url: str, pattern: str | None = None) -> list[str]:
+
+def _url_basename(url: str) -> str:
+    return os.path.basename(urllib.parse.urlparse(url).path)
+
+
+def find_zip_links(
+    index_url: str, pattern: str | None = None, basename: str | None = None
+) -> list[str]:
     """All ``.zip`` hrefs in the document at ``index_url``, resolved to
-    absolute URLs, optionally filtered by a substring ``pattern``
-    (≙ the reference's ``required_zip`` quarter filter)."""
-    with urllib.request.urlopen(index_url) as resp:  # noqa: S310 — caller-supplied source
+    absolute URLs. ``pattern`` filters by substring (≙ the reference's
+    ``required_zip`` quarter filter); ``basename`` filters by EXACT URL
+    basename — the anchored form callers should prefer, since a
+    substring like ``2024q1.zip`` also matches ``pre2024q1.zip``."""
+    with urllib.request.urlopen(  # noqa: S310 — caller-supplied source
+        index_url, timeout=FETCH_TIMEOUT_SECONDS
+    ) as resp:
         html = resp.read().decode("utf-8", errors="replace")
     links = [urllib.parse.urljoin(index_url, m) for m in _HREF_ZIP.findall(html)]
     if pattern:
         links = [u for u in links if pattern in u]
+    if basename:
+        links = [u for u in links if _url_basename(u) == basename]
     return links
 
 
@@ -48,7 +64,9 @@ def fetch_to_landing(url: str, landing_dir: str, filename: str | None = None) ->
     if not name:
         raise ValueError(f"cannot derive a filename from {url!r}")
     dest = os.path.join(landing_dir, name)
-    with urllib.request.urlopen(url) as resp, open(dest, "wb") as out:  # noqa: S310
+    with urllib.request.urlopen(  # noqa: S310
+        url, timeout=FETCH_TIMEOUT_SECONDS
+    ) as resp, open(dest, "wb") as out:
         while chunk := resp.read(1 << 20):
             out.write(chunk)
     return dest
@@ -83,8 +101,12 @@ def acquire_quarter(
 ) -> list[str]:
     """End-to-end S1: find the quarter's archive on the index page,
     download it, extract the TSVs into ``landing_dir`` (ready for
-    ``tsv.read_sec_quarter``), and drop the archive."""
-    links = find_zip_links(index_url, pattern=f"{year_quarter}.zip")
+    ``tsv.read_sec_quarter``), and drop the archive.
+
+    The match is anchored on the URL basename — ``2024q1.zip`` must NOT
+    also pull ``pre2024q1.zip`` / ``fy2014-2024q1.zip`` into the same
+    landing dir (ADVICE r2)."""
+    links = find_zip_links(index_url, basename=f"{year_quarter}.zip")
     if not links:
         raise FileNotFoundError(f"no archive for {year_quarter} at {index_url}")
     extracted: list[str] = []

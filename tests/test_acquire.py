@@ -37,6 +37,11 @@ def site(tmp_path_factory):
         "<html><body>"
         '<a href="2023q4.zip">2023q4</a> '
         f'<a href="{zip_path.name}">2024q1</a> '
+        # decoys whose names merely CONTAIN the quarter: the anchored
+        # basename match must skip them (there is no file behind them,
+        # so accidentally matching would fail the download)
+        '<a href="pre2024q1.zip">pre</a> '
+        '<a href="fy2014-2024q1.zip">fy</a> '
         '<a href="notes.txt">notes</a>'
         "</body></html>"
     )
@@ -46,8 +51,13 @@ def site(tmp_path_factory):
 def test_find_zip_links_resolves_and_filters(site):
     index = f"file://{site}/index.html"
     all_links = find_zip_links(index)
-    assert len(all_links) == 2 and all(u.endswith(".zip") for u in all_links)
-    assert find_zip_links(index, pattern="2024q1") == [f"file://{site}/2024q1.zip"]
+    assert len(all_links) == 4 and all(u.endswith(".zip") for u in all_links)
+    # substring filter still matches the decoys…
+    assert len(find_zip_links(index, pattern="2024q1")) == 3
+    # …the anchored basename filter does not (ADVICE r2)
+    assert find_zip_links(index, basename="2024q1.zip") == [
+        f"file://{site}/2024q1.zip"
+    ]
 
 
 def test_fetch_and_extract(site, tmp_path_factory):

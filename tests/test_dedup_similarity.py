@@ -192,3 +192,21 @@ def test_stratified_sample_hash_rates_and_stability(spark, docs):
     # a stratum absent from fractions is dropped entirely (sampleBy parity)
     dropped = TO.stratified_sample_hash(docs, "lang", {"de": 1.0})
     assert {r.lang for r in dropped.select("lang").distinct().collect()} == {"de"}
+
+
+def test_spread_skips_already_parallel_input(spark, docs):
+    """_spread must not re-shuffle an input that already has >= default
+    parallelism partitions — at corpus scale that is a full shuffle whose
+    only effect is rebalancing (VERDICT r2). Under-partitioned inputs
+    still get spread across the cores."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        _spread,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(par + 4)
+    assert _spread(wide) is wide  # untouched: no Exchange added
+    narrow = docs.coalesce(1)
+    spread = _spread(narrow)
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() == par

@@ -300,3 +300,18 @@ def test_json_document_roundtrip(spark, raw):
         for r in docs.collect()
     }
     assert back == orig
+
+
+def test_fact_plan_single_broadcast_hint(spark, raw):
+    """The SEC fact path carries exactly ONE explicit broadcast hint —
+    the reference's own stg_sub hint (X1, fct_balanceSheet.sql:26). The
+    dim sides (dim_company/dim_filings/dim_date) must be hint-free:
+    dim_filings' cardinality grows with filing history, so the
+    broadcast decision belongs to AQE's measured sizes (VERDICT r2)."""
+    inputs = FCT.build_fact_inputs(
+        spark, raw["sub"], raw["tag"], raw["num"], raw["pre"], cache=False
+    )
+    fact = FCT.build_fact(inputs, "BS")
+    logical = fact._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1, logical
+    assert "UnresolvedHint" not in logical

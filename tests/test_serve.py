@@ -42,6 +42,44 @@ def test_filter_widget_probe(orders):
     assert w["o_orderkey"]["kind"] == "range"
 
 
+def test_filter_widget_probe_two_jobs(spark, orders):
+    """The probe must run exactly two jobs however many columns exist:
+    one stats aggregate + one batched collect_set aggregate — never one
+    distinct job per categorical column (VERDICT r2)."""
+    orders.count()  # materialize the cache outside the job group
+    sc = spark.sparkContext
+    sc.setJobGroup("widget_probe", "widget probe job count")
+    # AQE splits one action into one job per query stage — turn it off so
+    # job count == action count for the assertion
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        w = serve.filter_widget_probe(orders)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("widget_probe")
+    assert len(jobs) <= 2, f"expected <=2 jobs, ran {len(jobs)}"
+    assert w["o_orderstatus"]["values"]  # categorical values still arrive
+
+
+def test_result_cache_fetch_nested_map_schema(spark):
+    """Columns transitively containing maps (array<map>, struct-with-map)
+    are excluded from the cache's sort key instead of crashing orderBy
+    (ADVICE r2)."""
+    df = spark.sql(
+        "SELECT x AS k, array(map('a', x)) AS am,"
+        " named_struct('m', map('b', x), 'y', x) AS sm"
+        " FROM range(5) t(x)"
+    )
+    cache = serve.ResultCache(ttl_seconds=60)
+    rows = cache.fetch(df, limit=3)
+    assert len(rows) == 3
+    assert [r.k for r in rows] == [0, 1, 2]  # sorted by the orderable column
+    df_all_maps = spark.sql("SELECT map('a', x) AS m FROM range(5) t(x)")
+    assert len(cache.fetch(df_all_maps, limit=2)) == 2  # unsorted fallback
+
+
 def test_guarded_sql_allows_queries(spark, orders):
     orders.createOrReplaceTempView("orders_serve")
     df = serve.guarded_sql(spark, "SELECT count(*) AS n FROM orders_serve")
