@@ -10,11 +10,14 @@ This is the 100 TB-scale plumbing for multimodal training data:
   ``mapInPandas`` stages: per-partition Arrow batches, no per-row
   Python overhead, memory bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch``;
-- real codecs (PIL/librosa/av) are not in this container, so decoding
-  is STUBBED: header-sniffing + a deterministic fake decoder behind
-  ``use_real_codecs`` (raises NotImplementedError when requested). The
-  Spark-side contract — schemas, batch iteration, partitioning — is
-  real and tested.
+- format sniffing AND image dimensions are REAL byte parsing (PNG IHDR,
+  GIF logical screen descriptor, JPEG SOFn scan — no codec library
+  needed); only pixel-level statistics (mean_luma) and video frame
+  decode remain stubbed behind a deterministic fake, since the actual
+  codecs (PIL/librosa/av) are not in this container
+  (``use_real_codecs=True`` raises NotImplementedError). The Spark-side
+  contract — schemas, batch iteration, partitioning — is real and
+  tested.
 
 ``spark.read.format("binaryFile")`` is the ingestion path for loose
 files (reference's S2 ZIP-extract analogue for media); ``pack_assets``
@@ -89,15 +92,70 @@ def pack_assets(binary_files: DataFrame) -> DataFrame:
     )
 
 
+def _jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segments to the first SOFn frame header (C0-CF except
+    the non-frame C4/C8/CC): height/width are big-endian u16 at offsets
+    +5/+7 from the marker (after the 2-byte length and 1-byte sample
+    precision)."""
+    i, n = 2, len(b)
+    while i + 9 <= n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            height = struct.unpack(">H", b[i + 5 : i + 7])[0]
+            width = struct.unpack(">H", b[i + 7 : i + 9])[0]
+            return (width, height)
+        i += 2 + seg_len
+    return None
+
+
+def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) by REAL header parsing — PNG IHDR, GIF logical
+    screen descriptor, JPEG SOFn — pure stdlib byte inspection, no codec
+    library. None when the payload isn't a recognized image or is
+    truncated before its header."""
+    if (
+        payload.startswith(b"\x89PNG\r\n\x1a\n")
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return (w, h)
+    if payload.startswith(b"GIF8") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h)
+    if payload.startswith(b"\xff\xd8\xff"):
+        return _jpeg_dimensions(payload)
+    return None
+
+
 def _fake_decode_image(payload: bytes) -> dict[str, Any]:
-    """Deterministic fake decoder: derives stable pseudo-dimensions and a
-    luma statistic from the payload hash. Replaced by PIL in a real
-    deployment; the schema and batch shape are the contract."""
+    """Image features: REAL header-derived width/height where the bytes
+    carry them (parse_image_dimensions); only mean_luma — which needs
+    actual pixel decode — is a deterministic hash-derived fake, replaced
+    by PIL in a real deployment."""
     h = hashlib.sha256(payload).digest()
-    w = 64 + struct.unpack(">H", h[0:2])[0] % 1984  # 64..2047
-    ht = 64 + struct.unpack(">H", h[2:4])[0] % 1984
+    dims = parse_image_dimensions(payload)
+    if dims is None:  # unrecognized/truncated header: stable pseudo-dims
+        dims = (
+            64 + struct.unpack(">H", h[0:2])[0] % 1984,  # 64..2047
+            64 + struct.unpack(">H", h[2:4])[0] % 1984,
+        )
     mean_luma = h[4] / 255.0
-    return {"width": w, "height": ht, "mean_luma": mean_luma}
+    return {"width": dims[0], "height": dims[1], "mean_luma": mean_luma}
 
 
 IMAGE_FEATURE_SCHEMA = (

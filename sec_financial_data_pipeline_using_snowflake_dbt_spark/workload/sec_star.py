@@ -55,6 +55,14 @@ def synth_sec_raw(
         ),
         F.lit(None).cast("timestamp_ntz").alias("accepted"),
         F.concat(F.col("s_name"), F.lit("-2024q1.xml")).alias("instance"),
+        # json_transform inputs (stg_financial_data): period NULL every
+        # 5th filing exercises the handle_null_dates macro path
+        F.when(sk % 5 == 0, F.lit(None))
+        .otherwise(F.date_add(F.lit("2023-12-31").cast("date"), (sk % 4).cast("int")))
+        .alias("period"),
+        (F.lit(2023) + sk % 2).cast("int").alias("fy"),
+        F.when(sk % 2 == 0, F.lit("Q1")).otherwise(F.lit("FY")).alias("fp"),
+        (F.lit(3571) + sk % 10).cast("int").alias("sic"),
     )
 
     rk = F.col("r_regionkey")
@@ -232,3 +240,129 @@ def q_sec_fact_bs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEC_QUERIES["q_sec_fact_bs"] = q_sec_fact_bs
 SEC_ORACLES["q_sec_fact_bs"] = _SEC_FACT_BS_SQL
+
+
+# ---------------------------------------------------------------------------
+# The reference's SECOND dbt project as a driver query:
+# stg_financial_data → financial_statements_json (reference:
+# Airflow/json_transform/models/staging/stg_financial_data.sql:1-67,
+# models/json/financial_statements_json.sql:6-25). The nested per-filing
+# document is exploded back to one row per financial_data entry WITH its
+# array position, so the oracle checks the deterministic array order too:
+# Spark's array_sort compares struct fields NULLS FIRST, hence the
+# explicit NULLS FIRST on every ROW_NUMBER sort key below.
+# ---------------------------------------------------------------------------
+_ENTRY_ORDER = ", ".join(
+    f"{c} NULLS FIRST"
+    for c in (
+        "tag",
+        "tag_label",
+        "tag_description",
+        "numeric_value",
+        "unit_of_measure",
+        "period_end_date",
+        "quarters_duration",
+        "statement_type",
+        "presentation_label",
+    )
+)
+
+_SEC_JSON_DOC_SQL = f"""
+WITH sub AS (
+  SELECT 'A-' || CAST(s_suppkey AS VARCHAR) AS adsh,
+         CAST(s_suppkey AS BIGINT) AS cik,
+         s_name AS name,
+         DATE '2024-01-01' + CAST(s_suppkey % 60 AS INTEGER) AS filed,
+         CAST(2023 + s_suppkey % 2 AS INTEGER) AS fy,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'Q1' ELSE 'FY' END AS fp,
+         CAST(3571 + s_suppkey % 10 AS INTEGER) AS sic
+  FROM supplier
+),
+tagt AS (
+  SELECT 'T' || CAST(r_regionkey AS VARCHAR) AS tag, 'v2024' AS version,
+         CASE WHEN r_regionkey = 0 THEN NULL ELSE 'label ' || r_name END AS tlabel,
+         CASE WHEN r_regionkey = 4 THEN NULL ELSE 'doc ' || r_name END AS doc
+  FROM region
+),
+num AS (
+  SELECT 'A-' || CAST(l_suppkey AS VARCHAR) AS adsh,
+         'T' || CAST(l_partkey % 5 AS VARCHAR) AS tag,
+         'v2024' AS version,
+         CAST(l_shipdate AS DATE) AS ddate,
+         CAST(l_linenumber % 4 AS INTEGER) AS qtrs,
+         'USD' AS uom,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS value
+  FROM lineitem
+),
+pre AS (
+  SELECT DISTINCT adsh,
+         CASE WHEN tag IN ('T0','T1') THEN 'BS'
+              WHEN tag IN ('T2','T3') THEN 'IS' ELSE 'CF' END AS stmt,
+         tag, 'v2024' AS version, 'p-' || tag AS plabel
+  FROM num
+),
+staged AS (
+  SELECT s.adsh, s.cik, s.filed AS filing_date, s.fy AS fiscal_year,
+         s.fp AS fiscal_period, s.name AS company_name, s.sic,
+         n.tag, n.ddate AS period_end_date, n.qtrs AS quarters_duration,
+         n.uom AS unit_of_measure, n.value AS numeric_value,
+         t.tlabel AS tag_label, t.doc AS tag_description,
+         p.stmt AS statement_type, p.plabel AS presentation_label
+  FROM sub s
+  LEFT JOIN num n ON s.adsh = n.adsh
+  LEFT JOIN tagt t ON n.tag = t.tag AND n.version = t.version
+  LEFT JOIN pre p ON n.adsh = p.adsh AND n.tag = p.tag
+)
+SELECT adsh AS filing_id, company_name,
+       CAST(cik AS BIGINT) AS cik, CAST(sic AS BIGINT) AS sic,
+       CAST(filing_date AS VARCHAR) AS filing_date,
+       CAST(fiscal_year AS BIGINT) AS fiscal_year, fiscal_period,
+       CAST(ROW_NUMBER() OVER (PARTITION BY adsh ORDER BY {_ENTRY_ORDER}) - 1
+            AS BIGINT) AS entry_idx,
+       tag, tag_label, tag_description,
+       CAST(numeric_value AS DOUBLE) AS value, unit_of_measure,
+       CAST(period_end_date AS VARCHAR) AS period_end_date,
+       CAST(quarters_duration AS BIGINT) AS quarters_duration,
+       statement_type, presentation_label
+FROM staged
+"""
+
+
+def q_sec_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import json_doc as JD
+
+    sub, tag, num, pre = synth_sec_raw(spark, sf_dir)
+    staged = JD.stg_financial_data(sub, num, tag, pre)
+    docs = JD.financial_statements_json(staged, deterministic=True)
+    return docs.select(
+        "filing_id",
+        F.col("company_info.company_name").alias("company_name"),
+        F.col("company_info.cik").cast("long").alias("cik"),
+        F.col("company_info.sic").cast("long").alias("sic"),
+        F.col("filing_date").cast("string").alias("filing_date"),
+        F.col("fiscal_year").cast("long").alias("fiscal_year"),
+        "fiscal_period",
+        F.posexplode("financial_data").alias("entry_idx", "e"),
+    ).select(
+        "filing_id",
+        "company_name",
+        "cik",
+        "sic",
+        "filing_date",
+        "fiscal_year",
+        "fiscal_period",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        F.col("e.tag").alias("tag"),
+        F.col("e.tag_label").alias("tag_label"),
+        F.col("e.tag_description").alias("tag_description"),
+        F.col("e.value").cast("double").alias("value"),
+        F.col("e.unit_of_measure").alias("unit_of_measure"),
+        F.col("e.period_end_date").cast("string").alias("period_end_date"),
+        F.col("e.quarters_duration").cast("long").alias("quarters_duration"),
+        F.col("e.statement_type").alias("statement_type"),
+        F.col("e.presentation_label").alias("presentation_label"),
+    )
+
+
+SEC_QUERIES["q_sec_json_doc"] = q_sec_json_doc
+SEC_ORACLES["q_sec_json_doc"] = _SEC_JSON_DOC_SQL

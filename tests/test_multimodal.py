@@ -95,3 +95,62 @@ def test_metadata_query_prunes_payload(assets, spark, media_dir):
     q = spark.read.parquet(out).select("asset_id", "meta.n_bytes")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_parse_image_dimensions_golden_headers():
+    """Real header parsing (VERDICT r2 task 5): PNG IHDR, GIF logical
+    screen, and JPEG SOF0 dimensions come from the actual bytes, not the
+    hash-derived fake."""
+    import struct as st
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.multimodal import (
+        parse_image_dimensions,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + st.pack(">I", 13)
+        + b"IHDR"
+        + st.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    assert parse_image_dimensions(png) == (640, 480)
+
+    gif = b"GIF89a" + st.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert parse_image_dimensions(gif) == (320, 200)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + bytes(9)  # APP0
+        + b"\xff\xc0" + st.pack(">H", 17) + b"\x08"                 # SOF0
+        + st.pack(">H", 480) + st.pack(">H", 640)
+        + b"\x03" + bytes(9)
+    )
+    assert parse_image_dimensions(jpeg) == (640, 480)  # (width, height)
+
+    assert parse_image_dimensions(b"\x89PNG\r\n\x1a\nshort") is None
+    assert parse_image_dimensions(b"plain text") is None
+
+
+def test_decode_image_features_uses_real_dimensions(spark, tmp_path_factory):
+    import struct as st
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = tmp_path_factory.mktemp("real_media")
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + st.pack(">I", 13)
+        + b"IHDR"
+        + st.pack(">II", 1024, 768)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    (d / "real.png").write_bytes(png)
+    assets = MM.pack_assets(
+        spark.read.format("binaryFile").load(str(d))
+    )
+    row = MM.decode_image_features(assets).collect()[0]
+    assert (row.width, row.height) == (1024, 768)
+    assert row.format == "png"
