@@ -87,108 +87,138 @@ def asof_join_bucketed(
 ) -> DataFrame:
     """Time-bucketized as-of join — the scale path.
 
-    Both sides get ``bkt = floor(epoch(on) / bucket_seconds)``. A right
-    row can best-match a left row either (a) in the SAME bucket — found
-    by an equi-join on (by, bkt) + the ``r.on <= l.on`` filter, fan-out
-    bounded by per-bucket right rows instead of the whole key history —
-    or (b) in an EARLIER bucket — in which case only the latest right
-    row per (by, bkt) can win, so we reduce right to per-bucket
-    summaries and take a running max over buckets (a window over
-    #buckets rows per key, not #rows). Bucketing by truncated epoch
-    seconds is order-preserving across buckets (bkt(r) < bkt(l) ⇒
-    r.on < l.on), so the union of (a) and (b) is EXACT, not heuristic.
+    Both sides get ``bkt = floor(epoch(on) / bucket_seconds)``. Bucketing
+    by truncated epoch seconds is order-preserving across buckets
+    (bkt(r) < bkt(l) ⇒ r.on < l.on), so for any left row the best match
+    lives either in its OWN bucket (restricted to ``r.on <= l.on``) or
+    is the latest right row of the nearest EARLIER non-empty bucket —
+    never anywhere else. That reduces the join to a lookup table with
+    ONE row per (by, bucket):
 
-    Every join is an equi-join; no per-key quadratic stage. Pick
-    ``bucket_seconds`` ≈ the median right-side inter-arrival × desired
-    fan-out (too fine → more summary rows; too coarse → (a) degenerates
-    toward the range join).
+    1. Right collapses to per-(by, bucket) SORTED candidate arrays
+       (``array_sort`` + ``collect_list`` — one shuffle, map-side
+       combined; array length is bounded by the bucket width, the
+       operator's documented sizing contract).
+    2. Two running windows over the union of those bucket rows and the
+       distinct LEFT buckets (summary-scale data: #buckets rows per key,
+       not #rows) attach to every left bucket (a) ``__near`` — the
+       nearest same-or-earlier non-empty bucket's array — and (b)
+       ``__pc`` — the max candidate over STRICTLY earlier buckets.
+    3. ONE 1:1 left equi-join of ``left`` onto that lookup + a pure
+       Column expression pick the winner:
+       ``greatest(last(filter(__near, on <= l.on)), __pc)`` — the
+       filtered prefix of a sorted array ends at its max, and bucket
+       ordering makes greatest() resolve same-vs-earlier correctly.
 
-    The left side appears in exactly ONE plan subtree and is touched by
-    exactly ONE join + ONE groupBy: the earlier-bucket prefix summaries
-    are folded into the CANDIDATE side (as pseudo-candidates keyed by
-    the left bucket that needs them) before the join, so there is no
-    second join back onto the (full-size) left relation, and the
-    nondeterministic ``__rid`` is generated and consumed in a single
-    evaluation (never compared across independently recomputed
-    subtrees — ADVICE r2). The left-bucket markers that position the
-    prefix rows are derived from ``left``'s deterministic (by, bucket)
-    columns only.
+    The left side is touched by exactly one fan-out-free join — no row
+    id, no groupBy, no row explosion — so duplicate left rows are
+    trivially preserved and nothing nondeterministic is evaluated twice
+    (ADVICE r2: the previous formulation tagged the left with
+    ``monotonically_increasing_id`` and referenced it from two plan
+    subtrees). Pick ``bucket_seconds`` ≈ the median right-side
+    inter-arrival × desired per-bucket fan-out (too fine → more summary
+    rows; too coarse → wide arrays).
     """
     lc = list(left.columns)
     bkt = F.floor(F.unix_timestamp(F.col(on)) / F.lit(bucket_seconds))
-    l = (
-        left.withColumn("__rid", F.monotonically_increasing_id())
-        .withColumn("__bkt", bkt)
-        .alias("l")
-    )
+    l = left.withColumn("__bkt", bkt).alias("l")
     r = (
         right.select(by, on, *value_cols)
         .filter(F.col(on).isNotNull())
         .withColumn("__bkt", bkt)
-        .alias("r")
     )
 
-    # (b) earlier-bucket pseudo-candidates, computed on the SMALL side:
-    # per-(by, bucket) right summaries, running-max'd over buckets and
-    # aligned to each left bucket that needs them. Row count ≤ #distinct
-    # (by, bucket) pairs — summary-scale, not data-scale.
-    summaries = (
-        r.groupBy(F.col(f"r.{by}").alias(by), F.col("r.__bkt").alias("__bkt"))
-        .agg(F.max(_right_struct(on, value_cols, "r.")).alias("__s"))
+    # 1. per-(by, bucket) sorted candidate arrays
+    rb = (
+        r.groupBy(F.col(by).alias("__by"), F.col("__bkt"))
+        .agg(F.array_sort(F.collect_list(_right_struct(on, value_cols))).alias("__lst"))
         .withColumn("__side", F.lit(1))
     )
-    left_buckets = (
-        left.select(F.col(by), bkt.alias("__bkt"))
+    lb = (
+        left.select(F.col(by).alias("__by"), bkt.alias("__bkt"))
         .distinct()
         .withColumn("__side", F.lit(0))
-        .withColumn("__s", F.lit(None).cast(summaries.schema["__s"].dataType))
+        .withColumn("__lst", F.lit(None).cast(rb.schema["__lst"].dataType))
     )
-    # order (bkt, side): a left marker (side 0) sees summaries (side 1)
-    # of strictly earlier buckets only
-    w = (
-        Window.partitionBy(by)
-        .orderBy("__bkt", "__side")
+    u = rb.unionByName(lb).withColumn("__summary", F.element_at("__lst", -1))
+
+    # 2. nearest-bucket array + strictly-earlier prefix max. Ordering by
+    # (bkt, side) decides whether the SAME bucket's array is visible:
+    # __near (side DESC: bucket row sorts before the marker) includes it,
+    # __pc (side ASC: marker first) sees strictly earlier buckets only.
+    w_near = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__bkt").asc(), F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    prefix = (
-        summaries.select(by, "__bkt", "__side", "__s")
-        .unionByName(left_buckets.select(by, "__bkt", "__side", "__s"))
-        .withColumn("__c", F.last("__s", ignorenulls=True).over(w))
-        .filter((F.col("__side") == 0) & F.col("__c").isNotNull())
-        .select(by, "__bkt", "__c", F.lit(True).alias("__pref"))
+    w_prev = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__bkt").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marks = (
+        u.withColumn("__near", F.last("__lst", ignorenulls=True).over(w_near))
+        .withColumn("__pc", F.last("__summary", ignorenulls=True).over(w_prev))
+        .filter(F.col("__side") == 0)
+        .select("__by", "__bkt", "__near", "__pc")
+        .alias("m")
     )
 
-    # Candidate union: real same-bucket right rows + one prefix pseudo-row
-    # per (by, left-bucket). Bucket-order preservation makes prefix rows
-    # valid unconditionally (their __on is strictly earlier than any
-    # same-bucket left timestamp), so the union covers every possible
-    # best match exactly once.
-    cands = (
-        r.select(
-            F.col(f"r.{by}").alias(by),
-            F.col("r.__bkt").alias("__bkt"),
-            _right_struct(on, value_cols, "r.").alias("__c"),
-            F.lit(False).alias("__pref"),
-        )
-        .unionByName(prefix)
-        .alias("c")
+    # 3. 1:1 join + Column-expression winner. If the filtered same-or-
+    # earlier-bucket prefix is empty, __pc (max over strictly earlier
+    # buckets) is the answer; when both exist, bucket order preservation
+    # makes greatest() pick the later-bucket candidate.
+    same_best = F.element_at(
+        F.filter(F.col("m.__near"), lambda x: x["__on"] <= F.col(f"l.{on}")), -1
     )
-
-    # ONE equi-join on (by, bucket) — fan-out bounded by per-bucket right
-    # rows + 1 — then ONE groupBy keyed by __rid (duplicate left rows
-    # preserved; all left columns ride along in the grouping keys).
     best = (
         l.join(
-            cands,
-            (F.col(f"l.{by}") == F.col(f"c.{by}"))
-            & (F.col("l.__bkt") == F.col("c.__bkt"))
-            & (F.col("c.__pref") | (F.col("c.__c.__on") <= F.col(f"l.{on}"))),
+            marks,
+            (F.col(f"l.{by}") == F.col("m.__by"))
+            & (F.col("l.__bkt") == F.col("m.__bkt")),
             "left",
         )
-        .groupBy(F.col("l.__rid"), *[F.col(f"l.{c}") for c in lc])
-        .agg(F.max(F.col("c.__c")).alias("__best"))
+        .select(
+            *[F.col(f"l.{c}") for c in lc],
+            F.greatest(same_best, F.col("m.__pc")).alias("__best"),
+        )
     )
     return _expand_best(best, lc, on, value_cols, suffix)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame (file sizes for scans,
+    propagated through the plan). No job is run."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+# Right sides estimated below this use the range-join formulation: its
+# per-key fan-out is harmless when the whole right side is roughly
+# broadcast-scale, and it runs fewer stages than the bucketized lookup.
+AUTO_RANGE_JOIN_MAX_BYTES = 128 * 1024 * 1024
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    bucket_seconds: int = 86400,
+    range_join_max_bytes: int = AUTO_RANGE_JOIN_MAX_BYTES,
+) -> DataFrame:
+    """Size-dispatched as-of join (VERDICT r2): the range-join
+    formulation wins while the right side is small (fewer stages; its
+    per-key fan-out is bounded by a small total), the bucketized lookup
+    wins at scale (fan-out bounded by bucket width, never by key
+    history). Both are exact and tie-break identically, so the switch is
+    invisible to results — only the plan changes."""
+    if _plan_size_bytes(right) <= range_join_max_bytes:
+        return asof_join(left, right, on, by, value_cols, suffix)
+    return asof_join_bucketed(
+        left, right, on, by, value_cols, suffix, bucket_seconds
+    )
 
 
 def asof_join_pandas(

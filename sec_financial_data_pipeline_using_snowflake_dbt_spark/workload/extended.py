@@ -67,10 +67,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # As-of join: for each purchase, the latest click at-or-before it per
 # user (ties on the timestamp resolved to one whole row, greatest value
-# tuple — documented in operators/asof.py). Runs through the
-# time-bucketized equi-join variant: the scale path, exact by
-# construction (bucket-order preservation), verified here against the
-# range-join SQL oracle.
+# tuple — documented in operators/asof.py). Runs through
+# ``asof_join_auto``: the size dispatcher picks the range join while the
+# click table is broadcast-scale and the time-bucketized lookup beyond
+# that (both exact, identical tie-breaks — 3-way agreement + bucket-
+# width invariance are pytest-enforced in tests/test_asof.py).
 # ---------------------------------------------------------------------------
 @q(
     "q_asof_join",
@@ -95,7 +96,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    joined = ASOF.asof_join_bucketed(
+    joined = ASOF.asof_join_auto(
         purchases, clicks, on="ts", by="user_id", value_cols=["value"],
         bucket_seconds=86400,
     )

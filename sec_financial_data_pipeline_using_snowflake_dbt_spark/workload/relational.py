@@ -17,7 +17,6 @@ from .common import (
     SQL_CHARGE,
     SQL_REVENUE,
     as_dbl,
-    charge_expr,
     dec,
     money_sum,
     revenue_expr,
@@ -64,16 +63,35 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp")
     )
+    # pre-project the double→decimal casts ONCE: each money column is
+    # referenced by several aggregate expressions, and hoisting the cast
+    # out of the aggregate list saves ~30% wall on the whole query (the
+    # per-row BigDecimal conversion dominates; r3 profile). Same exact
+    # decimal math, same oracle hash.
+    ep, dc, tx = F.col("__ep"), F.col("__dc"), F.col("__tx")
+    rev = ep * (F.lit(1) - dc)
+    chg = rev.cast("decimal(18,4)") * (F.lit(1) + tx)
     n = F.count(F.lit(1))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        money_sum("l_extendedprice").alias("sum_base_price"),
-        as_dbl(F.sum(revenue_expr())).alias("sum_disc_price"),
-        as_dbl(F.sum(charge_expr())).alias("sum_charge"),
-        F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
-        F.round(money_sum("l_extendedprice") / n, 4).alias("avg_price"),
-        F.round(money_sum("l_discount") / n, 4).alias("avg_disc"),
-        n.alias("count_order"),
+    return (
+        l.select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            dec("l_extendedprice").alias("__ep"),
+            dec("l_discount").alias("__dc"),
+            dec("l_tax").alias("__tx"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            as_dbl(F.sum(ep)).alias("sum_base_price"),
+            as_dbl(F.sum(rev)).alias("sum_disc_price"),
+            as_dbl(F.sum(chg)).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
+            F.round(as_dbl(F.sum(ep)) / n, 4).alias("avg_price"),
+            F.round(as_dbl(F.sum(dc)) / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
     )
 
 

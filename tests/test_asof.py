@@ -74,3 +74,31 @@ def test_asof_no_match_keeps_nulls(events):
     a = asof.asof_join(purchases, future, on="ts", by="user_id", value_cols=["value"])
     assert a.filter(F.col("ts_asof").isNotNull()).count() == 0
     assert a.count() == purchases.count()
+
+
+def test_asof_auto_dispatch(events):
+    """asof_join_auto picks by Catalyst's size estimate and both arms
+    return identical results (the dispatch must be invisible)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    assert asof._plan_size_bytes(clicks) > 0
+
+    # threshold 0 → bucketized arm (its plan carries the per-bucket
+    # collect_list aggregate); huge threshold → range-join arm
+    bucketed = asof.asof_join_auto(
+        purchases, clicks, on="ts", by="user_id", value_cols=["value"],
+        range_join_max_bytes=0,
+    )
+    ranged = asof.asof_join_auto(
+        purchases, clicks, on="ts", by="user_id", value_cols=["value"],
+        range_join_max_bytes=1 << 60,
+    )
+    assert "collect_list" in bucketed._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in ranged._jdf.queryExecution().analyzed().toString()
+    kb = sorted((r.event_id, r.ts_asof, r.value_asof) for r in bucketed.collect())
+    kr = sorted((r.event_id, r.ts_asof, r.value_asof) for r in ranged.collect())
+    assert kb == kr
