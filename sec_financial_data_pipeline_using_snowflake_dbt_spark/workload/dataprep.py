@@ -348,3 +348,64 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.stratified_sample_hash(docs, "lang", _SAMPLE_FRACTIONS).select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: minhash near-dup pairs → connected components →
+# canonical-doc selection (keep the minimum id per component). The
+# oracle replays the banded-minhash pair SQL and closes it transitively
+# with a recursive CTE — DuckDB walks reachability over the symmetric
+# edge set, so MIN(reachable id) is exactly the component minimum the
+# iterative min-label propagation converges to.
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], '␟')))) AS shingle
+      FROM tk
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(MD5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             MD5(STRING_AGG(CAST(seed AS VARCHAR) || '=' || minhash, '|'
+                 ORDER BY CAST(seed AS VARCHAR) || '=' || minhash)) AS sig
+      FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT id AS doc_id, MIN(node) AS cluster_id, MIN(node) = id AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3)
+    clusters = DD.dedup_clusters(pairs, nodes=docs.select("doc_id"))
+    return clusters.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("keep"),
+    )

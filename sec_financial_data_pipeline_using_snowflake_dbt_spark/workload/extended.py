@@ -149,17 +149,30 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal: synthesize image/video payloads from the documents table
-# (PNG magic + utf-8 text bytes), then run the Pandas-UDF decode and
-# frame-sample stages. Rows-only: the stub decoder is not SQL-expressible.
+# Multimodal: synthesize image/video payloads from the documents table,
+# then run the Pandas-UDF decode and frame-sample stages. The PNGs carry
+# a REAL IHDR chunk — width/height are built as big-endian u32 bytes with
+# unhex(lpad(hex(n))) Column expressions — so decode_image_features
+# reports true header-parsed dimensions, not hash-derived fakes (r3).
+# Rows-only: the pixel-stat stub is not SQL-expressible.
 # ---------------------------------------------------------------------------
+def _be_u32(c) -> object:
+    """Column: int → 4 big-endian bytes (for binary header synthesis)."""
+    return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+
 def _synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     png = docs.filter(F.col("doc_id") % 2 == 0).select(
         F.md5(F.col("doc_id").cast("string")).alias("asset_id"),
         F.lit("unknown").alias("modality"),
         F.concat(
-            F.lit(b"\x89PNG\r\n\x1a\n"), F.encode("text", "UTF-8")
+            F.lit(b"\x89PNG\r\n\x1a\n"),
+            F.lit(b"\x00\x00\x00\x0dIHDR"),
+            _be_u32(F.lit(64) + F.col("doc_id") % 1024),
+            _be_u32(F.lit(64) + F.col("n_chars") % 1024),
+            F.lit(b"\x08\x02\x00\x00\x00"),
+            F.encode("text", "UTF-8"),
         ).alias("payload"),
     )
     mp4 = docs.filter(F.col("doc_id") % 2 == 1).select(

@@ -31,6 +31,11 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_date_arith",
     "q_window_frames",
     "q_string_funcs",
+    # parked in r3 to make window room for q_dedup_clusters (iterative
+    # CC with a recursive-CTE oracle carries far more signal than
+    # another explode/array battery; posexplode stays covered by
+    # q_array_ops + pytest and by green rows in CORRECTNESS_r01/_r02)
+    "q_explode_pos",
 )
 
 _ALL_QUERIES: dict[str, object] = {
