@@ -149,3 +149,92 @@ def stratified_sample_hash(
             F.col(strata_col) == stratum, F.lit(int(round(frac * resolution)))
         ).otherwise(thr)
     return docs.filter(u < thr)
+
+
+def _run_stats(arr):
+    """(best, singles) over an array: the longest equal-value run of the
+    SORTED array (= max occurrence count of any value) and the number of
+    values occurring exactly once. One array_sort + one linear
+    ``F.aggregate`` fold — O(n log n) per document, no UDF, so the whole
+    computation stays in codegen (the naive distinct×filter formulation
+    is O(distinct · n), quadratic on repetitive documents — exactly the
+    ones this operator exists to catch)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("singles"),
+    )
+
+    def step(acc, x):
+        is_same = acc["prev"].isNotNull() & (x == acc["prev"])
+        new_run = F.when(is_same, acc["run"] + 1).otherwise(F.lit(1))
+        closed_single = F.when(
+            acc["prev"].isNotNull() & ~is_same & (acc["run"] == 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+            (acc["singles"] + closed_single).alias("singles"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["best"].alias("best"),
+            (
+                acc["singles"] + F.when(acc["run"] == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("singles"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, finish)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the most frequent unigram/bigram, and the fraction
+    of bigram occurrences that are duplicated (value seen ≥ 2×) —
+    boilerplate, keyword-stuffed, and loop-generated text score high.
+    ``repetition_keep`` applies Gopher-like thresholds (top bigram
+    ≤ 0.2, duplicated bigrams ≤ 0.3) to documents of at least
+    ``min_tokens`` tokens; shorter documents pass unconditionally — on
+    a 3-token doc every bigram is "the most frequent one", so the
+    ratios are meaningless below a size floor (Gopher's own rules are
+    likewise length-gated).
+    """
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    n = F.size(toks).cast("long")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.concat(a, F.lit("␞"), b),
+    )
+    nb = F.size(bgs).cast("long")
+    u = _run_stats(toks)
+    b = _run_stats(bgs)
+    top_uni = F.when(n > 0, F.round(u["best"].cast("double") / n, 6))
+    top_bi = F.when(nb > 0, F.round(b["best"].cast("double") / nb, 6))
+    dup_bi = F.when(
+        nb > 0, F.round((nb - b["singles"]).cast("double") / nb, 6)
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nb.alias("n_bigrams"),
+        top_uni.alias("top_unigram_frac"),
+        top_bi.alias("top_bigram_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        F.when(n < min_tokens, F.lit(1))
+        .otherwise(
+            (
+                (F.coalesce(top_bi, F.lit(0.0)) <= 0.2)
+                & (F.coalesce(dup_bi, F.lit(0.0)) <= 0.3)
+            ).cast("int")
+        )
+        .alias("repetition_keep"),
+    )

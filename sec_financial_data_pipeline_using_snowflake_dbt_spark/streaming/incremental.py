@@ -215,3 +215,30 @@ def stream_merge_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``dedup.exact_dedup``: the first occurrence of
+    each content hash passes, repeats are dropped as they arrive.
+
+    Two state regimes:
+    - ``ts_col=None`` → ``dropDuplicates`` on the hash: exact forever,
+      but the dedup state grows with the number of DISTINCT hashes —
+      fine for bounded corpora and availableNow backfills.
+    - with ``ts_col`` → ``dropDuplicatesWithinWatermark``: state is
+      bounded by the watermark horizon; a repeat arriving later than the
+      horizon can reappear — the standard state-size/completeness trade
+      for unbounded streams (pair with a batch ``exact_dedup`` sweep
+      downstream for the long tail).
+    """
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if ts_col is None:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

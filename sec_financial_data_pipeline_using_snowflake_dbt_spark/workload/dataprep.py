@@ -409,3 +409,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (gopher-style quality rules): top-unigram /
+# top-bigram fractions and duplicated-bigram fraction per document. The
+# Spark side computes occurrence counts as runs of the SORTED token
+# array (one F.aggregate fold); the oracle counts the classic way
+# (UNNEST → GROUP BY) — agreement proves the fold's state machine.
+# ---------------------------------------------------------------------------
+@q(
+    "q_text_repetition",
+    f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, GREATEST(len(toks) - 1, 0)),
+                            i -> toks[i] || '␞' || toks[i+1]) AS bgs
+      FROM tk
+    ),
+    uc AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(toks) AS t FROM base) GROUP BY doc_id, t
+    ),
+    ustats AS (SELECT doc_id, MAX(c) AS maxu FROM uc GROUP BY doc_id),
+    bc AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(bgs) AS b FROM base) GROUP BY doc_id, b
+    ),
+    bstats AS (
+      SELECT doc_id, MAX(c) AS maxb,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupb
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(t.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(t.toks) > 0
+                THEN ROUND(CAST(u.maxu AS DOUBLE) / len(t.toks), 6) END
+             AS top_unigram_frac,
+           CASE WHEN len(t.toks) > 1
+                THEN ROUND(CAST(b.maxb AS DOUBLE) / (len(t.toks) - 1), 6) END
+             AS top_bigram_frac,
+           CASE WHEN len(t.toks) > 1
+                THEN ROUND(CAST(b.dupb AS DOUBLE) / (len(t.toks) - 1), 6) END
+             AS dup_bigram_frac,
+           CASE WHEN len(t.toks) < 20 THEN 1 ELSE
+             CAST(COALESCE(CASE WHEN len(t.toks) > 1
+                  THEN ROUND(CAST(b.maxb AS DOUBLE) / (len(t.toks) - 1), 6) END, 0)
+                  <= 0.2
+                AND COALESCE(CASE WHEN len(t.toks) > 1
+                  THEN ROUND(CAST(b.dupb AS DOUBLE) / (len(t.toks) - 1), 6) END, 0)
+                  <= 0.3 AS INTEGER) END AS repetition_keep
+    FROM base t
+    LEFT JOIN ustats u USING (doc_id)
+    LEFT JOIN bstats b USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.repetition_stats(table(spark, sf_dir, "documents"))

@@ -36,6 +36,9 @@ TAIL_QUERIES: tuple[str, ...] = (
     # another explode/array battery; posexplode stays covered by
     # q_array_ops + pytest and by green rows in CORRECTNESS_r01/_r02)
     "q_explode_pos",
+    # r3 addition that arrived after the window filled: oracle-bearing,
+    # judge-verifiable outside the window (pytest covers the operator)
+    "q_text_repetition",
 )
 
 _ALL_QUERIES: dict[str, object] = {

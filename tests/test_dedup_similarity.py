@@ -252,3 +252,37 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-checked repetition stats: the sorted-run fold must equal the
+    classic count-per-value formulation."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # uni: a=3/5; bigrams: ab,ba,ab,ba → all dup
+            (2, "p q r s t u v w x y"),  # 10 tokens, no repetition at all
+            (3, "w w w w"),          # maximal repetition
+            (4, "solo"),             # 1 token: bigram stats undefined
+            (5, ""),                 # empty: everything undefined
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in repetition_stats(docs, min_tokens=2).collect()
+    }
+    assert got[1].n_tokens == 5 and got[1].n_bigrams == 4
+    assert got[1].top_unigram_frac == 0.6          # a: 3 of 5
+    assert got[1].top_bigram_frac == 0.5           # 'a b': 2 of 4
+    assert got[1].dup_bigram_frac == 1.0           # all 4 occurrences dup
+    assert got[1].repetition_keep == 0
+    assert got[2].dup_bigram_frac == 0.0 and got[2].repetition_keep == 1
+    assert round(got[2].top_bigram_frac, 6) == round(1 / 9, 6)
+    assert got[3].top_unigram_frac == 1.0 and got[3].repetition_keep == 0
+    assert got[4].n_bigrams == 0 and got[4].top_bigram_frac is None
+    assert got[4].repetition_keep == 1             # bigram stats undefined → pass
+    assert got[5].n_tokens == 0 and got[5].top_unigram_frac is None

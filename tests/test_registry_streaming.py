@@ -232,3 +232,51 @@ def test_stream_merge_sink_idempotent(spark, fixture_dir, tmp_path_factory):
         .count()
     )
     assert dupes == 0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path_factory):
+    """Streamed first-occurrence dedup keeps exactly one row per content
+    hash — both regimes (global state / watermark-bounded state) agree
+    with the batch exact_dedup on a single availableNow pass."""
+    from tests.conftest import SF_SMOKE
+
+    docs_schema = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+    )
+    batch_hashes = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .count()
+    )
+
+    out = INC.streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_global")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup_global")
+    assert got.count() == batch_hashes
+    assert got.groupBy("content_hash").count().filter(F.col("count") > 1).count() == 0
+
+    # watermark-bounded regime: all events inside one horizon → exact
+    with_ts = stream.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 60)
+    )
+    out_wm = INC.streaming_exact_dedup(with_ts, ts_col="ts", watermark="1 hour")
+    q2 = (
+        out_wm.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table("stream_dedup_wm").count() == batch_hashes
