@@ -29,6 +29,10 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERI
 # r2 additions (suite total is NOT comparable to r1's 16-query total;
 # compare per-query): q_sec_fact_bs (the real SEC staging→dims→fact
 # pipeline) and q_dedup_simhash (value-level banded rewrite).
+# r3 additions (same caveat): q_sec_json_doc (the second dbt project —
+# nested-doc build; cost is the per-filing collect_list, floor is the
+# 4-way staged join) and q_dedup_clusters (iterative connected
+# components; cost scales with rounds-to-convergence).
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -38,11 +42,13 @@ HEADLINE = [
     "q_window_topk",
     "q_fact_star_shape",
     "q_sec_fact_bs",
+    "q_sec_json_doc",
     "q_rollup",
     "q_sessionization",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_clusters",
     "q_dedup_simhash",
     "q_dedup_embedding",
     "q_ann_topk",
