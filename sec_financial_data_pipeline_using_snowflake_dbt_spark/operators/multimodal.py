@@ -10,11 +10,12 @@ This is the 100 TB-scale plumbing for multimodal training data:
   ``mapInPandas`` stages: per-partition Arrow batches, no per-row
   Python overhead, memory bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch``;
-- format sniffing AND image dimensions are REAL byte parsing (PNG IHDR,
-  GIF logical screen descriptor, JPEG SOFn scan — no codec library
-  needed); only pixel-level statistics (mean_luma) and video frame
-  decode remain stubbed behind a deterministic fake, since the actual
-  codecs (PIL/librosa/av) are not in this container
+- format sniffing, image dimensions AND wav audio metadata are REAL
+  byte parsing (PNG IHDR, GIF logical screen descriptor, JPEG SOFn
+  scan, RIFF fmt/data chunk walk — no codec library needed); only
+  pixel-level statistics (mean_luma), compressed-audio frames (mp3) and
+  video frame decode remain stubbed behind a deterministic fake, since
+  the actual codecs (PIL/librosa/av) are not in this container
   (``use_real_codecs=True`` raises NotImplementedError). The Spark-side
   contract — schemas, batch iteration, partitioning — is real and
   tested.
@@ -273,4 +274,97 @@ def classify_modality(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         batches, "asset_id string, modality string, format string"
+    )
+
+
+def parse_wav_header(payload: bytes) -> dict[str, int] | None:
+    """Canonical-WAV fmt/data chunk walk — REAL byte parsing, no codec:
+    (n_channels, sample_rate, bits_per_sample, n_data_bytes). None when
+    the payload isn't RIFF/WAVE or the fmt chunk is truncated."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data_bytes = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, rate = struct.unpack("<HI", body[2:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data_bytes = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    channels, rate, bits = fmt
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_data_bytes": data_bytes if data_bytes is not None else 0,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id string, format string, n_channels int, sample_rate int, "
+    "bits_per_sample int, duration_seconds double, n_bytes long"
+)
+
+
+def decode_audio_features(assets: DataFrame) -> DataFrame:
+    """Audio metadata as a ``mapInPandas`` stage. WAV headers are parsed
+    for REAL (duration = data bytes / byte rate); other audio formats
+    (mp3) report container-level info only — their frame parsing needs a
+    real codec and is the documented stub boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                modality, fmt = sniff_format(payload)
+                if modality != "audio":
+                    continue
+                row = {
+                    "asset_id": asset_id,
+                    "format": fmt,
+                    "n_channels": None,
+                    "sample_rate": None,
+                    "bits_per_sample": None,
+                    "duration_seconds": None,
+                    "n_bytes": len(payload),
+                }
+                if fmt == "wav" and (hdr := parse_wav_header(payload)):
+                    byte_rate = (
+                        hdr["sample_rate"]
+                        * hdr["n_channels"]
+                        * max(hdr["bits_per_sample"], 1)
+                        // 8
+                    )
+                    row.update(
+                        n_channels=hdr["n_channels"],
+                        sample_rate=hdr["sample_rate"],
+                        bits_per_sample=hdr["bits_per_sample"],
+                        duration_seconds=(
+                            round(hdr["n_data_bytes"] / byte_rate, 6)
+                            if byte_rate
+                            else None
+                        ),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "format", "n_channels", "sample_rate",
+                    "bits_per_sample", "duration_seconds", "n_bytes",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURE_SCHEMA
     )

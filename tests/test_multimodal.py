@@ -185,3 +185,25 @@ def test_q_multimodal_features_reports_header_dims(spark):
         ).count()
         == 0
     )
+
+
+def test_decode_audio_features_real_wav_header(spark, tmp_path_factory):
+    """WAV fmt/data chunks parse to real channel/rate/bits/duration."""
+    import struct as st
+
+    d = tmp_path_factory.mktemp("audio")
+    rate, channels, bits, seconds = 16000, 2, 16, 3
+    n_data = rate * channels * (bits // 8) * seconds
+    fmt_body = st.pack("<HHIIHH", 1, channels, rate,
+                       rate * channels * bits // 8, channels * bits // 8, bits)
+    wav = (
+        b"RIFF" + st.pack("<I", 36 + n_data) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + st.pack("<I", n_data) + bytes(64)  # payload truncated: header math only
+    )
+    (d / "t.wav").write_bytes(wav)
+    assets = MM.pack_assets(spark.read.format("binaryFile").load(str(d)))
+    row = MM.decode_audio_features(assets).collect()[0]
+    assert (row.n_channels, row.sample_rate, row.bits_per_sample) == (2, 16000, 16)
+    assert row.duration_seconds == 3.0
+    assert row.format == "wav"
