@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): the engine's composite operators
+against independent reference implementations in plain Python, over
+randomized inputs — catches edge shapes (ties, empty keys, singleton
+groups, pathological components) that fixed fixtures miss.
+
+Spark jobs per example are expensive, so each property runs a small
+number of GENEROUS examples (wide value ranges, dense tie probability)
+rather than hypothesis' default 100."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+    asof,
+    dedup as DD,
+    textops as TO,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small key/time domains → dense ties and repeated keys on purpose
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user (by key)
+        st.integers(0, 50),           # epoch seconds (on key)
+        st.integers(-5, 5),           # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _py_asof(left, right):
+    """Reference as-of: greatest (on, value) among right rows of the
+    same key with on <= l.on — the documented tie-break."""
+    out = []
+    for by, on in left:
+        cands = [(r_on, v) for r_by, r_on, v in right if r_by == by and r_on <= on]
+        best = max(cands) if cands else (None, None)
+        out.append((by, on, best[0], best[1]))
+    return sorted(out)
+
+
+@given(left=_events, right=_events, bucket=st.sampled_from([1, 7, 1000]))
+@settings(**_SETTINGS)
+def test_asof_variants_match_reference(spark, left, right, bucket):
+    ldf = spark.createDataFrame(
+        [(b, o) for b, o, _ in left] or [(0, 0)], "user_id int, epoch int"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"))
+    rdf = spark.createDataFrame(
+        right or [(99, 0, 0)], "user_id int, epoch int, value int"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value")
+
+    expected = _py_asof(
+        [(b, o) for b, o, _ in left] or [(0, 0)],
+        right or [(99, 0, 0)],
+    )
+    for fn in (
+        lambda l, r: asof.asof_join(l, r, on="ts", by="user_id", value_cols=["value"]),
+        lambda l, r: asof.asof_join_bucketed(
+            l, r, on="ts", by="user_id", value_cols=["value"], bucket_seconds=bucket
+        ),
+    ):
+        got = sorted(
+            (
+                r.user_id,
+                int(r.ts.timestamp()),
+                int(r.ts_asof.timestamp()) if r.ts_asof else None,
+                r.value_asof,
+            )
+            for r in fn(ldf, rdf).collect()
+        )
+        assert got == expected, f"{fn} bucket={bucket}"
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _py_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    nodes = sorted({0, 9} | {n for e in edges for n in e})
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs, nodes=ndf).collect()}
+    assert got == _py_components([(a, b) for a, b in edges], nodes)
+
+
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_repetition_fold_matches_counting(spark, texts):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in TO.repetition_stats(docs).collect()}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        bgs = [f"{a}␞{b}" for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r.n_tokens == len(toks) and r.n_bigrams == len(bgs)
+        if toks:
+            assert r.top_unigram_frac == round(
+                max(Counter(toks).values()) / len(toks), 6
+            )
+        else:
+            assert r.top_unigram_frac is None
+        if bgs:
+            c = Counter(bgs)
+            assert r.top_bigram_frac == round(max(c.values()) / len(bgs), 6)
+            dup = sum(v for v in c.values() if v >= 2)
+            assert r.dup_bigram_frac == round(dup / len(bgs), 6)
+        else:
+            assert r.top_bigram_frac is None and r.dup_bigram_frac is None
