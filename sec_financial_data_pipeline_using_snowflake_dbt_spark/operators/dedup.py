@@ -654,3 +654,27 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter a corpus to one canonical document per near-dup cluster —
+    the terminal step of the dedup pipeline (pairs → clusters → keep).
+
+    ``clusters`` is ``dedup_clusters`` output (id, cluster_id);
+    canonical = the row whose id IS its component's minimum. Documents
+    absent from ``clusters`` are kept (singleton semantics match
+    dedup_clusters' nodes-default). One semi-join, AQE-planned.
+    """
+    keep = clusters.filter(F.col("cluster_id") == F.col("id")).select("id")
+    missing = docs.select(F.col(id_col).alias("id")).join(
+        clusters.select("id"), "id", "left_anti"
+    )
+    return docs.join(
+        keep.unionByName(missing).withColumnRenamed("id", id_col),
+        id_col,
+        "left_semi",
+    )
