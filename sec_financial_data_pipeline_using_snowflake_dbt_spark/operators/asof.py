@@ -140,7 +140,7 @@ def asof_join_bucketed(
         .withColumn("__side", F.lit(0))
         .withColumn("__lst", F.lit(None).cast(rb.schema["__lst"].dataType))
     )
-    u = rb.unionByName(lb).withColumn("__summary", F.element_at("__lst", -1))
+    u = rb.unionByName(lb).withColumn("__summary", F.try_element_at("__lst", F.lit(-1)))
 
     # 2. nearest-bucket array + strictly-earlier prefix max. Ordering by
     # (bkt, side) decides whether the SAME bucket's array is visible:
@@ -168,8 +168,14 @@ def asof_join_bucketed(
     # earlier-bucket prefix is empty, __pc (max over strictly earlier
     # buckets) is the answer; when both exist, bucket order preservation
     # makes greatest() pick the later-bucket candidate.
-    same_best = F.element_at(
-        F.filter(F.col("m.__near"), lambda x: x["__on"] <= F.col(f"l.{on}")), -1
+    # try_element_at, not element_at: the filtered prefix is EMPTY when a
+    # left row's own bucket holds only later right rows, and plain
+    # element_at(arr, -1) on an empty array throws under ANSI mode (the
+    # Spark 4 default — this operator must work on sessions the engine
+    # didn't configure)
+    same_best = F.try_element_at(
+        F.filter(F.col("m.__near"), lambda x: x["__on"] <= F.col(f"l.{on}")),
+        F.lit(-1),
     )
     best = (
         l.join(

@@ -66,6 +66,18 @@ def release_dedup_caches() -> int:
     return n
 
 
+import re as _re
+
+#: Logical-plan shapes whose presence means the input contains a shuffle
+#: — its partitioning is spark.sql.shuffle.partitions-wide (already
+#: parallel), and probing it would execute the upstream stages.
+#: ``Repartition n, true`` is a shuffle repartition; ``…, false`` is a
+#: narrow coalesce (probe-safe, may still be under-partitioned).
+_SHUFFLY_PLAN = _re.compile(
+    r"\b(Join|Aggregate|Window|Sort|Deduplicate)\b|Repartition \d+, true"
+)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism — but ONLY when
     the input is under-partitioned.
@@ -74,11 +86,22 @@ def _spread(df: DataFrame) -> DataFrame:
     whole expensive downstream (shingling, hashing, pairwise math) in a
     SINGLE task; there the shuffle moves a tiny input and the win is
     every core engaging on the expansion. Inputs that already have ≥
-    parallelism partitions (any many-TB file-backed scan, where
-    spark.sql.files.maxPartitionBytes has split the files) are returned
-    untouched: repartitioning them would be a full shuffle of the corpus
-    purely to rebalance (VERDICT r2)."""
+    parallelism partitions are returned untouched: repartitioning them
+    would be a full shuffle of the corpus purely to rebalance
+    (VERDICT r2).
+
+    Probing discipline: for a plan that already contains a shuffle
+    (join/aggregate/window/…), ``df.rdd`` would EXECUTE the upstream
+    stages under AQE just to read a partition count — the probe would
+    cost more than the rebalance it avoids — so such inputs are
+    returned as-is (their partitioning is shuffle.partitions-wide
+    anyway). Only shuffle-free plans (file scans + narrow ops, where
+    ``df.rdd`` is a metadata-only question) are probed.
+    """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if _SHUFFLY_PLAN.search(plan):
+        return df
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
@@ -652,6 +675,18 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent wrong answers are worse than a loud stop: an
+        # unconverged run would report ONE true component as several
+        # "canonical" clusters and keep_canonical would retain
+        # near-duplicates while claiming to have deduped them
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); the pair graph contains a "
+            f"component with diameter > max_iters — raise max_iters, or "
+            f"switch to a large-star/small-star contraction for such graphs"
+        )
     edges.unpersist()
     return labels
 

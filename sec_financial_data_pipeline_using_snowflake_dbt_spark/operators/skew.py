@@ -19,11 +19,21 @@ from pyspark.sql import functions as F
 
 
 def deterministic_salt(cols: list[str | Column], buckets: int) -> Column:
-    """Salt in [0, buckets) as a PURE function of row content
-    (xxhash64) — never ``rand()``: a nondeterministic salt changes
-    value when a task retries, silently dropping or duplicating join
-    rows (the same class of bug as the as-of join's old row ids)."""
-    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+    """Salt in [0, buckets) as a retry-stable function of row content
+    AND the map partition id — never ``rand()``: a nondeterministic
+    salt changes value when a task retries, silently dropping or
+    duplicating join rows (the same class of bug as the as-of join's
+    old row ids). ``spark_partition_id()`` is stable under task retry
+    (the same partition re-executes with the same id) and rescues the
+    fully-duplicate-row case: a hot key whose rows are IDENTICAL across
+    the salt columns would otherwise hash to one bucket and defeat the
+    salting entirely; mixing the partition id spreads such rows across
+    at least as many buckets as the map partitions holding them (only
+    identical rows within one map partition still share a bucket —
+    bounded by one task's input, which is the acceptable floor)."""
+    return F.pmod(
+        F.xxhash64(*cols, F.spark_partition_id()), F.lit(buckets)
+    ).cast("int")
 
 
 def salted_join(

@@ -94,6 +94,9 @@ def filter_widget_probe(df: DataFrame, max_categories: int = 15) -> dict[str, di
     for name, dtype in df.dtypes:
         base = dtype.split("(")[0]
         aggs.append(F.approx_count_distinct(name).alias(f"{name}__card"))
+        # collect_set drops NULLs below — track the null category here so
+        # rows with NULL stay selectable through the derived filter
+        aggs.append(F.max(F.col(name).isNull()).alias(f"{name}__has_null"))
         if base in num_types or base in {"date", "timestamp", "timestamp_ntz"}:
             aggs.append(F.min(name).alias(f"{name}__min"))
             aggs.append(F.max(name).alias(f"{name}__max"))
@@ -114,7 +117,10 @@ def filter_widget_probe(df: DataFrame, max_categories: int = 15) -> dict[str, di
     widgets: dict[str, dict] = {}
     for name, dtype in df.dtypes:
         if name in cat_vals:
-            vals = sorted(map(str, cat_vals[name]))[:max_categories]
+            vals = list(map(str, cat_vals[name]))
+            if stats[f"{name}__has_null"]:
+                vals.append(str(None))  # parity with the old distinct() path
+            vals = sorted(vals)[:max_categories]
             widgets[name] = {"kind": "categorical", "values": vals}
         elif f"{name}__min" in stats:
             widgets[name] = {

@@ -26,17 +26,47 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _spark_defaults_has_master() -> bool:
+    """True iff spark-defaults.conf on disk sets spark.master. Needed
+    for the bare ``python app.py`` case: before any JVM exists,
+    pyspark's ``SparkConf(loadDefaults=True)`` degrades to an empty
+    Python dict (loadDefaults only reads JVM system properties), so the
+    file must be consulted directly — the same lookup order
+    spark-submit uses (SPARK_CONF_DIR, then SPARK_HOME/conf)."""
+    for conf_dir in (
+        os.environ.get("SPARK_CONF_DIR"),
+        os.path.join(os.environ.get("SPARK_HOME", ""), "conf"),
+    ):
+        if not conf_dir:
+            continue
+        path = os.path.join(conf_dir, "spark-defaults.conf")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line.startswith("spark.master") and (
+                        len(line) == len("spark.master")
+                        or line[len("spark.master")] in " \t="
+                    ):
+                        return True
+        except OSError:
+            continue
+    return False
+
+
 def _launcher_master_configured() -> bool:
     """True iff a launcher (spark-submit / YARN / K8s / pyspark shell)
     already decided spark.master for this process.
 
-    Three signals, any of which wins:
+    Signals, any of which wins:
     - PYSPARK_GATEWAY_PORT: the JVM was started by spark-submit and this
       Python process attached to its gateway — master is already fixed.
     - ``--master`` in PYSPARK_SUBMIT_ARGS: Python will launch the JVM
       with an explicit master (pyspark shell / bare ``python app.py``).
-    - spark.master present in the default SparkConf (spark-defaults.conf
-      or -Dspark.master system properties).
+    - spark.master in the JVM's default SparkConf (only meaningful once
+      a JVM exists — system properties set by the launcher).
+    - spark.master in spark-defaults.conf on disk (the pre-JVM
+      ``python app.py`` path, where the JVM SparkConf is unreadable).
     """
     if os.environ.get("PYSPARK_GATEWAY_PORT"):
         return True
@@ -45,9 +75,11 @@ def _launcher_master_configured() -> bool:
     try:
         from pyspark import SparkConf
 
-        return SparkConf(loadDefaults=True).contains("spark.master")
-    except Exception:  # pragma: no cover — no JVM yet and no conf readable
-        return False
+        if SparkConf(loadDefaults=True).contains("spark.master"):
+            return True
+    except Exception:  # pragma: no cover — conf bridge unavailable
+        pass
+    return _spark_defaults_has_master()
 
 
 def get_spark(

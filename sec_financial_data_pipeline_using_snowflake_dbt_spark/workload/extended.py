@@ -249,13 +249,94 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF approximate ANN (rows-only: the Lloyd-iteration quantizer is
-# deterministic but not reasonably SQL-expressible; the exact twin
-# q_ann_topk and the LSH twin q_ann_lsh are both oracle-checked).
+# IVF approximate ANN — fully oracle-checked (r3, was rows-only). The
+# quantizer is deterministic (lowest-id init, fixed Lloyd rounds), so the
+# oracle UNROLLS the same iterations as a CTE chain: assign → per-cell
+# elementwise mean → reassign → mean → final assign → probe → score.
+# Cross-engine reproducibility hinges on round_means: each centroid
+# coordinate is rounded to 6 dp after the mean step in BOTH engines,
+# which absorbs the order-nondeterministic last-ulp drift of a
+# distributed AVG (operators/similarity.py ivf_assign docstring).
+# list_distance (sqrt'd L2) vs Spark's squared L2 is argmin-equivalent.
 # ---------------------------------------------------------------------------
-@q("q_ann_ivf", None)
+def _ann_ivf_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    round_means: int = 6,
+    n_queries: int = 8,
+) -> str:
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.cvec) ASC,
+                                           c.cell ASC) AS rn
+        FROM e CROSS JOIN {cents} c) WHERE rn = 1
+    )"""
+
+    def means_cte(name: str, asgn: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cell, list(m ORDER BY i) AS cvec FROM (
+        SELECT a.cell, i.i AS i, ROUND(AVG(a.v[i.i]), {round_means}) AS m
+        FROM {asgn} a CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+        GROUP BY a.cell, i.i)
+      GROUP BY cell
+    )"""
+
+    ctes = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cvec
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})
+    )""",
+    ]
+    cents = "c0"
+    for it in range(1, n_iters + 1):
+        ctes.append(assign_cte(f"a{it}", cents))
+        ctes.append(means_cte(f"c{it}", f"a{it}"))
+        cents = f"c{it}"
+    final_assign = f"a{n_iters + 1}"
+    ctes.append(assign_cte(final_assign, cents))
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_distance(q.v, c.cvec) ASC,
+                                           c.cell ASC) AS rn
+        FROM e q CROSS JOIN {cents} c WHERE q.vec_id < {n_queries})
+      WHERE rn <= {n_probe}
+    )"""
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(p.qv, m.v), 3) AS cos
+      FROM {final_assign} m JOIN probes p USING (cell)
+      WHERE p.query_id <> m.vec_id
+    )"""
+    )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@q("q_ann_ivf", _ann_ivf_sql())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
-        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8, n_probe=3
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
+        n_probe=3, round_means=6,
     )

@@ -102,3 +102,26 @@ def test_asof_auto_dispatch(events):
     kb = sorted((r.event_id, r.ts_asof, r.value_asof) for r in bucketed.collect())
     kr = sorted((r.event_id, r.ts_asof, r.value_asof) for r in ranged.collect())
     assert kb == kr
+
+
+def test_asof_bucketed_empty_same_bucket_prefix_ansi(spark):
+    """A left row whose own bucket holds only LATER right rows filters
+    its bucket array to empty — try_element_at must return null (and the
+    earlier-bucket prefix win) instead of throwing under ANSI mode, the
+    Spark 4 default this engine doesn't control on foreign sessions."""
+    left = spark.createDataFrame([(1, 100)], "user_id int, epoch int").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 5), (1, 150, 7)], "user_id int, epoch int, value int"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = asof.asof_join_bucketed(
+            left, right, on="ts", by="user_id", value_cols=["value"],
+            bucket_seconds=100,  # left bkt=1 holds only ts=150 (> 100)
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert row.value_asof == 5  # the earlier-bucket row wins, no crash

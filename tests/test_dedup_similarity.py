@@ -286,3 +286,19 @@ def test_repetition_stats_known_values(spark):
     assert got[4].n_bigrams == 0 and got[4].top_bigram_frac is None
     assert got[4].repetition_keep == 1             # bigram stats undefined → pass
     assert got[5].n_tokens == 0 and got[5].top_unigram_frac is None
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """Exhausting max_iters with labels still moving must raise, never
+    return silently-wrong clusters (code-review r3 finding)."""
+    import pytest as _pytest
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iters=2)

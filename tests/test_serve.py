@@ -163,3 +163,15 @@ def test_drop_hidden_columns(spark):
     )
     out = serve.drop_hidden_columns(df)
     assert out.columns == ["name", "total"]
+
+
+def test_filter_widget_probe_keeps_null_category(spark):
+    """NULL must stay a selectable categorical value (collect_set drops
+    it; the has-null flag restores parity with the old distinct() path)."""
+    df = spark.createDataFrame(
+        [("A",), ("B",), (None,), ("A",)], "status string"
+    )
+    w = serve.filter_widget_probe(df)
+    assert w["status"]["kind"] == "categorical"
+    assert "None" in w["status"]["values"]
+    assert set(w["status"]["values"]) == {"A", "B", "None"}
