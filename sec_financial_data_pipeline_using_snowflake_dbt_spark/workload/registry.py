@@ -36,9 +36,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # another explode/array battery; posexplode stays covered by
     # q_array_ops + pytest and by green rows in CORRECTNESS_r01/_r02)
     "q_explode_pos",
-    # r3 addition that arrived after the window filled: oracle-bearing,
-    # judge-verifiable outside the window (pytest covers the operator)
-    "q_text_repetition",
+    # parked in r3 to make window room for q_text_repetition: the
+    # count-distinct battery's functions are exercised by q_rollup /
+    # q_pricing_summary and its oracle row was green in r1 and r2,
+    # whereas the repetition-stats operator is new this round and
+    # deserves the driver's hard signal
+    "q_multi_distinct",
 )
 
 _ALL_QUERIES: dict[str, object] = {
