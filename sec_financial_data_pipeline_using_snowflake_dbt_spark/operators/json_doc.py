@@ -58,6 +58,23 @@ def stg_financial_data(
         F.col("stmt").alias("statement_type"),
         F.col("plabel").alias("presentation_label"),
     )
+    # Pre-partition the filing-metadata side on the join key. SUB is
+    # per-filing metadata — definitionally tiny next to NUM (per-value
+    # facts) — so this shuffle is cheap at any scale, and it fixes two
+    # plan shapes at once: (a) when the planner broadcasts NUM (small
+    # scale), SUB would otherwise stream the whole join through its few
+    # file-partitions — one task doing all the work; (b) the resulting
+    # HashPartitioning(adsh) flows through the broadcast joins into
+    # financial_statements_json's groupBy(adsh, ...), which then needs
+    # no Exchange of the full fact stream (ClusteredDistribution is
+    # satisfied by a subset partitioning). Under the large-scale SMJ
+    # shape this exchange would exist anyway. The partition count is
+    # explicit — AQE coalesces a keys-only repartition of a tiny table
+    # back to ONE partition, which is precisely the serialization this
+    # exists to prevent.
+    s = s.repartition(
+        sub.sparkSession.sparkContext.defaultParallelism, "adsh"
+    )
     return (
         s.join(n, "adsh", "left")
         # no explicit broadcast on the tag taxonomy: it grows with
