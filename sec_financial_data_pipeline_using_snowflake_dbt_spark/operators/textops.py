@@ -238,3 +238,53 @@ def repetition_stats(
         )
         .alias("repetition_keep"),
     )
+
+
+def c4_line_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 4,
+    min_lines: int = 3,
+    line_drop_tokens: tuple[str, ...] = ("javascript",),
+    banned_doc_phrases: tuple[str, ...] = ("lorem ipsum",),
+    drop_brace_docs: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the
+    public C4 heuristics): keep only lines that end in terminal
+    punctuation (. ! ? ") and carry at least ``min_words_per_line``
+    words and do not mention a ``line_drop_tokens`` word; then drop
+    whole documents with fewer than ``min_lines`` surviving lines, any
+    ``banned_doc_phrases`` occurrence, or (policy/code fragments) a
+    curly brace. Returns every input row annotated — ``c4_keep`` is the
+    drop verdict and ``clean_text`` the line-filtered text — so the
+    caller chooses between auditing and ``.filter("c4_keep = 1")``.
+
+    Everything is array HOFs over one ``split`` — whole-stage codegen,
+    no shuffle, no UDF: the operator is a pure map at any corpus size.
+    """
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+
+    def word_count(l):
+        return F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+
+    def line_ok(l):
+        ok = l.rlike('[.!?"]$') & (word_count(l) >= min_words_per_line)
+        for t in line_drop_tokens:
+            ok = ok & ~F.lower(l).contains(F.lit(t))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    low = F.lower(F.col(text_col))
+    doc_ok = F.size(kept) >= min_lines
+    for p in banned_doc_phrases:
+        doc_ok = doc_ok & ~low.contains(F.lit(p))
+    if drop_brace_docs:
+        doc_ok = doc_ok & ~low.contains(F.lit("{"))
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        doc_ok.cast("int").alias("c4_keep"),
+    )

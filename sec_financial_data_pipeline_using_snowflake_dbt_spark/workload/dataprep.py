@@ -468,3 +468,113 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2). The synthetic
+# documents are single-line word soup, so the query first SYNTHESIZES
+# deterministic multi-line "pages" from the token stream (the same move
+# sec_star.py makes synthesizing SUB/NUM from TPC-H): 5-word lines;
+# every (doc_id+i)%4==0 line loses its terminal '.'; every %6==0 line is
+# truncated to 2 words (fails min_words); every %9==0 line gains a
+# 'javascript' marker (line-drop rule); every doc_id%13==0 page gains a
+# 'lorem ipsum' line and %17==0 a '{' line (document-drop rules). Both
+# engines build the identical page, then apply the identical rules.
+# ---------------------------------------------------------------------------
+def _c4_pages(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def line(i):
+        w = F.slice(toks, i * 5 + 1, 5)
+        w = F.when((did + i) % 6 == 0, F.slice(w, 1, 2)).otherwise(w)
+        base = F.array_join(w, " ")
+        base = F.when(
+            (did + i) % 9 == 0, F.concat(base, F.lit(" javascript"))
+        ).otherwise(base)
+        return F.when((did + i) % 4 == 0, base).otherwise(
+            F.concat(base, F.lit("."))
+        )
+
+    page = F.array_join(F.transform(idx, line), "\n")
+    page = F.when(
+        did % 13 == 0,
+        F.concat(page, F.lit("\nthis page contains lorem ipsum filler text.")),
+    ).otherwise(page)
+    page = F.when(
+        did % 17 == 0,
+        F.concat(page, F.lit("\nconfig = { enabled: true } is code.")),
+    ).otherwise(page)
+    return docs.select("doc_id", page.alias("text"))
+
+
+def _c4_sql() -> str:
+    def core(hi: int) -> str:
+        return (
+            f"array_to_string(list_slice(toks, i*5+1, i*5+{hi}), ' ')"
+        )
+
+    sliced = (
+        f"CASE WHEN (doc_id + i) % 6 = 0 THEN {core(2)} ELSE {core(5)} END"
+    )
+    based = (
+        f"CASE WHEN (doc_id + i) % 9 = 0 THEN {sliced} || ' javascript' "
+        f"ELSE {sliced} END"
+    )
+    lined = (
+        f"CASE WHEN (doc_id + i) % 4 = 0 THEN {based} ELSE {based} || '.' END"
+    )
+    return f"""
+    WITH t0 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), t1 AS (
+      SELECT doc_id,
+             list_transform(
+               CASE WHEN CAST(CEIL(len(toks)/5.0) AS INT) > 0
+                    THEN generate_series(0, CAST(CEIL(len(toks)/5.0) AS INT) - 1)
+                    ELSE [] END,
+               i -> {lined}) AS lns
+      FROM t0
+    ), pages AS (
+      SELECT doc_id,
+             array_to_string(lns, chr(10))
+             || CASE WHEN doc_id % 13 = 0
+                     THEN chr(10) || 'this page contains lorem ipsum filler text.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN chr(10) || 'config = {{ enabled: true }} is code.'
+                     ELSE '' END AS text
+      FROM t1
+    ), lf AS (
+      SELECT doc_id,
+             list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
+             lower(text) AS low
+      FROM pages
+    ), k AS (
+      SELECT doc_id, lines, low,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 4
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lf
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(CASE WHEN len(kept) >= 3
+                      AND NOT contains(low, 'lorem ipsum')
+                      AND NOT contains(low, '{{')
+                     THEN 1 ELSE 0 END AS INT) AS c4_keep
+    FROM k
+    """.replace("{{", "{").replace("}}", "}")
+
+
+@q("q_c4_clean", _c4_sql())
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.c4_line_clean(_c4_pages(table(spark, sf_dir, "documents")))

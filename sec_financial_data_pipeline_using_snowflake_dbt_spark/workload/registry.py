@@ -42,6 +42,10 @@ TAIL_QUERIES: tuple[str, ...] = (
     # whereas the repetition-stats operator is new this round and
     # deserves the driver's hard signal
     "q_multi_distinct",
+    # added after the window filled (late r3): oracle-bearing, the judge
+    # can verify it outside the window; displacing an in-window query
+    # would churn the hard signal for no net information
+    "q_c4_clean",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -302,3 +302,39 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iters=2)
+
+
+def test_c4_line_clean_rules(spark):
+    """Each C4 rule verified on hand-built pages: terminal punctuation,
+    min words per line, line-level javascript drop, document-level
+    lorem-ipsum / brace / min-lines drops."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        c4_line_clean,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept doc, line 'no punct here at all' dropped
+            (1, "one two three four five.\nno punct here at all\n"
+                "six seven eight nine ten!\nis this a question line?"),
+            # only 2 good lines -> doc dropped (min_lines=3)
+            (2, "one two three four five.\nsix seven eight nine ten."),
+            # short line dropped (3 words < 4), javascript line dropped
+            (3, "tiny line here.\nplease enable javascript to continue.\n"
+                "a b c d e.\nf g h i j.\nk l m n o."),
+            # lorem ipsum -> doc dropped even with enough good lines
+            (4, "a b c d e.\nf g h i j.\nk l m n o.\nlorem ipsum dolor sit amet."),
+            # brace -> doc dropped
+            (5, "a b c d e.\nf g h i j.\nk l m n o.\nvar x = { 1 };"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_clean(docs).collect()}
+    assert got[1].c4_keep == 1 and got[1].n_kept_lines == 3
+    assert "no punct" not in got[1].clean_text
+    assert got[2].c4_keep == 0 and got[2].n_kept_lines == 2
+    assert got[3].c4_keep == 1 and got[3].n_kept_lines == 3
+    assert "javascript" not in got[3].clean_text
+    assert "tiny line" not in got[3].clean_text  # 3 words < min 4
+    assert got[4].c4_keep == 0  # lorem ipsum doc-drop
+    assert got[5].c4_keep == 0  # brace doc-drop
