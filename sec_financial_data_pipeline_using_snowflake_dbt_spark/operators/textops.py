@@ -288,3 +288,50 @@ def c4_line_clean(
         F.array_join(kept, "\n").alias("clean_text"),
         doc_ok.cast("int").alias("c4_keep"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    n-gram with an evaluation set (the n-gram-overlap rule the public
+    GPT-3 / PaLM / Llama data notes describe). Returns every corpus row
+    annotated with ``n_hits`` (distinct overlapping n-grams) and a
+    ``contaminated`` 0/1 — callers filter or audit.
+
+    Scale shape: the eval side is definitionally small (benchmarks),
+    so its distinct n-gram set broadcast-joins against corpus shingles
+    computed map-side — the corpus itself never shuffles; only the
+    (doc_id, hits) pairs — bounded by actual contamination — reach the
+    aggregate. No hint: AQE broadcasts the eval set while it measures
+    small (house rule: never bake a broadcast on a side that can grow).
+    """
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(TX.word_shingles(F.col(text_col), n)).alias("ngram"),
+        )
+
+    ev = shingled(eval_docs).select("ngram").distinct()
+    # word_shingles is per-doc distinct, so count(*) after the inner
+    # join counts DISTINCT overlapping n-grams per document
+    hits = (
+        shingled(corpus)
+        .join(ev, "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

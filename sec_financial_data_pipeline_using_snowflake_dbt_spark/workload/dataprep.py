@@ -578,3 +578,42 @@ def _c4_sql() -> str:
 @q("q_c4_clean", _c4_sql())
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.c4_line_clean(_c4_pages(table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: docs sharing any 5-gram with the "eval set"
+# (every 47th document) are flagged. The eval docs are corpus members,
+# so they flag themselves — exactly what real decontamination does with
+# leaked benchmark pages — and the planted near-duplicates in the
+# documents table surface as true cross-document contamination.
+# ---------------------------------------------------------------------------
+_DECON_N = 5
+_DECON_SQL = f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= {_DECON_N}
+             THEN list_transform(generate_series(1, len(toks) - {_DECON_N} + 1),
+                                 i -> array_to_string(toks[i:i+{_DECON_N - 1}], '␟'))
+             ELSE [] END)) AS ngram
+      FROM tk
+    ),
+    ev AS (SELECT DISTINCT ngram FROM sh WHERE doc_id % 47 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN ev USING (ngram) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@q("q_decontaminate", _DECON_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TO.decontaminate(
+        docs, docs.filter(F.col("doc_id") % 47 == 0), n=_DECON_N
+    )

@@ -46,6 +46,7 @@ TAIL_QUERIES: tuple[str, ...] = (
     # can verify it outside the window; displacing an in-window query
     # would churn the hard signal for no net information
     "q_c4_clean",
+    "q_decontaminate",
 )
 
 _ALL_QUERIES: dict[str, object] = {

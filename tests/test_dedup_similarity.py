@@ -338,3 +338,27 @@ def test_c4_line_clean_rules(spark):
     assert "tiny line" not in got[3].clean_text  # 3 words < min 4
     assert got[4].c4_keep == 0  # lorem ipsum doc-drop
     assert got[5].c4_keep == 0  # brace doc-drop
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc embedding a full eval 5-gram is flagged; disjoint
+    docs and sub-n overlaps (4 shared tokens) are not."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains eval 5-gram
+            (2, "alpha beta gamma delta OTHER words"),    # only 4-token overlap
+            (3, "totally unrelated content entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in decontaminate(corpus, ev, n=5).collect()}
+    assert got[1].contaminated == 1 and got[1].n_hits == 1
+    assert got[2].contaminated == 0
+    assert got[3].contaminated == 0
