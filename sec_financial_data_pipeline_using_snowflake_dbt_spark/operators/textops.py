@@ -5,7 +5,7 @@ helpers in functions/text.py — everything stays in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -334,4 +334,57 @@ def decontaminate(
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic pseudo-random order and chunk the token stream at
+    ``budget`` boundaries (the concat-then-chunk scheme of the public
+    GPT-2/3 data descriptions). A document straddling a boundary
+    contributes tokens to BOTH neighboring sequences; the output is one
+    row per (document × overlapped sequence) with the token count it
+    contributes — the manifest a tokenizer/writer consumes.
+
+    Determinism & scale: shard and within-shard order are md5 functions
+    of the row id (like ``assign_split`` — stable across runs, engines,
+    partitionings), so the packing never churns as the corpus grows.
+    The running token offset is a window sum PARTITIONED BY SHARD —
+    there is no global sort; at cluster scale pick ``n_shards`` ≥ the
+    parallelism you want (each shard is one independent token stream,
+    exactly how multi-shard training data is laid out anyway).
+    """
+    sid = F.col(id_col).cast("string")
+    h_sh = F.md5(F.concat_ws(":", sid, F.lit(f"{salt}:shard")))
+    h_ord = F.md5(F.concat_ws(":", sid, F.lit(f"{salt}:ord")))
+    base = docs.select(
+        F.col(id_col),
+        (F.conv(F.substring(h_sh, 1, 4), 16, 10).cast("int") % n_shards).alias(
+            "shard"
+        ),
+        h_ord.alias("ord"),
+        TX.token_count(text_col).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
+    base = base.withColumn("tok_end", F.sum("n_tokens").over(w)).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tokens")
+    )
+    first = F.floor(F.col("tok_start") / budget)
+    last = F.floor((F.col("tok_end") - 1) / budget)
+    return base.withColumn("seq_id", F.explode(F.sequence(first, last))).select(
+        F.col("shard"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(id_col),
+        (
+            F.least(F.col("tok_end"), (F.col("seq_id") + 1) * budget)
+            - F.greatest(F.col("tok_start"), F.col("seq_id") * budget)
+        ).cast("long").alias("tok_in_seq"),
+        F.col("n_tokens"),
     )

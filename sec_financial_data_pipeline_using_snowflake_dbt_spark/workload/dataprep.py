@@ -617,3 +617,59 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.decontaminate(
         docs, docs.filter(F.col("doc_id") % 47 == 0), n=_DECON_N
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing: concat-then-chunk token budgeting. The
+# oracle replays the md5 shard/order assignment (STRPOS hex arithmetic,
+# as for q_corpus_split), the per-shard running token offset, and the
+# boundary-straddle explosion via generate_series.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+_PACK_SHARDS = 4
+_SQL_HEX4_HSH = " + ".join(
+    f"(STRPOS('{_HEX}', SUBSTR(hsh, {i}, 1)) - 1) * {16 ** (4 - i)}"
+    for i in range(1, 5)
+)
+_PACK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             MD5(CAST(doc_id AS VARCHAR) || ':pack:shard') AS hsh,
+             MD5(CAST(doc_id AS VARCHAR) || ':pack:ord') AS ord,
+             CAST(LEN({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(({_SQL_HEX4_HSH}) % {_PACK_SHARDS} AS INTEGER) AS shard,
+             ord, n_tokens
+      FROM t WHERE n_tokens > 0
+    ), c AS (
+      -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which
+      -- generate_series below refuses
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS tok_end
+      FROM b
+    ), d AS (
+      SELECT *, tok_end - n_tokens AS tok_start FROM c
+    ), e AS (
+      SELECT shard, doc_id, tok_start, tok_end, n_tokens,
+             UNNEST(generate_series(tok_start // {_PACK_BUDGET},
+                                    (tok_end - 1) // {_PACK_BUDGET})) AS seq_id
+      FROM d
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(LEAST(tok_end, (seq_id + 1) * {_PACK_BUDGET})
+                - GREATEST(tok_start, seq_id * {_PACK_BUDGET}) AS BIGINT)
+             AS tok_in_seq,
+           n_tokens
+    FROM e
+"""
+
+
+@q("q_pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.pack_sequences(
+        table(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )

@@ -47,6 +47,7 @@ TAIL_QUERIES: tuple[str, ...] = (
     # would churn the hard signal for no net information
     "q_c4_clean",
     "q_decontaminate",
+    "q_pack_sequences",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -362,3 +362,33 @@ def test_decontaminate_planted_overlap(spark):
     assert got[1].contaminated == 1 and got[1].n_hits == 1
     assert got[2].contaminated == 0
     assert got[3].contaminated == 0
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk invariants: each doc's contributions sum to its
+    token count; every sequence except the last of a shard holds exactly
+    `budget` tokens; seq ids per shard are contiguous from 0."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 11))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=10, n_shards=2).collect()
+    by_doc, by_seq = {}, {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, [0, r.n_tokens])[0] += r.tok_in_seq
+        by_seq.setdefault((r.shard, r.seq_id), 0)
+        by_seq[(r.shard, r.seq_id)] += r.tok_in_seq
+    for doc_id, (got, want) in by_doc.items():
+        assert got == want, (doc_id, got, want)
+    for shard in {s for s, _ in by_seq}:
+        seqs = sorted(q for s, q in by_seq if s == shard)
+        assert seqs == list(range(len(seqs)))  # contiguous from 0
+        for q in seqs[:-1]:
+            assert by_seq[(shard, q)] == 10    # full budget except last
+    # determinism across invocations
+    again = pack_sequences(docs, budget=10, n_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
