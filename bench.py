@@ -54,6 +54,9 @@ HEADLINE = [
     "q_ann_topk",
     "q_text_quality",
     "q_fingerprint",
+    "q_c4_clean",
+    "q_decontaminate",
+    "q_pack_sequences",
 ]
 
 

@@ -319,9 +319,14 @@ def decontaminate(
 
     ev = shingled(eval_docs).select("ngram").distinct()
     # word_shingles is per-doc distinct, so count(*) after the inner
-    # join counts DISTINCT overlapping n-grams per document
+    # join counts DISTINCT overlapping n-grams per document.
+    # _spread: a small-file corpus arrives in few partitions and the
+    # shingle explosion is the expensive step — same discipline as the
+    # dedup operators (conditional: no-op for already-parallel inputs).
+    from .dedup import _spread
+
     hits = (
-        shingled(corpus)
+        shingled(_spread(corpus))
         .join(ev, "ngram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
