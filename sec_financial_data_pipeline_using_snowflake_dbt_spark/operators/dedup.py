@@ -654,25 +654,23 @@ def dedup_clusters(
             .groupBy(F.col("e.dst").alias("id"))
             .agg(F.min(F.col("l.cluster_id")).alias("nbr_min"))
         )
+        # the moved flag rides along in the SAME plan, so the
+        # convergence probe is a scan-sum of the already-materialized
+        # checkpoint — not (as previously) a full shuffle join of new
+        # labels against old ones every round
+        nmin = F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id"))
         new_labels = (
             labels.alias("l")
             .join(nbr_min.alias("n"), "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("l.cluster_id"),
-                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
-                ).alias("cluster_id"),
+                F.least(F.col("l.cluster_id"), nmin).alias("cluster_id"),
+                (nmin < F.col("l.cluster_id")).cast("long").alias("__moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "id")
-            .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__moved")).collect()[0][0] or 0
+        labels = new_labels.drop("__moved")
         if changed == 0:
             break
     else:
