@@ -631,13 +631,17 @@ _SQL_HEX4_HSH = " + ".join(
     f"(STRPOS('{_HEX}', SUBSTR(hsh, {i}, 1)) - 1) * {16 ** (4 - i)}"
     for i in range(1, 5)
 )
-_PACK_SQL = f"""
+def _pack_sql_from(src: str) -> str:
+    """Pack-manifest SQL over any (doc_id, text) source CTE/table —
+    reused verbatim by q_pack_sequences (over ``documents``) and by the
+    end-to-end q_corpus_pipeline (over its cleaned/deduped survivors)."""
+    return f"""
     WITH t AS (
       SELECT doc_id,
              MD5(CAST(doc_id AS VARCHAR) || ':pack:shard') AS hsh,
              MD5(CAST(doc_id AS VARCHAR) || ':pack:ord') AS ord,
              CAST(LEN({SQL_TOKENS}) AS BIGINT) AS n_tokens
-      FROM documents
+      FROM {src}
     ), b AS (
       SELECT doc_id, CAST(({_SQL_HEX4_HSH}) % {_PACK_SHARDS} AS INTEGER) AS shard,
              ord, n_tokens
@@ -666,10 +670,65 @@ _PACK_SQL = f"""
 """
 
 
+_PACK_SQL = _pack_sql_from("documents")
+
+
 @q("q_pack_sequences", _PACK_SQL)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.pack_sequences(
         table(spark, sf_dir, "documents"),
         budget=_PACK_BUDGET,
         n_shards=_PACK_SHARDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline: the operators COMPOSED the way a real
+# training-data build chains them — synthesize pages → C4 line cleaning
+# (keep c4_keep=1, use the line-filtered text) → exact dedup on the
+# CLEANED text (content changes after cleaning, so dedup must follow
+# it) → train split (md5 buckets) → GPT-style packing manifest. One
+# oracle replays the whole chain; every stage is the same fragment its
+# standalone query uses, so a mismatch pinpoints the composition, not
+# the stages.
+# ---------------------------------------------------------------------------
+_PIPE_SQL = f"""
+    WITH c4 AS ({_c4_sql()}),
+    kept AS (
+      SELECT doc_id, clean_text AS text FROM c4 WHERE c4_keep = 1
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY MD5(text)
+    ),
+    surv AS (
+      SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)
+    ),
+    sh AS (
+      SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM surv
+    ),
+    tr AS (
+      SELECT doc_id FROM sh WHERE ({_SQL_HEX_BYTE}) % 100 < 90
+    ),
+    final AS (
+      SELECT s.doc_id, s.text FROM surv s JOIN tr USING (doc_id)
+    )
+    SELECT * FROM ({_pack_sql_from("final")}) p
+"""
+
+
+@q("q_corpus_pipeline", _PIPE_SQL)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _c4_pages(table(spark, sf_dir, "documents"))
+    cleaned = TO.c4_line_clean(pages).filter(F.col("c4_keep") == 1)
+    kept = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    keepers = DD.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    surv = kept.join(keepers, "doc_id")
+    train = (
+        TO.assign_split(surv)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    final = surv.join(train, "doc_id")
+    return TO.pack_sequences(
+        final, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )

@@ -48,6 +48,7 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_c4_clean",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_corpus_pipeline",
 )
 
 _ALL_QUERIES: dict[str, object] = {
