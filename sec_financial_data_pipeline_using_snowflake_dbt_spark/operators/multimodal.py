@@ -76,6 +76,9 @@ def sniff_format(payload: bytes | None) -> tuple[str, str]:
             if fmt == "mp4" and payload[4:8] != b"ftyp":
                 continue
             return (modality, fmt)
+    # raw MPEG audio without an ID3 tag: 11-bit frame sync
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return ("audio", "mp3")
     return ("unknown", "unknown")
 
 
@@ -308,6 +311,67 @@ def parse_wav_header(payload: bytes) -> dict[str, int] | None:
     }
 
 
+# MPEG audio frame tables (ISO/IEC 11172-3 / 13818-3, public): Layer III
+# bitrates in kbps by (version-group, index) and sample rates by
+# (version, index). Index 0 is "free format", 15 invalid.
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_frames(payload: bytes) -> dict[str, int | float] | None:
+    """Layer III frame walk — REAL byte parsing, no codec: skip any ID3v2
+    tag (syncsafe length), then step frame-by-frame through the headers
+    (sync, version, bitrate/samplerate indices, padding), summing
+    per-frame sample counts into a duration. None when no valid Layer
+    III frame is found. VBR streams are handled naturally (each frame
+    carries its own bitrate; ``bitrate_kbps`` reports the first frame's)."""
+    i, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        i = 10 + size
+    n_frames = 0
+    duration = 0.0
+    first = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+            break
+        version = (payload[i + 1] >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (payload[i + 1] >> 1) & 0x3     # 1 = Layer III
+        br_idx = (payload[i + 2] >> 4) & 0xF
+        sr_idx = (payload[i + 2] >> 2) & 0x3
+        padding = (payload[i + 2] >> 1) & 0x1
+        mode = (payload[i + 3] >> 6) & 0x3      # 3 = mono
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        bitrate = (
+            _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        )[br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        samples = 1152 if version == 3 else 576
+        frame_len = samples // 8 * bitrate // rate + padding
+        if frame_len <= 4:
+            break
+        if first is None:
+            first = (1 if mode == 3 else 2, rate, bitrate // 1000)
+        n_frames += 1
+        duration += samples / rate
+        i += frame_len
+    if first is None:
+        return None
+    channels, rate, kbps = first
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bitrate_kbps": kbps,
+        "n_frames": n_frames,
+        "duration_seconds": round(duration, 6),
+    }
+
+
 AUDIO_FEATURE_SCHEMA = (
     "asset_id string, format string, n_channels int, sample_rate int, "
     "bits_per_sample int, duration_seconds double, n_bytes long"
@@ -315,10 +379,11 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def decode_audio_features(assets: DataFrame) -> DataFrame:
-    """Audio metadata as a ``mapInPandas`` stage. WAV headers are parsed
-    for REAL (duration = data bytes / byte rate); other audio formats
-    (mp3) report container-level info only — their frame parsing needs a
-    real codec and is the documented stub boundary."""
+    """Audio metadata as a ``mapInPandas`` stage. WAV headers AND mp3
+    Layer III frame walks are parsed for REAL (WAV: duration = data
+    bytes / byte rate; mp3: per-frame sample counts summed across the
+    frame sequence — VBR-correct). Only actual sample DECODING remains
+    outside scope (needs a codec library this environment lacks)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -339,7 +404,14 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
                     "duration_seconds": None,
                     "n_bytes": len(payload),
                 }
-                if fmt == "wav" and (hdr := parse_wav_header(payload)):
+                if fmt == "mp3" and (mp3 := parse_mp3_frames(payload)):
+                    row.update(
+                        n_channels=mp3["n_channels"],
+                        sample_rate=mp3["sample_rate"],
+                        bits_per_sample=None,  # compressed: no PCM width
+                        duration_seconds=mp3["duration_seconds"],
+                    )
+                elif fmt == "wav" and (hdr := parse_wav_header(payload)):
                     byte_rate = (
                         hdr["sample_rate"]
                         * hdr["n_channels"]

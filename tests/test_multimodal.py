@@ -207,3 +207,34 @@ def test_decode_audio_features_real_wav_header(spark, tmp_path_factory):
     assert (row.n_channels, row.sample_rate, row.bits_per_sample) == (2, 16000, 16)
     assert row.duration_seconds == 3.0
     assert row.format == "wav"
+
+
+def _mp3_frames(n_frames: int = 10, with_id3: bool = True) -> bytes:
+    """MPEG1 Layer III, 128 kbps, 44100 Hz, stereo, no padding:
+    frame_len = 1152/8 * 128000 // 44100 = 417 bytes."""
+    frame = b"\xff\xfb\x90\x00" + bytes(417 - 4)
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x00" if with_id3 else b""
+    return id3 + frame * n_frames
+
+
+def test_parse_mp3_frames_known_math():
+    got = MM.parse_mp3_frames(_mp3_frames(10))
+    assert got["n_channels"] == 2 and got["sample_rate"] == 44100
+    assert got["bitrate_kbps"] == 128 and got["n_frames"] == 10
+    assert got["duration_seconds"] == round(10 * 1152 / 44100, 6)
+    # raw stream without ID3 sniffs and parses too
+    assert MM.sniff_format(_mp3_frames(3, with_id3=False)) == ("audio", "mp3")
+    assert MM.parse_mp3_frames(_mp3_frames(3, with_id3=False))["n_frames"] == 3
+    # garbage after the sync byte is rejected
+    assert MM.parse_mp3_frames(b"\xff\xe0\x00\x00" + bytes(100)) is None
+
+
+def test_decode_audio_features_mp3(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("mp3")
+    (d / "t.mp3").write_bytes(_mp3_frames(20))
+    assets = MM.pack_assets(spark.read.format("binaryFile").load(str(d)))
+    row = MM.decode_audio_features(assets).collect()[0]
+    assert row.format == "mp3"
+    assert (row.n_channels, row.sample_rate) == (2, 44100)
+    assert row.bits_per_sample is None
+    assert row.duration_seconds == round(20 * 1152 / 44100, 6)
