@@ -224,6 +224,47 @@ def decode_image_features(
 FRAME_SCHEMA = "asset_id string, frame_index long, frame_hash string"
 
 
+def parse_mp4_mvhd(payload: bytes) -> dict[str, int | float] | None:
+    """ISO BMFF box walk to moov/mvhd — REAL byte parsing, no codec:
+    (timescale, duration_units, duration_seconds). Top-level boxes are
+    (uint32 size, 4cc type); the movie header lives at moov/mvhd with
+    version 0 (32-bit times, offset 12/16 past the version byte) or
+    version 1 (64-bit). None when no mvhd is present (e.g. a bare ftyp
+    fragment or a truncated stream)."""
+
+    def walk(buf: bytes, want: bytes) -> bytes | None:
+        i, n = 0, len(buf)
+        while i + 8 <= n:
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            box = buf[i + 4 : i + 8]
+            if size < 8:
+                return None
+            if box == want:
+                return buf[i + 8 : i + size]
+            i += size
+        return None
+
+    moov = walk(payload, b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov, b"mvhd")
+    if mvhd is None or len(mvhd) < 4:
+        return None
+    version = mvhd[0]
+    if version == 0 and len(mvhd) >= 20:
+        timescale, duration = struct.unpack(">II", mvhd[12:20])
+    elif version == 1 and len(mvhd) >= 32:
+        (timescale,) = struct.unpack(">I", mvhd[20:24])
+        (duration,) = struct.unpack(">Q", mvhd[24:32])
+    else:
+        return None
+    return {
+        "timescale": timescale,
+        "duration_units": duration,
+        "duration_seconds": round(duration / timescale, 6) if timescale else None,
+    }
+
+
 def sample_video_frames(
     assets: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8
 ) -> DataFrame:
@@ -256,6 +297,54 @@ def sample_video_frames(
             )
 
     return assets.select("asset_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "asset_id string, format string, timescale int, "
+    "duration_seconds double, n_bytes long"
+)
+
+
+def decode_video_features(assets: DataFrame) -> DataFrame:
+    """Video container metadata as a ``mapInPandas`` stage: the mvhd
+    timescale/duration box walk is REAL (``parse_mp4_mvhd``); streams
+    without a moov box (fragments, truncations) report nulls. Actual
+    frame DECODING stays behind the codec boundary — see
+    ``sample_video_frames`` for the explode-shaped stub."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                modality, fmt = sniff_format(payload)
+                if modality != "video":
+                    continue
+                hdr = parse_mp4_mvhd(payload)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "format": fmt,
+                        "timescale": hdr["timescale"] if hdr else None,
+                        "duration_seconds": (
+                            hdr["duration_seconds"] if hdr else None
+                        ),
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "format", "timescale",
+                    "duration_seconds", "n_bytes",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, VIDEO_FEATURE_SCHEMA
+    )
 
 
 def classify_modality(assets: DataFrame) -> DataFrame:

@@ -238,3 +238,33 @@ def test_decode_audio_features_mp3(spark, tmp_path_factory):
     assert (row.n_channels, row.sample_rate) == (2, 44100)
     assert row.bits_per_sample is None
     assert row.duration_seconds == round(20 * 1152 / 44100, 6)
+
+
+def _mp4_with_mvhd(seconds: int = 7, timescale: int = 600) -> bytes:
+    mvhd_body = b"\x00" + b"\x00\x00\x00" + struct.pack(
+        ">IIII", 0, 0, timescale, seconds * timescale
+    )  # version 0, flags, ctime, mtime, timescale, duration
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypmp42" + b"\x00\x00\x00\x00"
+    return ftyp + moov
+
+
+def test_parse_mp4_mvhd_known_duration():
+    got = MM.parse_mp4_mvhd(_mp4_with_mvhd(seconds=7))
+    assert got == {"timescale": 600, "duration_units": 4200,
+                   "duration_seconds": 7.0}
+    assert MM.parse_mp4_mvhd(_mp4(256)) is None  # bare ftyp fragment
+
+
+def test_decode_video_features(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("video")
+    (d / "real.mp4").write_bytes(_mp4_with_mvhd(seconds=3))
+    (d / "frag.mp4").write_bytes(_mp4(512))
+    assets = MM.pack_assets(spark.read.format("binaryFile").load(str(d)))
+    got = MM.decode_video_features(assets).collect()
+    # asset_id is md5(path); tell the two apart by size (frag is larger)
+    real = min(got, key=lambda r: r.n_bytes)
+    frag = max(got, key=lambda r: r.n_bytes)
+    assert real.duration_seconds == 3.0 and real.timescale == 600
+    assert frag.duration_seconds is None
