@@ -57,6 +57,7 @@ HEADLINE = [
     "q_c4_clean",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_corpus_pipeline",
 ]
 
 

@@ -718,9 +718,17 @@ _PIPE_SQL = f"""
 
 @q("q_corpus_pipeline", _PIPE_SQL)
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = _c4_pages(table(spark, sf_dir, "documents"))
+    # _spread: the synthesis + line-cleaning chain is the expensive
+    # narrow stage; a few-file corpus would run it in as few tasks
+    from ..operators.dedup import _persist, _spread
+
+    pages = _c4_pages(_spread(table(spark, sf_dir, "documents")))
     cleaned = TO.c4_line_clean(pages).filter(F.col("c4_keep") == 1)
-    kept = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    # persist the cleaned corpus: three consumers (dedup hash, the
+    # survivor join, the pack manifest) would otherwise each recompute
+    # the whole regex/array chain; registered with the dedup cache
+    # registry so release_dedup_caches() frees it between batches
+    kept = _persist(cleaned.select("doc_id", F.col("clean_text").alias("text")))
     keepers = DD.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     surv = kept.join(keepers, "doc_id")
     train = (
