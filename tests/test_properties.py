@@ -148,3 +148,56 @@ def test_repetition_fold_matches_counting(spark, texts):
             assert r.dup_bigram_frac == round(dup / len(bgs), 6)
         else:
             assert r.top_bigram_frac is None and r.dup_bigram_frac is None
+
+
+# --- sequence packing vs a sequential reference implementation ----------
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.integers(0, 60),                     # doc_id (dupes dropped below)
+        st.integers(0, 9),                      # token count (0 = filtered)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=_pack_docs, budget=st.integers(2, 12))
+def test_pack_sequences_matches_sequential_reference(spark, docs, budget):
+    """The distributed window/explode packing must equal a plain
+    sequential walk over the same md5 order: same shard/seq assignment,
+    same per-sequence token contributions."""
+    import hashlib
+
+    uniq = {d: n for d, n in docs}
+    rows = [(d, " ".join(["w"] * n) if n else "") for d, n in uniq.items()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.shard, r.seq_id, r.doc_id, r.tok_in_seq, r.n_tokens)
+        for r in TO.pack_sequences(df, budget=budget, n_shards=3).collect()
+    )
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    want = []
+    per_shard = {}
+    for d, n in uniq.items():
+        if n == 0:
+            continue
+        shard = int(md5(f"{d}:pack:shard")[:4], 16) % 3
+        per_shard.setdefault(shard, []).append((md5(f"{d}:pack:ord"), d, n))
+    for shard, members in per_shard.items():
+        off = 0
+        for _, d, n in sorted(members):
+            start, end = off, off + n
+            for seq in range(start // budget, (end - 1) // budget + 1):
+                want.append(
+                    (shard, seq, d,
+                     min(end, (seq + 1) * budget) - max(start, seq * budget), n)
+                )
+            off = end
+    assert got == sorted(want)
