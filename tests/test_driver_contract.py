@@ -35,7 +35,18 @@ def test_oracle_queries_inside_driver_window():
     stranded = [k for k in osql if k not in window and k not in TAIL_QUERIES]
     assert stranded == [], f"oracle-bearing queries outside driver window: {stranded}"
     # The flagship queries called out by the judge must be in the hard signal.
-    for k in ("q_sec_fact_bs", "q_sql_gate", "q_unpivot", "q_ann_ivf"):
+    for k in (
+        "q_sec_fact_bs",
+        "q_sql_gate",
+        "q_unpivot",
+        "q_ann_ivf",
+        # rotated in for r4 (VERDICT r3, task 1): the newest corpus
+        # operators get the driver's hard signal
+        "q_c4_clean",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_corpus_pipeline",
+    ):
         assert k in window, k
 
 
