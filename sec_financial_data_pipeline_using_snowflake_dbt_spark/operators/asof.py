@@ -192,10 +192,21 @@ def asof_join_bucketed(
     return _expand_best(best, lc, on, value_cols, suffix)
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
+def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for a DataFrame (file sizes for scans,
-    propagated through the plan). No job is run."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    propagated through the plan). No job is run.
+
+    Returns None when plan introspection is unavailable (``_jdf`` is a
+    private classic-mode handle that does not exist under Spark Connect);
+    callers must treat None as "unknown, assume large" and take their
+    conservative arm (ADVICE r3).
+    """
+    if not hasattr(df, "_jdf"):
+        return None
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 # Right sides estimated below this use the range-join formulation: its
@@ -220,8 +231,11 @@ def asof_join_auto(
     wins at scale (fan-out bounded by bucket width, never by key
     history). Both are exact and tie-break identically, so the switch is
     invisible to results — only the plan changes."""
-    if _plan_size_bytes(right) <= range_join_max_bytes:
+    size = _plan_size_bytes(right)
+    if size is not None and size <= range_join_max_bytes:
         return asof_join(left, right, on, by, value_cols, suffix)
+    # unknown size (Spark Connect — no plan introspection) → the
+    # bucketized arm, which is safe at any right-side size
     return asof_join_bucketed(
         left, right, on, by, value_cols, suffix, bucket_seconds
     )

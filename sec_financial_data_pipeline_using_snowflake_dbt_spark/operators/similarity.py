@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from .asof import _plan_size_bytes
+
+#: Query sides estimated at or below this carry an explicit broadcast
+#: hint in brute_force_topk (the != join needs a BroadcastNestedLoopJoin
+#: to avoid a cartesian shuffle, and a few-queries batch is the operator's
+#: design point). Above it — or when the size is unknowable (Spark
+#: Connect) — no hint is baked: a corpus-vs-itself batch must never carry
+#: an unbounded broadcast (house rule, VERDICT r3).
+BROADCAST_QUERY_MAX_BYTES = 64 * 1024 * 1024
 
 
 def brute_force_topk(
@@ -35,8 +44,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine. Returns (query_id, neighbor_id, rank, cos).
 
-    Broadcasts the query side: the corpus never shuffles, each task scores
-    its partition — the optimal plan for few-queries/huge-corpus.
+    Size-gated broadcast of the query side (``BROADCAST_QUERY_MAX_BYTES``):
+    when the query batch is small the corpus never shuffles and each task
+    scores its partition — the optimal plan for few-queries/huge-corpus.
+    When the "queries" are corpus-sized (the near-dup-graph use case) no
+    hint is baked and the planner falls back to a partitioned cartesian.
     Self-matches (same id) are excluded; ties broken by neighbor id.
     """
     q = queries.select(
@@ -45,9 +57,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", V.norm(F.col("cv")))
+    qsize = _plan_size_bytes(queries)
+    qside = F.broadcast(q) if qsize is not None and qsize <= BROADCAST_QUERY_MAX_BYTES else q
     cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(qside, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -116,8 +130,11 @@ def lsh_topk(
         n_planes,
     ).withColumn("cn", V.norm(F.col("cv")))
     cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    # bucket equi-join, no baked hint: AQE broadcasts the query side at
+    # runtime when its measured size allows, and falls back to a
+    # sort-merge join when the "queries" are corpus-sized (VERDICT r3)
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.join(qb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
     )
@@ -127,6 +144,45 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def _centroid_struct_array(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """A literal ``array<struct<cell:int, cvec:array<double>>>`` column
+    from driver-side centroids — n_centroids × dim literals, folded by
+    codegen with zero data movement."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).cast("int").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+            )
+            for cell, cvec in cents
+        ]
+    )
+
+
+def _sqdist(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance as a zip_with/aggregate fold (same expression —
+    and therefore the same float evaluation order — on every call site,
+    so Spark and the unrolled DuckDB oracle agree bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cells(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Sorted ``array<struct<dist, cell>>`` of the vector's distance to
+    every centroid — struct ordering gives (dist asc, cell asc), so
+    element 1 is the argmin with the same tie-break the oracle uses."""
+    scored = F.transform(
+        _centroid_struct_array(cents),
+        lambda s: F.struct(
+            _sqdist(vec, s.cvec).alias("dist"), s.cell.alias("cell")
+        ),
+    )
+    return F.array_sort(scored)
 
 
 def ivf_assign(
@@ -144,14 +200,14 @@ def ivf_assign(
     runs are reproducible); ``n_iters`` rounds of assign + mean. Returns
     (assignments(id, cell), centroids(cell, cvec)).
 
-    Scale shape per iteration: one broadcast of the centroid table (tiny)
-    + one linear scan scoring each vector against k centroids + one
-    groupBy(cell) mean with map-side combine. No all-pairs term anywhere.
-    Between iterations the centroid table (n_centroids rows) is collected
-    to the driver and rebuilt as a literal-backed DataFrame — the same
-    move MLlib's KMeans makes — so each iteration's plan starts from
-    literals instead of embedding every prior iteration's scan (constant
-    lineage depth; VERDICT r2).
+    Scale shape per iteration: the centroid table is ALWAYS driver-side
+    (n_centroids rows — collected once at init, then after each mean
+    step, the same move MLlib's KMeans makes), so the assign step is a
+    pure Column fold against a literal array of centroid structs: one
+    linear scan, ZERO shuffles, no join, no window (VERDICT r3 — the
+    previous formulation shuffled n×k scored rows through
+    ``Window.partitionBy(id)`` per iteration). The only shuffle per
+    iteration is the groupBy(cell) mean, with map-side combine.
 
     ``round_means`` rounds each centroid coordinate to that many decimal
     places after the mean step. The mean over a distributed partition sum
@@ -162,35 +218,20 @@ def ivf_assign(
     bit-identical centroids.
     """
     c = corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
-    centroids = (
-        c.orderBy("id")
-        .limit(n_centroids)
-        .select(F.row_number().over(Window.orderBy("id")).alias("cell"), F.col("v").alias("cvec"))
-    )
+    cents: list[tuple[int, list[float]]] = [
+        (i + 1, list(r.v))
+        for i, r in enumerate(c.orderBy("id").limit(n_centroids).collect())
+    ]
 
-    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(cents))
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cell").asc())
-        return (
-            scored.withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "v", "cell")
-        )
+    def assign(vecs: DataFrame) -> DataFrame:
+        nearest = F.element_at(_nearest_cells(F.col("v"), cents), 1)
+        return vecs.withColumn("cell", nearest.cell).select("id", "v", "cell")
 
-    spark = corpus.sparkSession
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
+    spark = corpus.sparkSession
     for _ in range(n_iters):
-        assigned = assign(c, centroids)
         # new centroid = element-wise mean of member vectors
-        exploded = assigned.select(
-            "cell", F.posexplode("v").alias("pos", "x")
-        )
+        exploded = assign(c).select("cell", F.posexplode("v").alias("pos", "x"))
         mean_expr = F.avg("x")
         if round_means is not None:
             mean_expr = F.round(mean_expr, round_means)
@@ -203,12 +244,13 @@ def ivf_assign(
                 "cell", F.transform(F.col("pm"), lambda s: s.m).alias("cvec")
             )
         )
-        # materialize the (tiny) centroid table and restart its lineage
-        # from literals: one job per Lloyd iteration, constant plan depth
-        centroids = spark.createDataFrame(
-            [(r.cell, list(r.cvec)) for r in means.collect()], cent_schema
-        )
-    return assign(c, centroids), centroids
+        # one job per Lloyd iteration; the next assign starts from
+        # literals again (constant lineage depth)
+        cents = [(r.cell, list(r.cvec)) for r in means.collect()]
+    centroids = spark.createDataFrame(
+        [(cell, cvec) for cell, cvec in cents], cent_schema
+    )
+    return assign(c), centroids
 
 
 def ivf_topk(
@@ -226,11 +268,20 @@ def ivf_topk(
     """IVF approximate top-k: corpus vectors live in their nearest
     centroid's cell; each query probes its ``n_probe`` nearest cells and
     scores only those members. The inverted-file analogue of lsh_topk —
-    data-adaptive cells instead of fixed hyperplanes."""
+    data-adaptive cells instead of fixed hyperplanes.
+
+    Probe selection is the same zero-shuffle literal fold as the assign
+    step: sort the query's per-centroid distance array, slice the first
+    ``n_probe``, explode — a narrow map, no join, no window. The member
+    join carries no baked hint; AQE broadcasts the probe side at runtime
+    when its measured size allows (VERDICT r3)."""
     assignments, centroids = ivf_assign(
         corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col,
         round_means=round_means,
     )
+    # centroids is literal-backed (n_centroids local rows) — this collect
+    # runs no cluster job
+    cents = [(r.cell, list(r.cvec)) for r in centroids.collect()]
     members = assignments.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     ).withColumn("cn", V.norm(F.col("cv")))
@@ -238,22 +289,15 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", V.norm(F.col("qv")))
-    qc = q.join(F.broadcast(centroids))
-    qdist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("qd").asc(), F.col("cell").asc())
+    probe_cells = F.slice(_nearest_cells(F.col("qv"), cents), 1, n_probe)
     probes = (
-        qc.withColumn("qd", qdist)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "qn", "cell")
+        q.withColumn("pc", probe_cells)
+        .select("query_id", "qv", "qn", F.explode("pc").alias("p"))
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
     cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
-        members.join(F.broadcast(probes), "cell")
+        members.join(probes, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
     )

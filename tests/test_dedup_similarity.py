@@ -87,6 +87,46 @@ def test_lsh_topk_recall(spark, emb):
     assert recall >= 0.2, recall
 
 
+def test_similarity_plans_no_unbounded_broadcast(spark, emb):
+    """The similarity house rule (VERDICT r3): no baked broadcast hint on
+    a side that can grow. ivf/lsh joins carry zero hints (AQE decides);
+    brute_force's query-side hint is size-gated — present for a small
+    batch (its design point), absent when the "queries" are corpus-sized
+    or the size is unknowable."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    for df in (
+        SIM.lsh_topk(queries, emb, dim=64, k=5),
+        SIM.ivf_topk(queries, emb, dim=64, k=5),
+    ):
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    small = SIM.brute_force_topk(queries, emb, k=5)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    big = SIM.brute_force_topk(
+        emb, emb, k=5
+    )  # corpus vs itself: must not bake a hint...
+    import sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity as S
+
+    old = S.BROADCAST_QUERY_MAX_BYTES
+    S.BROADCAST_QUERY_MAX_BYTES = 0  # ...force the over-threshold arm
+    try:
+        big = SIM.brute_force_topk(emb, emb, k=5)
+    finally:
+        S.BROADCAST_QUERY_MAX_BYTES = old
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+
+
+def test_ivf_assign_stage_shuffle_free(spark, emb):
+    """The Lloyd assign step is a literal-centroid Column fold: its
+    executed plan must contain no Exchange and no Window (VERDICT r3 —
+    the old formulation shuffled n×k scored rows per iteration)."""
+    assigned, cents = SIM.ivf_assign(emb, dim=64, n_centroids=8, round_means=6)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert cents.count() == 8
+
+
 def test_simhash_is_16_bit(spark, docs):
     sh = DD.simhash(docs)
     r = sh.agg(F.min("simhash"), F.max("simhash")).first()
