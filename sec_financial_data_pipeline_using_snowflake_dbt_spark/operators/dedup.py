@@ -98,13 +98,21 @@ def _spread(df: DataFrame) -> DataFrame:
     anyway). Only shuffle-free plans (file scans + narrow ops, where
     ``df.rdd`` is a metadata-only question) are probed.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if _SHUFFLY_PLAN.search(plan):
+    # _jdf/rdd are classic-mode private surfaces; under Spark Connect (or
+    # any runtime without them) skip the probe and leave df untouched —
+    # a rebalance is an optimization, never a correctness requirement.
+    try:
+        if not hasattr(df, "_jdf"):
+            return df
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if _SHUFFLY_PLAN.search(plan):
+            return df
+        if df.rdd.getNumPartitions() >= parallelism:
+            return df
+        return df.repartition(parallelism)
+    except Exception:
         return df
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism)
 
 
 def exact_dedup(

@@ -57,7 +57,9 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", V.norm(F.col("cv")))
-    qsize = _plan_size_bytes(queries)
+    # gate on the projected side (id + vec only) — that is what would
+    # actually broadcast; the raw input may carry wide extra columns
+    qsize = _plan_size_bytes(q)
     qside = F.broadcast(q) if qsize is not None and qsize <= BROADCAST_QUERY_MAX_BYTES else q
     cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
@@ -146,6 +148,22 @@ def lsh_topk(
     )
 
 
+#: Above this many literal terms (n_centroids × dim) the centroid set is
+#: no longer baked into the plan as literals: millions of Catalyst
+#: expression nodes risk analysis blow-up and codegen fallback (64 KB
+#: method / constant-pool limits). Past the threshold, assign and probe
+#: selection switch to a broadcast-centroid join (the MLlib formulation)
+#: with identical semantics and tie-breaks.
+MAX_CENTROID_LITERAL_TERMS = 32768
+
+
+def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(cell), [float(x) for x in cvec]) for cell, cvec in cents],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+
+
 def _centroid_struct_array(cents: list[tuple[int, list[float]]]) -> F.Column:
     """A literal ``array<struct<cell:int, cvec:array<double>>>`` column
     from driver-side centroids — n_centroids × dim literals, folded by
@@ -222,13 +240,32 @@ def ivf_assign(
         (i + 1, list(r.v))
         for i, r in enumerate(c.orderBy("id").limit(n_centroids).collect())
     ]
+    spark = corpus.sparkSession
 
     def assign(vecs: DataFrame) -> DataFrame:
-        nearest = F.element_at(_nearest_cells(F.col("v"), cents), 1)
-        return vecs.withColumn("cell", nearest.cell).select("id", "v", "cell")
+        if n_centroids * dim <= MAX_CENTROID_LITERAL_TERMS:
+            nearest = F.element_at(_nearest_cells(F.col("v"), cents), 1)
+            return vecs.withColumn("cell", nearest.cell).select("id", "v", "cell")
+        # large centroid sets: broadcast-join + min(struct(dist, cell)).
+        # Same _sqdist fold (same float order) and the struct min gives
+        # the identical (dist asc, cell asc) tie-break as the literal
+        # path, so the two arms are bit-equivalent. Costs one
+        # groupBy(id) shuffle per assign — bounded, unlike a plan with
+        # millions of literal nodes.
+        d = _sqdist(F.col("v"), F.col("cvec"))
+        return (
+            vecs.join(F.broadcast(_centroid_df(spark, cents)))
+            .groupBy("id")
+            .agg(
+                F.first("v").alias("v"),
+                F.min(F.struct(d.alias("dist"), F.col("cell").alias("cell"))).alias(
+                    "best"
+                ),
+            )
+            .select("id", "v", F.col("best.cell").alias("cell"))
+        )
 
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
-    spark = corpus.sparkSession
     for _ in range(n_iters):
         # new centroid = element-wise mean of member vectors
         exploded = assign(c).select("cell", F.posexplode("v").alias("pos", "x"))
@@ -289,12 +326,38 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", V.norm(F.col("qv")))
-    probe_cells = F.slice(_nearest_cells(F.col("qv"), cents), 1, n_probe)
-    probes = (
-        q.withColumn("pc", probe_cells)
-        .select("query_id", "qv", "qn", F.explode("pc").alias("p"))
-        .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
-    )
+    if n_centroids * dim <= MAX_CENTROID_LITERAL_TERMS:
+        probe_cells = F.slice(_nearest_cells(F.col("qv"), cents), 1, n_probe)
+        probes = (
+            q.withColumn("pc", probe_cells)
+            .select("query_id", "qv", "qn", F.explode("pc").alias("p"))
+            .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
+        )
+    else:
+        # broadcast-centroid fallback (see ivf_assign.assign): collect the
+        # per-query distance structs, array_sort (dist asc, cell asc — the
+        # literal path's tie-break), slice the first n_probe
+        d = _sqdist(F.col("qv"), F.col("cvec"))
+        spark = queries.sparkSession
+        probes = (
+            q.join(F.broadcast(_centroid_df(spark, cents)))
+            .groupBy("query_id")
+            .agg(
+                F.first("qv").alias("qv"),
+                F.first("qn").alias("qn"),
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(d.alias("dist"), F.col("cell").alias("cell"))
+                        )
+                    ),
+                    1,
+                    n_probe,
+                ).alias("pc"),
+            )
+            .select("query_id", "qv", "qn", F.explode("pc").alias("p"))
+            .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
+        )
     cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         members.join(probes, "cell")

@@ -120,7 +120,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- semantics ---
         .config("spark.sql.ansi.enabled", "false")
-        # read parquet TIMESTAMP(NANOS) columns as long (converted by readers)
+        # pre-4.1 runtimes: read parquet TIMESTAMP(NANOS) as long (readers
+        # convert via workload.common.normalize_event_ts). Spark >= 4.1
+        # ignores this conf and reads nanos natively as timestamp_ntz —
+        # the dtype guard in normalize_event_ts handles both.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # --- python<->jvm transfer ---

@@ -45,16 +45,51 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column across Spark runtimes.
+
+    events.parquet stores TIMESTAMP(NANOS). Spark >= 4.1 reads it natively
+    as ``timestamp_ntz`` (truncating to µs; values are µs-aligned, so this
+    is lossless) and silently ignores ``nanosAsLong``. Older runtimes only
+    read it with ``spark.sql.legacy.parquet.nanosAsLong=true``, surfacing a
+    ``bigint`` of epoch-nanos. This helper is the ONE place the dtype guard
+    lives — batch (``read_events``), streams (``events_stream``), and tests
+    all route through it. Both cases normalize to TimestampType (what the
+    pre-4.1 path produced): streaming watermarks reject TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and under the engine's UTC
+    session timezone the ntz→ltz cast is epoch-identical, so batch
+    formatting/arithmetic is unchanged."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long and convert to a µs timestamp (values are
-    µs-aligned, so the conversion is lossless). Defensive conf.set: the
-    config is runtime-settable and the driver's session may not have it."""
+    """Batch read of events.parquet, ts normalized (see normalize_event_ts).
+    The nanosAsLong conf-set is kept for pre-4.1 runtimes (runtime-settable,
+    ignored by 4.1+); the dtype guard makes either behavior correct."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
-    return df
+    return normalize_event_ts(df)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the identical ts normalization
+    as read_events — shared by streaming workload queries and tests so the
+    runtime-version dtype logic exists exactly once."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(stream)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -45,14 +45,21 @@ TAIL_QUERIES: tuple[str, ...] = (
     # parked in r4 to make window room for the four corpus-pipeline
     # queries added late in r3 (q_c4_clean, q_decontaminate,
     # q_pack_sequences, q_corpus_pipeline): set ops are out of parity
-    # scope per SURVEY §2.7, and the other three are stable-green since
-    # r1 with their functions redundantly covered by pytest and by
-    # other in-window queries (q_left_join_counts, q_stats_agg oracle
-    # runs, q_collect_list / q_explode_pos).
+    # scope per SURVEY §2.7; null-safe-join semantics are pytest-covered
+    # and adjacent to in-window q_left_join_counts; percentile functions
+    # are covered by pytest and judge-run oracles (ADVICE r4: the earlier
+    # claim that q_stats_agg/q_explode_pos cover these in-window was
+    # wrong — both are themselves parked; the real in-window neighbors
+    # are q_left_join_counts and q_collect_list).
     "q_set_ops",
     "q_null_safe_join",
     "q_percentiles",
-    "q_array_ops",
+    # parked in r5 to keep ONE array-family query (q_array_ops) inside
+    # the window (ADVICE r4): running-sum window frames stay in-window
+    # via q_pack_sequences' per-shard cumulative window and
+    # q_window_topk's ranked window; q_window_running has been green
+    # since r1.
+    "q_window_running",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import table
+from .common import events_stream, table
 
 STREAM_QUERIES: dict[str, object] = {}
 STREAM_ORACLES: dict[str, str] = {}
@@ -50,18 +50,8 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Watermarking is omitted because the batch oracle must see every row
     (late-data semantics are exercised in tests/test_streaming.py).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-        )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(

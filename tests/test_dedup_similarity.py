@@ -102,13 +102,11 @@ def test_similarity_plans_no_unbounded_broadcast(spark, emb):
         assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     small = SIM.brute_force_topk(queries, emb, k=5)
     assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
-    big = SIM.brute_force_topk(
-        emb, emb, k=5
-    )  # corpus vs itself: must not bake a hint...
     import sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity as S
 
     old = S.BROADCAST_QUERY_MAX_BYTES
-    S.BROADCAST_QUERY_MAX_BYTES = 0  # ...force the over-threshold arm
+    # corpus vs itself must not bake a hint; force the over-threshold arm
+    S.BROADCAST_QUERY_MAX_BYTES = 0
     try:
         big = SIM.brute_force_topk(emb, emb, k=5)
     finally:
@@ -125,6 +123,30 @@ def test_ivf_assign_stage_shuffle_free(spark, emb):
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert cents.count() == 8
+
+
+def test_ivf_broadcast_fallback_matches_literal_path(spark, emb):
+    """Above MAX_CENTROID_LITERAL_TERMS, ivf assign/probe switch from the
+    literal-centroid fold to a broadcast-centroid join (ADVICE r4: huge
+    centroid sets would bake millions of Catalyst nodes). Both arms use
+    the same _sqdist fold and (dist asc, cell asc) tie-break, so results
+    must be IDENTICAL."""
+    import sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity as S
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    lit_topk = SIM.ivf_topk(queries, emb, dim=64, k=5, n_probe=3, round_means=6)
+    a_lit = {(r.query_id, r.neighbor_id, r.rank, r.cos) for r in lit_topk.collect()}
+    old = S.MAX_CENTROID_LITERAL_TERMS
+    S.MAX_CENTROID_LITERAL_TERMS = 0  # force the join arm
+    try:
+        jn_topk = SIM.ivf_topk(queries, emb, dim=64, k=5, n_probe=3, round_means=6)
+        # the join arm must carry exactly the intended broadcast hint
+        logical = jn_topk._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in logical or "UnresolvedHint" in logical
+        a_jn = {(r.query_id, r.neighbor_id, r.rank, r.cos) for r in jn_topk.collect()}
+    finally:
+        S.MAX_CENTROID_LITERAL_TERMS = old
+    assert a_lit == a_jn
 
 
 def test_simhash_is_16_bit(spark, docs):
@@ -250,6 +272,28 @@ def test_spread_skips_already_parallel_input(spark, docs):
     spread = _spread(narrow)
     assert spread is not narrow
     assert spread.rdd.getNumPartitions() == par
+
+
+def test_spread_degrades_without_private_api(spark, docs):
+    """Under Spark Connect there is no _jdf/rdd; _spread must degrade to
+    a no-op instead of raising (VERDICT r4 #3)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        _spread,
+    )
+
+    class NoJdfFrame:
+        """Duck-typed stand-in for a Connect DataFrame: no _jdf attr."""
+
+        def __init__(self, df):
+            self.__dict__["_df"] = df
+
+        def __getattr__(self, name):
+            if name == "_jdf":
+                raise AttributeError(name)
+            return getattr(self.__dict__["_df"], name)
+
+    wrapped = NoJdfFrame(docs.coalesce(1))
+    assert _spread(wrapped) is wrapped
 
 
 def test_release_dedup_caches(spark, docs):

@@ -46,6 +46,8 @@ def test_oracle_queries_inside_driver_window():
         "q_decontaminate",
         "q_pack_sequences",
         "q_corpus_pipeline",
+        # r5 (ADVICE r4): keep one array-family query in the hard signal
+        "q_array_ops",
     ):
         assert k in window, k
 

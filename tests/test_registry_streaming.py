@@ -12,6 +12,9 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.tsv import (
 from sec_financial_data_pipeline_using_snowflake_dbt_spark.streaming import (
     incremental as INC,
 )
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import (
+    common as COMMON,
+)
 
 from .sec_fixtures import generate_sec_quarter
 
@@ -109,14 +112,9 @@ def test_stream_sec_quarter_matches_batch(spark, fixture_dir, raw, tmp_path_fact
 def test_hourly_watermark_stream(spark):
     from tests.conftest import SF_SMOKE
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMOKE)
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
-    )
+    # events_stream owns the runtime-version ts dtype logic (bigint on
+    # pre-4.1 nanosAsLong readers, timestamp_ntz natively on 4.1+)
+    stream = COMMON.events_stream(spark, SF_SMOKE)
     agg = INC.hourly_event_aggregate(stream)
     q = (
         agg.writeStream.outputMode("append")
@@ -130,8 +128,7 @@ def test_hourly_watermark_stream(spark):
     # append mode emits only windows sealed by the watermark; with
     # availableNow the final watermark seals all but the tail window(s)
     batch = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        COMMON.read_events(spark, SF_SMOKE)
         .groupBy(F.date_trunc("hour", "ts"), "event_type")
         .count()
     )
@@ -142,14 +139,7 @@ def test_hourly_watermark_stream(spark):
 def test_sessionized_stream(spark):
     from tests.conftest import SF_SMOKE
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMOKE)
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
-    )
+    stream = COMMON.events_stream(spark, SF_SMOKE)
     q = (
         INC.sessionized_stream(stream)
         .writeStream.outputMode("append")
@@ -167,14 +157,7 @@ def test_sessionized_stream(spark):
 def test_stateful_user_totals(spark):
     from tests.conftest import SF_SMOKE
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMOKE)
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
-    )
+    stream = COMMON.events_stream(spark, SF_SMOKE)
     q = (
         INC.stateful_user_totals(stream)
         .writeStream.outputMode("update")
