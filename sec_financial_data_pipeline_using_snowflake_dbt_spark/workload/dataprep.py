@@ -687,13 +687,63 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data build chains them — synthesize pages → C4 line cleaning
 # (keep c4_keep=1, use the line-filtered text) → exact dedup on the
 # CLEANED text (content changes after cleaning, so dedup must follow
-# it) → train split (md5 buckets) → GPT-style packing manifest. One
-# oracle replays the whole chain; every stage is the same fragment its
-# standalone query uses, so a mismatch pinpoints the composition, not
+# it) → NEAR-dup arm (minhash-LSH candidate pairs → connected-component
+# clusters → keep one canonical doc per cluster; VERDICT r3/r4 task) →
+# train split (md5 buckets) → GPT-style packing manifest. One oracle
+# replays the whole chain; every stage is the same fragment its
+# standalone query uses (the near-dup CTEs are the q_dedup_minhash /
+# q_dedup_clusters fragments nd_-prefixed and re-sourced over the
+# exact-dedup survivors), so a mismatch pinpoints the composition, not
 # the stages.
 # ---------------------------------------------------------------------------
+def _neardup_canon_sql_from(src: str) -> str:
+    """MinHash banded-LSH pairs + recursive-CTE connected components +
+    canonical selection over any (doc_id, text) source. Emits CTEs
+    ``nd_*`` and ``canon`` (the doc_ids to keep: component minima, which
+    includes every singleton)."""
+    return f"""
+    nd_tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM {src}),
+    nd_sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], '␟')))) AS shingle
+      FROM nd_tk
+    ),
+    nd_mh AS (
+      SELECT doc_id, seed,
+             MIN(MD5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM nd_sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    nd_band AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             MD5(STRING_AGG(CAST(seed AS VARCHAR) || '=' || minhash, '|'
+                 ORDER BY CAST(seed AS VARCHAR) || '=' || minhash)) AS sig
+      FROM nd_mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    nd_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM nd_band a JOIN nd_band b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    nd_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM nd_pairs
+    ),
+    nd_reach(id, node) AS (
+      SELECT doc_id, doc_id FROM {src}
+      UNION
+      SELECT r.id, e.dst FROM nd_reach r JOIN nd_edges e ON e.src = r.node
+    ),
+    canon AS (
+      SELECT id AS doc_id FROM nd_reach GROUP BY id HAVING MIN(node) = id
+    )"""
+
+
 _PIPE_SQL = f"""
-    WITH c4 AS ({_c4_sql()}),
+    WITH RECURSIVE c4 AS ({_c4_sql()}),
     kept AS (
       SELECT doc_id, clean_text AS text FROM c4 WHERE c4_keep = 1
     ),
@@ -703,14 +753,18 @@ _PIPE_SQL = f"""
     surv AS (
       SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)
     ),
+    {_neardup_canon_sql_from("surv")},
+    surv2 AS (
+      SELECT s.doc_id, s.text FROM surv s JOIN canon USING (doc_id)
+    ),
     sh AS (
-      SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM surv
+      SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM surv2
     ),
     tr AS (
       SELECT doc_id FROM sh WHERE ({_SQL_HEX_BYTE}) % 100 < 90
     ),
     final AS (
-      SELECT s.doc_id, s.text FROM surv s JOIN tr USING (doc_id)
+      SELECT s.doc_id, s.text FROM surv2 s JOIN tr USING (doc_id)
     )
     SELECT * FROM ({_pack_sql_from("final")}) p
 """
@@ -730,13 +784,20 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registry so release_dedup_caches() frees it between batches
     kept = _persist(cleaned.select("doc_id", F.col("clean_text").alias("text")))
     keepers = DD.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    surv = kept.join(keepers, "doc_id")
+    # exact-dedup survivors feed FOUR consumers (minhash shingling,
+    # cluster nodes, keep_canonical, the split+pack tail) — persist
+    surv = _persist(kept.join(keepers, "doc_id"))
+    # near-dup arm: LSH candidates -> connected components -> keep the
+    # component-minimum doc (singletons kept by construction)
+    pairs = DD.minhash_lsh_pairs(surv, num_hashes=8, bands=4, shingle_n=3)
+    clusters = DD.dedup_clusters(pairs, nodes=surv.select("doc_id"))
+    canon = DD.keep_canonical(surv, clusters, id_col="doc_id")
     train = (
-        TO.assign_split(surv)
+        TO.assign_split(canon)
         .filter(F.col("split") == "train")
         .select("doc_id")
     )
-    final = surv.join(train, "doc_id")
+    final = canon.join(train, "doc_id")
     return TO.pack_sequences(
         final, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
