@@ -227,6 +227,13 @@ def ivf_assign(
     ``Window.partitionBy(id)`` per iteration). The only shuffle per
     iteration is the groupBy(cell) mean, with map-side combine.
 
+    Above ``MAX_CENTROID_LITERAL_TERMS`` (n_centroids × dim literal
+    terms) the literal fold would bake millions of Catalyst nodes into
+    the plan (analysis blow-up, 64 KB codegen limits — ADVICE r4), so
+    assign switches to a broadcast-centroid join + min(struct) with the
+    identical (dist asc, cell asc) tie-break; bit-equivalence of the two
+    arms is pytest-enforced.
+
     ``round_means`` rounds each centroid coordinate to that many decimal
     places after the mean step. The mean over a distributed partition sum
     is order-nondeterministic in the last ulp; rounding makes the
