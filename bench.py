@@ -79,11 +79,13 @@ def load_budgets() -> dict[str, float]:
     are self-flagged in the output's ``over_budget`` field; under
     SPARK_GRAFT_BENCH_STRICT=1 they also fail the run (rc=2)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_budgets.json")
-    try:
-        with open(path) as fh:
-            return dict(json.load(fh)["budget"])
-    except Exception:
+    if not os.path.exists(path):
+        # missing file disables the gate LOUDLY, never silently
+        print("WARNING: bench_budgets.json missing - budget gate disabled", file=sys.stderr)
         return {}
+    with open(path) as fh:
+        # a corrupt checked-in budgets file is repo damage: crash loud
+        return dict(json.load(fh)["budget"])
 
 
 def main() -> None:

@@ -778,15 +778,19 @@ def dedup_clusters(
         # O(log n) regardless of diameter (VERDICT r3/r4 — the upgrade
         # path this docstring always named). Nodes with no incident edge
         # keep their singleton label.
-        star = _star_contract(edges)
-        labels = (
-            nodes.join(star, "id", "left")
-            .select(
-                "id",
-                F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        try:
+            star = _star_contract(edges)
+            labels = (
+                nodes.join(star, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        except Exception:
+            edges.unpersist()  # don't pin the edge list past a failure
+            raise
     edges.unpersist()
     return labels
 

@@ -90,7 +90,10 @@ def sniff_format(payload: bytes | None) -> tuple[str, str]:
             ):
                 continue
             if fmt in ("ppm", "pgm") and (
-                len(payload) < 3 or payload[2] not in b" \t\r\n"
+                # whitespace or a #comment may follow the magic — keep
+                # this in sync with parse_pnm_header's tokenizer
+                len(payload) < 3
+                or payload[2] not in b" \t\r\n#"
             ):
                 continue
             return (modality, fmt)
@@ -164,6 +167,7 @@ def parse_bmp_header(payload: bytes) -> dict[str, int | bool] | None:
         "bpp": bpp,
         "compression": compression,
         "pixel_offset": pixel_offset,
+        "dib_size": dib,
     }
 
 
@@ -191,6 +195,11 @@ def parse_pnm_header(payload: bytes) -> dict[str, int | str] | None:
         else:
             return None
     if len(vals) < 3 or i >= n:
+        return None
+    # the spec requires exactly ONE whitespace byte between maxval and
+    # the raster (a raster byte may itself look like whitespace, so no
+    # skipping is possible); anything else is not a valid binary PNM
+    if payload[i] not in b" \t\r\n":
         return None
     return {
         "format": "ppm" if payload[:2] == b"P6" else "pgm",
@@ -245,6 +254,10 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
     if payload[:2] == b"BM":
         hdr = parse_bmp_header(payload)
         if hdr is None or hdr["compression"] != 0 or hdr["bpp"] not in (24, 32):
+            return None
+        # a pixel array can't start inside the file/DIB headers — a
+        # crafted offset would decode header bytes as "pixels"
+        if hdr["pixel_offset"] < 14 + hdr["dib_size"]:
             return None
         w, h = hdr["width"], hdr["height"]
         nbytes = hdr["bpp"] // 8

@@ -256,15 +256,17 @@ def ivf_assign(
         # large centroid sets: broadcast-join + min(struct(dist, cell)).
         # Same _sqdist fold (same float order) and the struct min gives
         # the identical (dist asc, cell asc) tie-break as the literal
-        # path, so the two arms are bit-equivalent. Costs one
-        # groupBy(id) shuffle per assign — bounded, unlike a plan with
-        # millions of literal nodes.
+        # path, so the two arms are bit-equivalent. Grouping includes
+        # the vector so duplicate ids with DIFFERENT vectors each keep
+        # their own assignment, as in the literal arm (exact duplicate
+        # (id, v) rows do collapse to one — the one divergence). Costs
+        # one shuffle per assign — bounded, unlike a plan with millions
+        # of literal nodes.
         d = _sqdist(F.col("v"), F.col("cvec"))
         return (
             vecs.join(F.broadcast(_centroid_df(spark, cents)))
-            .groupBy("id")
+            .groupBy("id", "v")
             .agg(
-                F.first("v").alias("v"),
                 F.min(F.struct(d.alias("dist"), F.col("cell").alias("cell"))).alias(
                     "best"
                 ),
@@ -346,12 +348,12 @@ def ivf_topk(
         # literal path's tie-break), slice the first n_probe
         d = _sqdist(F.col("qv"), F.col("cvec"))
         spark = queries.sparkSession
+        # group on (query_id, qv, qn) — duplicate query ids with
+        # different vectors keep independent probe sets (see assign)
         probes = (
             q.join(F.broadcast(_centroid_df(spark, cents)))
-            .groupBy("query_id")
+            .groupBy("query_id", "qv", "qn")
             .agg(
-                F.first("qv").alias("qv"),
-                F.first("qn").alias("qn"),
                 F.slice(
                     F.array_sort(
                         F.collect_list(

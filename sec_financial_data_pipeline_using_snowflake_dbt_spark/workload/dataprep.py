@@ -89,34 +89,71 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH candidate pairs (md5 hash family, 8 hashes,
-# 4 bands × 2 rows).
+# 4 bands × 2 rows). The CTE fragments are shared — ONE source of truth
+# for the shingle slice / seed range / band split — between
+# q_dedup_minhash, q_dedup_clusters and the q_corpus_pipeline near-dup
+# arm (code-review r5: the three copies could silently desync).
 # ---------------------------------------------------------------------------
-@q(
-    "q_dedup_minhash",
-    f"""
-    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
-    sh AS (
+def _minhash_pairs_ctes(src: str) -> str:
+    """MinHash banded-LSH candidate-pair CTEs (``nd_tk``..``nd_pairs``)
+    over any (doc_id, text) source. Parameters mirror the Spark call
+    sites: 3-token shingles, 8 md5 seed-hashes, 4 bands × 2 rows."""
+    return f"""
+    nd_tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM {src}),
+    nd_sh AS (
       SELECT doc_id,
              UNNEST(list_distinct(list_transform(
                generate_series(1, len(toks) - 2),
                i -> array_to_string(toks[i:i+2], '␟')))) AS shingle
-      FROM tk
+      FROM nd_tk
     ),
-    mh AS (
+    nd_mh AS (
       SELECT doc_id, seed,
              MIN(MD5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+      FROM nd_sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
       GROUP BY doc_id, seed
     ),
-    band AS (
+    nd_band AS (
       SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
              MD5(STRING_AGG(CAST(seed AS VARCHAR) || '=' || minhash, '|'
                  ORDER BY CAST(seed AS VARCHAR) || '=' || minhash)) AS sig
-      FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
-    WHERE a.doc_id < b.doc_id
+      FROM nd_mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    nd_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM nd_band a JOIN nd_band b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def _neardup_canon_sql_from(src: str) -> str:
+    """Pairs + recursive-CTE connected components + canonical selection
+    over any (doc_id, text) source. Extends ``_minhash_pairs_ctes`` with
+    ``nd_edges``/``nd_reach``/``canon`` (the doc_ids to keep: component
+    minima, which includes every singleton). Callers must open the WITH
+    list with RECURSIVE."""
+    return f"""
+    {_minhash_pairs_ctes(src)},
+    nd_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM nd_pairs
+    ),
+    nd_reach(id, node) AS (
+      SELECT doc_id, doc_id FROM {src}
+      UNION
+      SELECT r.id, e.dst FROM nd_reach r JOIN nd_edges e ON e.src = r.node
+    ),
+    canon AS (
+      SELECT id AS doc_id FROM nd_reach GROUP BY id HAVING MIN(node) = id
+    )"""
+
+
+@q(
+    "q_dedup_minhash",
+    f"""
+    WITH {_minhash_pairs_ctes("documents")}
+    SELECT id_a, id_b FROM nd_pairs
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,43 +398,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_dedup_clusters",
     f"""
-    WITH RECURSIVE tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             UNNEST(list_distinct(list_transform(
-               generate_series(1, len(toks) - 2),
-               i -> array_to_string(toks[i:i+2], '␟')))) AS shingle
-      FROM tk
-    ),
-    mh AS (
-      SELECT doc_id, seed,
-             MIN(MD5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
-      GROUP BY doc_id, seed
-    ),
-    band AS (
-      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-             MD5(STRING_AGG(CAST(seed AS VARCHAR) || '=' || minhash, '|'
-                 ORDER BY CAST(seed AS VARCHAR) || '=' || minhash)) AS sig
-      FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
-      WHERE a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    reach(id, node) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.node
-    )
+    WITH RECURSIVE {_neardup_canon_sql_from("documents")}
     SELECT id AS doc_id, MIN(node) AS cluster_id, MIN(node) = id AS keep
-    FROM reach GROUP BY id
+    FROM nd_reach GROUP BY id
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,52 +699,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-dedup survivors), so a mismatch pinpoints the composition, not
 # the stages.
 # ---------------------------------------------------------------------------
-def _neardup_canon_sql_from(src: str) -> str:
-    """MinHash banded-LSH pairs + recursive-CTE connected components +
-    canonical selection over any (doc_id, text) source. Emits CTEs
-    ``nd_*`` and ``canon`` (the doc_ids to keep: component minima, which
-    includes every singleton)."""
-    return f"""
-    nd_tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM {src}),
-    nd_sh AS (
-      SELECT doc_id,
-             UNNEST(list_distinct(list_transform(
-               generate_series(1, len(toks) - 2),
-               i -> array_to_string(toks[i:i+2], '␟')))) AS shingle
-      FROM nd_tk
-    ),
-    nd_mh AS (
-      SELECT doc_id, seed,
-             MIN(MD5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM nd_sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) s
-      GROUP BY doc_id, seed
-    ),
-    nd_band AS (
-      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-             MD5(STRING_AGG(CAST(seed AS VARCHAR) || '=' || minhash, '|'
-                 ORDER BY CAST(seed AS VARCHAR) || '=' || minhash)) AS sig
-      FROM nd_mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
-    ),
-    nd_pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM nd_band a JOIN nd_band b ON a.band = b.band AND a.sig = b.sig
-      WHERE a.doc_id < b.doc_id
-    ),
-    nd_edges AS (
-      SELECT id_a AS src, id_b AS dst FROM nd_pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM nd_pairs
-    ),
-    nd_reach(id, node) AS (
-      SELECT doc_id, doc_id FROM {src}
-      UNION
-      SELECT r.id, e.dst FROM nd_reach r JOIN nd_edges e ON e.src = r.node
-    ),
-    canon AS (
-      SELECT id AS doc_id FROM nd_reach GROUP BY id HAVING MIN(node) = id
-    )"""
-
-
 _PIPE_SQL = f"""
     WITH RECURSIVE c4 AS ({_c4_sql()}),
     kept AS (
