@@ -33,6 +33,10 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERI
 # nested-doc build; cost is the per-filing collect_list, floor is the
 # 4-way staged join) and q_dedup_clusters (iterative connected
 # components; cost scales with rounds-to-convergence).
+# r5 additions (same caveat): q_ann_lsh and q_ann_ivf (the two ANN
+# scale paths — bucketed equi-join and inverted-file probe — were
+# previously unbenched; only the brute-force baseline was) and
+# q_text_repetition (the sorted-run aggregate fold).
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -52,7 +56,10 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_embedding",
     "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
     "q_text_quality",
+    "q_text_repetition",
     "q_fingerprint",
     "q_c4_clean",
     "q_decontaminate",

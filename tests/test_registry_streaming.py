@@ -109,6 +109,35 @@ def test_stream_sec_quarter_matches_batch(spark, fixture_dir, raw, tmp_path_fact
     assert dict(streamed.dtypes)["value"] == "decimal(28,4)"
 
 
+def test_events_ts_normalized_to_timestamp(spark):
+    """read_events and events_stream must surface ts as TimestampType on
+    EVERY runtime: pre-4.1 readers hand normalize_event_ts a bigint,
+    4.1+ readers a timestamp_ntz (which streaming watermarks reject) —
+    both normalize to the same epoch-equivalent timestamp (r5)."""
+    from tests.conftest import SF_SMOKE
+
+    batch = COMMON.read_events(spark, SF_SMOKE)
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    stream = COMMON.events_stream(spark, SF_SMOKE)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # the bigint arm is epoch-identical to the native read
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        via_long = COMMON.normalize_event_ts(
+            raw.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long"),
+            )
+        )
+        mism = (
+            via_long.select("event_id", F.col("ts").alias("t2"))
+            .join(batch.select("event_id", "ts"), "event_id")
+            .filter(F.col("ts") != F.col("t2"))
+            .count()
+        )
+        assert mism == 0
+
+
 def test_hourly_watermark_stream(spark):
     from tests.conftest import SF_SMOKE
 
