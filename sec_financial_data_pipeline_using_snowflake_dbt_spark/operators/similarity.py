@@ -242,7 +242,14 @@ def ivf_assign(
     unrolls the same Lloyd iterations in SQL and must land on
     bit-identical centroids.
     """
-    c = corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    from .dedup import _persist
+
+    # the projected corpus is scanned once per Lloyd iteration plus the
+    # init collect and the final assign — persist it (registered with
+    # the dedup cache registry; release_dedup_caches() frees it)
+    c = _persist(
+        corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    )
     cents: list[tuple[int, list[float]]] = [
         (i + 1, list(r.v))
         for i, r in enumerate(c.orderBy("id").limit(n_centroids).collect())
