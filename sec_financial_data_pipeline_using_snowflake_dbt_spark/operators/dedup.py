@@ -101,6 +101,13 @@ def _spread(df: DataFrame) -> DataFrame:
     # _jdf/rdd are classic-mode private surfaces; under Spark Connect (or
     # any runtime without them) skip the probe and leave df untouched —
     # a rebalance is an optimization, never a correctness requirement.
+    # Only the Connect-shaped failures are swallowed (missing attribute,
+    # py4j bridge errors); a genuine analysis error in the plan should
+    # surface here, where the stack still points at the caller.
+    try:
+        from py4j.protocol import Py4JError
+    except ImportError:  # pragma: no cover — py4j ships with pyspark
+        Py4JError = ()
     try:
         if not hasattr(df, "_jdf"):
             return df
@@ -111,7 +118,7 @@ def _spread(df: DataFrame) -> DataFrame:
         if df.rdd.getNumPartitions() >= parallelism:
             return df
         return df.repartition(parallelism)
-    except Exception:
+    except (AttributeError, Py4JError):
         return df
 
 

@@ -158,6 +158,8 @@ def parse_bmp_header(payload: bytes) -> dict[str, int | bool] | None:
     if dib < 40:  # BITMAPCOREHEADER: 16-bit dims, no compression field
         return None
     w, h = struct.unpack("<ii", payload[18:26])
+    if w <= 0 or h == 0:  # width is signed in the DIB but never validly <= 0
+        return None
     (bpp,) = struct.unpack("<H", payload[28:30])
     (compression,) = struct.unpack("<I", payload[30:34])
     return {
@@ -534,10 +536,11 @@ def classify_modality(assets: DataFrame) -> DataFrame:
     )
 
 
-def parse_wav_header(payload: bytes) -> dict[str, int] | None:
+def parse_wav_header(payload: bytes) -> dict[str, int | None] | None:
     """Canonical-WAV fmt/data chunk walk — REAL byte parsing, no codec:
     (n_channels, sample_rate, bits_per_sample, n_data_bytes). None when
-    the payload isn't RIFF/WAVE or the fmt chunk is truncated."""
+    the payload isn't RIFF/WAVE or the fmt chunk is truncated;
+    data_offset/audio_format are None when those chunks are absent."""
     if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, n = 12, len(payload)

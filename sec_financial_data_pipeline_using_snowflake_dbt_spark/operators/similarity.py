@@ -263,22 +263,30 @@ def ivf_assign(
         # large centroid sets: broadcast-join + min(struct(dist, cell)).
         # Same _sqdist fold (same float order) and the struct min gives
         # the identical (dist asc, cell asc) tie-break as the literal
-        # path, so the two arms are bit-equivalent. Grouping includes
-        # the vector so duplicate ids with DIFFERENT vectors each keep
-        # their own assignment, as in the literal arm (exact duplicate
-        # (id, v) rows do collapse to one — the one divergence). Costs
-        # one shuffle per assign — bounded, unlike a plan with millions
-        # of literal nodes.
+        # path. The scoring groupBy runs over DISTINCT vectors and the
+        # result joins back onto the input, so duplicate rows — same id
+        # or same (id, v) — keep their full multiplicity in both the
+        # returned assignments and the downstream Lloyd mean, exactly as
+        # the row-wise literal arm does (ADVICE r5: the previous
+        # groupBy(id, v) collapsed exact-duplicate rows and silently
+        # under-weighted them in the mean). Costs two bounded shuffles
+        # per assign (distinct + join-back), still far cheaper than a
+        # plan with millions of literal nodes.
         d = _sqdist(F.col("v"), F.col("cvec"))
-        return (
-            vecs.join(F.broadcast(_centroid_df(spark, cents)))
-            .groupBy("id", "v")
+        best_per_v = (
+            vecs.select("v")
+            .distinct()
+            .join(F.broadcast(_centroid_df(spark, cents)))
+            .groupBy("v")
             .agg(
                 F.min(F.struct(d.alias("dist"), F.col("cell").alias("cell"))).alias(
                     "best"
                 ),
             )
-            .select("id", "v", F.col("best.cell").alias("cell"))
+            .select(F.col("v").alias("_bv"), F.col("best.cell").alias("cell"))
+        )
+        return vecs.join(best_per_v, F.col("v") == F.col("_bv")).select(
+            "id", "v", "cell"
         )
 
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"

@@ -244,8 +244,14 @@ class ResultCache:
     def key_for(df: DataFrame) -> int:
         # hash the OPTIMIZED plan: trivially-different spellings (extra
         # projections, reordered filters) collapse to one key;
-        # df.semanticHash() hashes the analyzed plan and would not
-        return df._jdf.queryExecution().optimizedPlan().semanticHash()
+        # df.semanticHash() hashes the analyzed plan and would not.
+        # Spark Connect DataFrames carry no _jdf — fall back to the
+        # analyzed-plan hash there (weaker dedup of equivalent plans,
+        # still a correct cache key).
+        try:
+            return df._jdf.queryExecution().optimizedPlan().semanticHash()
+        except AttributeError:
+            return df.semanticHash()
 
     def fetch(self, df: DataFrame, limit: int = 5000):
         """Collect (bounded) through the cache; returns list[Row].

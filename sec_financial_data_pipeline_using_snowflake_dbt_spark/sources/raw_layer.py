@@ -34,19 +34,26 @@ def ingest_quarter(
 ) -> dict[str, int]:
     """Land one quarter's four tables under quarter=<label>. Returns
     per-table row counts."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tables = read_sec_quarter(spark, landing_dir)
     counts: dict[str, int] = {}
     for name, df in tables.items():
-        out = df.withColumn("quarter", F.lit(quarter))
+        # observe() piggybacks the row count on the write job itself —
+        # one TSV parse per table, not a second count() scan (at the
+        # real ~500 MB/quarter scale the re-parse doubled ingest cost)
+        obs = Observation(f"ingest_{name}")
+        out = df.withColumn("quarter", F.lit(quarter)).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
         (
             out.write.mode("overwrite")
             .partitionBy("quarter")
             .parquet(f"{raw_dir}/{name}")
         )
-        counts[name] = df.count()
+        counts[name] = obs.get["rows"]
     return counts
 
 

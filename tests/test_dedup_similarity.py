@@ -149,6 +149,31 @@ def test_ivf_broadcast_fallback_matches_literal_path(spark, emb):
     assert a_lit == a_jn
 
 
+def test_ivf_join_arm_preserves_duplicate_rows(spark, emb):
+    """ADVICE r5: the join arm's old groupBy(id, v) collapsed exact
+    duplicate rows, under-weighting them in the Lloyd mean. Both arms
+    must return one assignment row per INPUT row (duplicates included)
+    and land on bit-identical centroids on a corpus with repeats."""
+    import sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity as S
+
+    base = emb.filter(F.col("vec_id") < 20)
+    dup = base.unionAll(emb.filter(F.col("vec_id") < 5))  # 5 exact repeats
+    a_lit, c_lit = SIM.ivf_assign(dup, dim=64, n_centroids=4, round_means=6)
+    rows_lit = sorted((r.id, r.cell) for r in a_lit.collect())
+    cents_lit = {(r.cell, tuple(r.cvec)) for r in c_lit.collect()}
+    old = S.MAX_CENTROID_LITERAL_TERMS
+    S.MAX_CENTROID_LITERAL_TERMS = 0  # force the join arm
+    try:
+        a_jn, c_jn = SIM.ivf_assign(dup, dim=64, n_centroids=4, round_means=6)
+        rows_jn = sorted((r.id, r.cell) for r in a_jn.collect())
+        cents_jn = {(r.cell, tuple(r.cvec)) for r in c_jn.collect()}
+    finally:
+        S.MAX_CENTROID_LITERAL_TERMS = old
+    assert len(rows_lit) == 25  # multiplicity preserved, not collapsed
+    assert rows_lit == rows_jn
+    assert cents_lit == cents_jn
+
+
 def test_simhash_is_16_bit(spark, docs):
     sh = DD.simhash(docs)
     r = sh.agg(F.min("simhash"), F.max("simhash")).first()

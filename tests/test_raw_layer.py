@@ -42,6 +42,27 @@ def test_quarter_reingest_is_idempotent(spark, raw_dir, tmp_path_factory):
     assert after_q2 > 0  # other partitions untouched
 
 
+def test_ingest_single_scan_per_table(spark, tmp_path_factory):
+    """The per-table row count rides the write job via observe() — ONE
+    TSV parse per table, not a write + a count() re-parse (VERDICT r5
+    #5: at the real ~500 MB/quarter scale the re-scan doubles ingest
+    cost). Asserted by job count: exactly one Spark job per table."""
+    land = str(tmp_path_factory.mktemp("land_scan"))
+    generate_sec_quarter(land, seed=11)
+    raw = str(tmp_path_factory.mktemp("raw_scan"))
+    sc = spark.sparkContext
+    sc.setJobGroup("ingest_scan_probe", "count ingest jobs")
+    try:
+        counts = ingest_quarter(spark, land, raw, "2024q1")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ingest_scan_probe")
+    assert len(jobs) == len(counts), f"expected 1 job/table, ran {len(jobs)}"
+    assert all(n > 0 for n in counts.values())
+    for name, n in counts.items():
+        assert read_raw(spark, raw, name).count() == n
+
+
 def test_partition_pruning(spark, raw_dir):
     q = read_raw(spark, raw_dir, "num", "2024q1").select("adsh")
     plan = q._jdf.queryExecution().executedPlan().toString()
