@@ -95,6 +95,36 @@ def load_budgets() -> dict[str, float]:
         return dict(json.load(fh)["budget"])
 
 
+def check_budgets(
+    timings: dict[str, float],
+    budgets: dict[str, float],
+    remeasure,
+) -> dict[str, dict[str, float]]:
+    """Flag budget violations, but only after a confirming re-measure
+    (VERDICT r5 #3: best-of-3 within one contended session still
+    false-positives on 0.2-0.5 s queries — BENCH_r05 flagged
+    q_sessionization at 1.70 s where a fresh min-of-3 read 0.56 s).
+    ``remeasure(name) -> float`` runs a fresh best-of-reps for one
+    query; the flag fires only if BOTH the recorded timing and the
+    re-measure exceed the budget. The recorded timing is never
+    rewritten — the suite number stays the first honest pass."""
+    over: dict[str, dict[str, float]] = {}
+    for n, t in timings.items():
+        b = budgets.get(n)
+        if b is None or t <= b:
+            continue
+        retest = remeasure(n)
+        if retest > b:
+            over[n] = {"sec": t, "retest": round(retest, 3), "budget": b}
+        else:
+            print(
+                f"BUDGET NOISE: {n} recorded {t}s > budget {b}s but "
+                f"re-measured {round(retest, 3)}s - not flagged",
+                file=sys.stderr,
+            )
+    return over
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -110,14 +140,12 @@ def main() -> None:
         dedup as DD,
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def measure(name: str) -> float:
         best = float("inf")
         for _ in range(BENCH_REPS):
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
         # drain persisted state between queries: operators persist
         # intermediates (dedup signatures, fact spine, cleaned corpus)
         # per call, and across 24 queries x 3 reps the accumulated
@@ -125,17 +153,18 @@ def main() -> None:
         # timings — the cross-query contamination behind VERDICT r4 #2.
         DD.release_dedup_caches()
         spark.catalog.clearCache()
+        return best
 
-    # budget check applies only at the budgets' own scale (sf0.1)
+    timings = {name: round(measure(name), 3) for name in HEADLINE}
+
+    # budget check applies only at the budgets' own scale (sf0.1);
+    # violations re-measure once (fresh best-of-reps) before flagging
     budgets = load_budgets() if abs(sf - 0.1) < 1e-9 else {}
-    over = {
-        n: {"sec": timings[n], "budget": budgets[n]}
-        for n in timings
-        if n in budgets and timings[n] > budgets[n]
-    }
+    over = check_budgets(timings, budgets, measure)
     for n, v in over.items():
         print(
-            f"BUDGET EXCEEDED: {n} took {v['sec']}s > budget {v['budget']}s",
+            f"BUDGET EXCEEDED: {n} took {v['sec']}s (re-measure "
+            f"{v['retest']}s) > budget {v['budget']}s",
             file=sys.stderr,
         )
 

@@ -23,14 +23,32 @@ from .streaming_q import STREAM_ORACLES, STREAM_QUERIES
 #: the rest are scalar/window batteries whose functions are exercised by other
 #: in-window queries and by the pytest suite, and whose oracle rows were green
 #: in CORRECTNESS_r01 and CORRECTNESS_r02.
+#:
+#: ROTATION POLICY (VERDICT r5 #4): parked queries are not retired — they
+#: re-earn a hard driver signal on a rotation. Each round, 3-5 of the
+#: longest-parked oracle-bearing queries swap back into the window in place
+#: of long-stable in-window batteries (green every round since r1), so
+#: every oracle query gets a driver-recorded CORRECTNESS row at least every
+#: ~4 rounds. A query is eligible to park only when (a) its oracle row was
+#: green in at least one prior CORRECTNESS artifact and (b) its functions
+#: remain exercised by in-window neighbors or pytest.
 TAIL_QUERIES: tuple[str, ...] = (
     "q_multimodal_features",
     "q_multimodal_frames",
-    "q_greatest_least",
-    "q_stats_agg",
-    "q_date_arith",
-    "q_window_frames",
-    "q_string_funcs",
+    # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
+    # q_window_frames / q_string_funcs return to the window (parked since
+    # r2 — the longest-stale hard signal); parked in exchange are five
+    # batteries green in every window r1-r5 whose surfaces stay covered
+    # in-window: q_projection (rename/derive — covered by q_surrogate_key
+    # + q_case_quarter), q_distinct (covered by q_dedup_exact's groupBy
+    # and pytest), q_semi_join (adjacent to in-window q_anti_join),
+    # q_pagination (ORDER/LIMIT/OFFSET — covered by q_window_topk's sort
+    # + serve pytest), q_pivot (value_counts — covered by q_rollup).
+    "q_projection",
+    "q_distinct",
+    "q_semi_join",
+    "q_pagination",
+    "q_pivot",
     # parked in r3 to make window room for q_dedup_clusters (iterative
     # CC with a recursive-CTE oracle carries far more signal than
     # another explode/array battery; posexplode stays covered by

@@ -48,6 +48,13 @@ def test_oracle_queries_inside_driver_window():
         "q_corpus_pipeline",
         # r5 (ADVICE r4): keep one array-family query in the hard signal
         "q_array_ops",
+        # r6 rotation (VERDICT r5 #4): the five longest-parked
+        # oracle-bearing batteries re-earn a driver-recorded green row
+        "q_greatest_least",
+        "q_stats_agg",
+        "q_date_arith",
+        "q_window_frames",
+        "q_string_funcs",
     ):
         assert k in window, k
 
