@@ -128,6 +128,11 @@ def check_budgets(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # optional comma-separated subset (scaling experiments: run just the
+    # scale-critical queries at two sf dirs and compare) — the default
+    # full suite is what the driver records
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
     spark = get_spark("secspark-bench")
 
     # warm-up: JVM/codegen/parquet-footer costs land here, not in the
@@ -155,7 +160,7 @@ def main() -> None:
         spark.catalog.clearCache()
         return best
 
-    timings = {name: round(measure(name), 3) for name in HEADLINE}
+    timings = {name: round(measure(name), 3) for name in headline}
 
     # budget check applies only at the budgets' own scale (sf0.1);
     # violations re-measure once (fresh best-of-reps) before flagging

@@ -325,37 +325,57 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
 ) -> DataFrame:
-    """16-bit SimHash per document.
+    """``n_bits``-bit SimHash per document (default 16 — the oracle-
+    parity width; 32/64 for large corpora, see ``simhash_pairs``).
 
-    Bit *i* (i = 1..16) is the majority vote, over the doc's distinct
-    tokens, of the high bit of hex digit *i* of md5(token) — i.e. digit in
-    [8-f] votes +1, else -1. Portable across engines (pure string ops).
-    Returns (id, simhash long).
+    Bit *i* is the majority vote, over the doc's distinct tokens, of
+    the high bit of hex digit ``(i-1) % 32 + 1`` of md5 of the token —
+    salted with ``'~' * ((i-1) // 32)`` once the 32 hex digits of one
+    md5 are exhausted — i.e. digit in [8-f] votes +1, else -1. Portable
+    across engines (pure string ops). Returns (id, simhash long); at
+    n_bits=64 the top bit lands in the long's sign bit, which keeps
+    XOR/bit_count/ordering consistent.
 
-    Plan shape: the 16 bit votes are 16 aggregate COLUMNS of one
-    groupBy over the (doc, token) rows — one explode, one map-side-
-    combined shuffle of (id, 16 ints). (The naive formulation explodes
-    16 rows per token and shuffles 16× the data for the same answer.)
+    Plan shape: the n_bits bit votes are n_bits aggregate COLUMNS of
+    one groupBy over the (doc, token) rows — one explode, one map-side-
+    combined shuffle of (id, n_bits ints). (The naive formulation
+    explodes n_bits rows per token and shuffles n_bits× the data for
+    the same answer.)
     """
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     toks = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(TX.distinct_tokens(text_col)).alias("token")
-    ).withColumn("h", F.md5("token"))
+    )
+    for salt in range((n_bits + 31) // 32):
+        toks = toks.withColumn(
+            f"h{salt}", F.md5(F.concat(F.col("token"), F.lit("~" * salt)))
+        )
     votes = [
         F.sum(
             F.when(
-                F.substring("h", i, 1).isin(*list("89abcdef")), F.lit(1)
+                F.substring(f"h{(i - 1) // 32}", (i - 1) % 32 + 1, 1).isin(
+                    *list("89abcdef")
+                ),
+                F.lit(1),
             ).otherwise(F.lit(-1))
         ).alias(f"v{i}")
-        for i in range(1, 17)
+        for i in range(1, n_bits + 1)
     ]
     per_doc = toks.groupBy("id").agg(*votes)
     sig = None
-    for i in range(1, 17):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << (16 - i)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    for i in range(1, n_bits + 1):
+        # shiftleft keeps the bit in the JVM long even when it is the
+        # sign bit (1 << 63 has no Python-literal long representation)
+        bit = F.when(
+            F.col(f"v{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), n_bits - i),
+        ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return per_doc.select("id", sig.cast("long").alias("simhash"))
 
@@ -367,6 +387,11 @@ def _simhash_chunks(max_hamming: int, bits: int = 16) -> list[tuple[int, int]]:
     ``max_hamming`` chunks, so at least one chunk matches exactly."""
     nchunks = max_hamming + 1
     base, rem = divmod(bits, nchunks)
+    if base + (1 if rem else 0) > 63:
+        # a 64-bit chunk mask has no long representation; the only way
+        # to get here (bits=64, max_hamming=0) is better served by the
+        # exact-equality arm anyway
+        raise ValueError("chunk width > 63: raise max_hamming or lower bits")
     out, offset = [], 0
     for c in range(nchunks):
         width = base + (1 if c < rem else 0)
@@ -383,21 +408,31 @@ def simhash_pairs(
     max_hamming: int = 3,
     band_join: bool | None = None,
     cache_signatures: bool = True,
+    n_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Default (``band_join`` unset/True when ``max_hamming < 16``): the
-    VALUE-level pigeonhole join. The 16-bit signature space caps the
-    distinct values at 65 536, so pairing happens on distinct
-    (block, simhash) VALUES — a relation whose size is bounded by the
-    hash space, NOT the corpus — via the band trick (split the 16 bits
-    into ``max_hamming + 1`` exact-match chunks; distance ≤ k ⇒ at
-    least one chunk matches). Candidate generation is therefore O(1) in
-    corpus size; the only corpus-sized stages are the signature groupBy
-    and the final expansion of value-pairs back to doc-pairs, which is
-    bounded by the OUTPUT size (every expanded row is a result row).
-    EXACT, not approximate: the chunk join over-generates value
+    Default (``band_join`` unset/True when ``max_hamming < n_bits``):
+    the VALUE-level pigeonhole join. The signature space caps the
+    distinct values at 2^n_bits, so pairing happens on distinct
+    (block, simhash) VALUES — a relation bounded by
+    min(2^n_bits, corpus) — via the band trick (split the bits into
+    ``max_hamming + 1`` exact-match chunks; distance ≤ k ⇒ at least one
+    chunk matches). The only corpus-sized stages are the signature
+    groupBy and the final expansion of value-pairs back to doc-pairs,
+    which is bounded by the OUTPUT size (every expanded row is a result
+    row). EXACT, not approximate: the chunk join over-generates value
     candidates and the Hamming filter prunes them.
+
+    ``n_bits`` sizes the fingerprint. 16 (default) is the oracle-parity
+    width, but it SATURATES on large corpora: two unrelated docs
+    collide within hamming ≤ 3 with probability ~1.06% (sum of
+    C(16,0..3) / 2^16), so once n ≫ 2^16 the OUTPUT itself — chance
+    pairs, not plan cost — grows quadratically (measured in NOTES_r6:
+    the 150k-doc sf3 corpus emits ~47M pairs at 16 bits vs ~23k genuine
+    ones at 32). For corpora beyond ~50k docs use n_bits=32 (chance
+    rate ~1.3e-6) or 64 (~1e-14); runtime then stays output-bound on
+    GENUINE near-dups.
 
     ``band_join=False`` forces the doc-level all-pairs comparison
     (within ``block_col`` blocks if given) — the test oracle for the
@@ -410,7 +445,9 @@ def simhash_pairs(
     Same contract as ``minhash_lsh_pairs``: not auto-released
     mid-plan; ``release_dedup_caches()`` frees it between batches.
     """
-    sh = simhash(docs.select(F.col(id_col), F.col(text_col)), id_col, text_col)
+    sh = simhash(
+        docs.select(F.col(id_col), F.col(text_col)), id_col, text_col, n_bits=n_bits
+    )
     if block_col:
         sh = sh.join(
             docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
@@ -419,7 +456,7 @@ def simhash_pairs(
         sh = _persist(sh)
     keys = ["blk"] if block_col else []
     if band_join is None:
-        band_join = max_hamming < 16
+        band_join = max_hamming < n_bits
     if not band_join:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -439,7 +476,7 @@ def simhash_pairs(
 
     # 1. distinct signature values per block — ≤ 2^16 rows per block
     vals = sh.select(*keys, "simhash").distinct()
-    chunks = _simhash_chunks(max_hamming)
+    chunks = _simhash_chunks(max_hamming, bits=n_bits)
     chunked = vals.select(
         *keys,
         "simhash",
@@ -448,9 +485,12 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("c_idx"),
+                        # long, not int: 32-bit chunks of a wide hash
+                        # overflow int (shiftright sign-extends, but the
+                        # mask clips the extension)
                         F.shiftright("simhash", shift)
                         .bitwiseAND(F.lit(mask))
-                        .cast("int")
+                        .cast("long")
                         .alias("c_val"),
                     )
                     for i, (shift, mask) in enumerate(chunks)

@@ -199,6 +199,50 @@ def test_simhash_chunks_cover_16_bits():
         assert covered == (1 << 16) - 1
 
 
+def test_simhash_chunks_cover_wide_bits():
+    """Wide fingerprints (32/64-bit — the large-corpus widths) still get
+    disjoint, exhaustive chunk coverage; the unrepresentable 64-bit
+    single-chunk mask is rejected, not silently truncated."""
+    for bits in (32, 64):
+        for k in (1, 2, 3, 7):
+            chunks = DD._simhash_chunks(k, bits=bits)
+            covered = 0
+            for shift, mask in chunks:
+                assert covered & (mask << shift) == 0  # disjoint
+                covered |= mask << shift
+            assert covered == (1 << bits) - 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD._simhash_chunks(0, bits=64)
+
+
+def test_simhash_wide_band_join_matches_all_pairs(spark, docs):
+    """n_bits=32/64 (VERDICT r5 scaling: 16-bit saturates beyond ~50k
+    docs — chance hamming<=3 collisions make the OUTPUT quadratic): the
+    pigeonhole band join must stay exact at the wide widths, including
+    the 64-bit sign-bit-carrying top chunk."""
+    for bits in (32, 64):
+        banded = DD.simhash_pairs(
+            docs, block_col="lang", max_hamming=3, band_join=True, n_bits=bits
+        )
+        full = DD.simhash_pairs(
+            docs, block_col="lang", max_hamming=3, band_join=False, n_bits=bits
+        )
+        a = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+        b = {(r.id_a, r.id_b, r.hamming) for r in full.collect()}
+        assert a == b, f"n_bits={bits}"
+
+
+def test_simhash_wide_uses_sign_bit(spark, docs):
+    """At n_bits=64 the top vote lands in the long's sign bit — some
+    signatures must come out negative (if none did, the top bit would
+    be silently dropped and the effective width 63)."""
+    sh = DD.simhash(docs, n_bits=64)
+    lo, hi = sh.agg(F.min("simhash"), F.max("simhash")).first()
+    assert lo < 0 <= hi
+
+
 def test_gemm_neardup_agrees_with_column_version(spark, emb):
     col_pairs = DD.embedding_neardup_pairs(
         emb, block_col="label", threshold=0.3
