@@ -174,6 +174,42 @@ def test_ivf_join_arm_preserves_duplicate_rows(spark, emb):
     assert cents_lit == cents_jn
 
 
+def test_ivf_early_stop_converges_with_identical_centroids(spark):
+    """VERDICT r5 #7 (opt-in early stop): on a pre-clustered corpus the
+    Lloyd loop stops once centroids are a fixed point — fewer Spark jobs
+    than the fixed n_iters run — and, because a fixed point stays fixed,
+    the centroids are IDENTICAL to the full run's (so the unrolled
+    n_iters oracle still matches when early stop is enabled)."""
+    rows = [(i, [0.0 + i * 1e-9, 0.0] if i % 2 == 0 else [10.0, 10.0]) for i in range(10)]
+    emb2 = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    def run(eps):
+        sc = spark.sparkContext
+        group = f"ivf_es_{eps}"
+        sc.setJobGroup(group, "ivf early stop probe")
+        try:
+            a, c = SIM.ivf_assign(
+                emb2, dim=2, n_centroids=2, n_iters=6,
+                round_means=6, early_stop_eps=eps,
+            )
+            cents = {(r.cell, tuple(r.cvec)) for r in c.collect()}
+            assigns = sorted((r.id, r.cell) for r in a.collect())
+        finally:
+            sc.setJobGroup(None, None)
+        from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+            dedup as _dd,
+        )
+
+        _dd.release_dedup_caches()
+        return cents, assigns, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    cents_full, assigns_full, jobs_full = run(None)
+    cents_es, assigns_es, jobs_es = run(1e-9)
+    assert jobs_es < jobs_full
+    assert cents_es == cents_full
+    assert assigns_es == assigns_full
+
+
 def test_simhash_is_16_bit(spark, docs):
     sh = DD.simhash(docs)
     r = sh.agg(F.min("simhash"), F.max("simhash")).first()

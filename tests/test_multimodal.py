@@ -76,8 +76,35 @@ def test_decode_image_features(assets):
 
 
 def test_real_codecs_stubbed(assets):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow importable: the real-codec arm is active")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         MM.decode_image_features(assets, use_real_codecs=True)
+    # the per-payload PIL arm degrades to None, not an exception
+    assert MM._decode_image_pil(_png()) is None
+
+
+def test_decode_image_pil_golden():
+    """VERDICT r5 #8: with Pillow present, compressed pixels decode for
+    real behind the unchanged schema — golden luma for a pure-red PNG
+    (Rec.601: 0.299). Skipped when the optional dependency is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[..., 0] = 255  # pure red
+    Image.fromarray(arr).save(buf, format="PNG")
+    feats = MM._decode_image(buf.getvalue(), use_real_codecs=True)
+    assert (feats["width"], feats["height"]) == (6, 4)
+    assert abs(feats["mean_luma"] - 0.299) < 0.01
 
 
 def test_sample_video_frames(assets):
