@@ -37,6 +37,9 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERI
 # scale paths — bucketed equi-join and inverted-file probe — were
 # previously unbenched; only the brute-force baseline was) and
 # q_text_repetition (the sorted-run aggregate fold).
+# r6 addition (same caveat): q_dedup_simhash64 — the large-corpus
+# fingerprint width (NOTES_r6 §2); the 16-bit entry stays as the
+# oracle-parity baseline.
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -54,6 +57,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_clusters",
     "q_dedup_simhash",
+    "q_dedup_simhash64",
     "q_dedup_embedding",
     "q_ann_topk",
     "q_ann_lsh",

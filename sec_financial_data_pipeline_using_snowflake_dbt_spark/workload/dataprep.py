@@ -199,6 +199,60 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash near-dup pairs — the LARGE-CORPUS width (NOTES_r6 §2:
+# 16 bits saturates beyond ~50k docs; chance hamming<=3 collisions make
+# the output quadratic). Same banded plan, wider fingerprint. The oracle
+# cannot build one 64-bit value (the sign bit overflows DuckDB's checked
+# BIGINT sum) and does not need to: only the Hamming distance is output,
+# and it decomposes over two 32-bit halves — bits 1-32 vote on digits of
+# md5(token), bits 33-64 on digits of md5(token || '~'), exactly the
+# engine's salted-digest layout (operators/dedup.py simhash()).
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_simhash64",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, lang, half, pos,
+             CASE WHEN SUBSTR(CASE WHEN half = 0 THEN MD5(token)
+                                   ELSE MD5(token || '~') END,
+                              CAST(pos AS INTEGER), 1)
+                       IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+      FROM toks
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS half) h
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 32)) AS pos) p
+    ),
+    perbit AS (
+      SELECT doc_id, lang, half, pos, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+      FROM bits GROUP BY doc_id, lang, half, pos
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             CAST(SUM(CASE WHEN half = 0
+                           THEN bit * (CAST(1 AS BIGINT) << CAST(32 - pos AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN half = 1
+                           THEN bit * (CAST(1 AS BIGINT) << CAST(32 - pos AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM perbit GROUP BY doc_id, lang
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo))
+                AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo))
+               AS INTEGER) <= 3
+    """,
+)
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        table(spark, sf_dir, "documents"), block_col="lang", max_hamming=3, n_bits=64
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs, blocked by label.
 # ---------------------------------------------------------------------------
 @q(

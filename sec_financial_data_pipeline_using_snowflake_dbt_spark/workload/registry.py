@@ -49,6 +49,11 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_semi_join",
     "q_pagination",
     "q_pivot",
+    # r6: parked to make window room for q_dedup_simhash64 (the new
+    # large-corpus-width simhash query earns the hard signal first);
+    # json extraction stays covered in-window by q_json_doc and
+    # q_sec_json_doc, and q_json_extract was green r1-r5.
+    "q_json_extract",
     # parked in r3 to make window room for q_dedup_clusters (iterative
     # CC with a recursive-CTE oracle carries far more signal than
     # another explode/array battery; posexplode stays covered by
