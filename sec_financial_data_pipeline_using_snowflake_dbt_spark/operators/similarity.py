@@ -156,6 +156,12 @@ def lsh_topk(
 #: with identical semantics and tie-breaks.
 MAX_CENTROID_LITERAL_TERMS = 32768
 
+#: Lloyd mean step: up to this vector width the element-wise mean runs
+#: as ``dim`` avg columns in ONE groupBy(cell) (map-side combined, no
+#: posexplode row blow-up); wider vectors fall back to the two-shuffle
+#: posexplode formulation to keep the aggregate column count bounded.
+MAX_MEAN_COLUMNS = 256
+
 
 def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     return spark.createDataFrame(
@@ -300,21 +306,40 @@ def ivf_assign(
         )
 
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
-    for _ in range(n_iters):
+
+    def _mean_step(assigned: DataFrame) -> DataFrame:
         # new centroid = element-wise mean of member vectors
-        exploded = assign(c).select("cell", F.posexplode("v").alias("pos", "x"))
+        if dim <= MAX_MEAN_COLUMNS:
+            # one map-side-combined shuffle: dim avg columns over
+            # groupBy(cell) — no posexplode (dim× row blow-up), no
+            # second shuffle to re-assemble the vector (r6; cut
+            # q_ann_ivf's per-iteration cost ~2x at sf10)
+            mean_cols = []
+            for i in range(dim):
+                m = F.avg(F.col("v")[i])
+                if round_means is not None:
+                    m = F.round(m, round_means)
+                mean_cols.append(m.alias(f"m{i}"))
+            return assigned.groupBy("cell").agg(*mean_cols).select(
+                "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec")
+            )
+        # very wide vectors: dim literal agg columns would bloat the
+        # plan/codegen — fall back to the posexplode formulation
+        # (2 shuffles, rows scale with dim)
+        exploded = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
         mean_expr = F.avg("x")
         if round_means is not None:
             mean_expr = F.round(mean_expr, round_means)
-        means = (
+        return (
             exploded.groupBy("cell", "pos")
             .agg(mean_expr.alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cell", F.transform(F.col("pm"), lambda s: s.m).alias("cvec")
-            )
+            .select("cell", F.transform(F.col("pm"), lambda s: s.m).alias("cvec"))
         )
+
+    for _ in range(n_iters):
+        means = _mean_step(assign(c))
         # one job per Lloyd iteration; the next assign starts from
         # literals again (constant lineage depth)
         prev = dict(cents)

@@ -174,6 +174,28 @@ def test_ivf_join_arm_preserves_duplicate_rows(spark, emb):
     assert cents_lit == cents_jn
 
 
+def test_ivf_mean_column_and_posexplode_paths_agree(spark, emb):
+    """The r6 single-shuffle column-avg mean must produce the same
+    rounded centroids and assignments as the posexplode fallback used
+    above MAX_MEAN_COLUMNS (round_means pins the last-ulp summation
+    nondeterminism both paths share)."""
+    import sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity as S
+
+    a_col, c_col = SIM.ivf_assign(emb, dim=64, n_centroids=4, round_means=6)
+    cents_col = {(r.cell, tuple(r.cvec)) for r in c_col.collect()}
+    rows_col = sorted((r.id, r.cell) for r in a_col.collect())
+    old = S.MAX_MEAN_COLUMNS
+    S.MAX_MEAN_COLUMNS = 0  # force the posexplode arm
+    try:
+        a_pe, c_pe = SIM.ivf_assign(emb, dim=64, n_centroids=4, round_means=6)
+        cents_pe = {(r.cell, tuple(r.cvec)) for r in c_pe.collect()}
+        rows_pe = sorted((r.id, r.cell) for r in a_pe.collect())
+    finally:
+        S.MAX_MEAN_COLUMNS = old
+    assert cents_col == cents_pe
+    assert rows_col == rows_pe
+
+
 def test_ivf_early_stop_converges_with_identical_centroids(spark):
     """VERDICT r5 #7 (opt-in early stop): on a pre-clustered corpus the
     Lloyd loop stops once centroids are a fixed point — fewer Spark jobs
