@@ -37,9 +37,9 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERI
 # scale paths — bucketed equi-join and inverted-file probe — were
 # previously unbenched; only the brute-force baseline was) and
 # q_text_repetition (the sorted-run aggregate fold).
-# r6 addition (same caveat): q_dedup_simhash64 — the large-corpus
+# r6 additions (same caveat): q_dedup_simhash64 — the large-corpus
 # fingerprint width (NOTES_r6 §2); the 16-bit entry stays as the
-# oracle-parity baseline.
+# oracle-parity baseline — and q_pii_scrub (redaction map stage).
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -66,6 +66,7 @@ HEADLINE = [
     "q_text_repetition",
     "q_fingerprint",
     "q_c4_clean",
+    "q_pii_scrub",
     "q_decontaminate",
     "q_pack_sequences",
     "q_corpus_pipeline",

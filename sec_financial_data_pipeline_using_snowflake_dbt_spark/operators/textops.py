@@ -290,6 +290,56 @@ def c4_line_clean(
     )
 
 
+#: PII patterns, applied in THIS order (earlier replacements can
+#: destroy later matches, so order is part of the contract). Written in
+#: the common subset of Java regex (Spark) and RE2 (DuckDB): no
+#: lookarounds, no backreferences, ASCII \b word boundaries — which is
+#: what lets q_pii_scrub carry a full cross-engine oracle. Separators
+#: are REQUIRED in the phone/card patterns so a bare digit run is never
+#: swallowed (10-digit ids stay intact).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing — the redaction stage every shareable training
+    corpus needs: emails, SSN-shaped ids, separator-delimited card and
+    phone numbers, IPv4 literals, each replaced by a typed placeholder
+    token (masking, not deletion, preserves sentence structure for
+    downstream tokenization).
+
+    Returns (id, clean_text, n_email, n_ssn, n_card, n_phone, n_ip,
+    pii_total). Counts are per-pattern on the INPUT text (independent
+    of the replacement chain); ``clean_text`` applies the replacements
+    sequentially in ``PII_PATTERNS`` order.
+
+    Pure Column work — a chain of regexp_replace/regexp_count inside
+    whole-stage codegen, no shuffle, no UDF: a flat map at any corpus
+    size, exactly like c4_line_clean.
+    """
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return docs.select(
+        F.col(id_col), clean.alias("clean_text"), *counts
+    ).withColumn("pii_total", total.cast("long"))
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

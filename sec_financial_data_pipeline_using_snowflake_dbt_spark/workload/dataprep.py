@@ -638,6 +638,88 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing. The synthetic corpus carries no PII, so the query
+# plants deterministic PII first — email on every doc, SSN on even ids,
+# card every 5th, phone every doc, IP every 3rd — with the SAME concat
+# expression on both engines, then scrubs. Patterns live in
+# operators/textops.py PII_PATTERNS (common Java-regex/RE2 subset; the
+# application ORDER is part of the contract). DuckDB counts via
+# len(regexp_extract_all) — counts are per-pattern on the input text —
+# and replaces with the 'g' flag to match Spark's replace-all default.
+# ---------------------------------------------------------------------------
+_PII_AUG_SQL = """
+      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           || ' tel ' || lpad(CAST(100 + doc_id % 900 AS VARCHAR), 3, '0')
+           || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' card 4111 1111 1111 1111' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                   ELSE '' END
+"""
+
+
+def _pii_sql() -> str:
+    from ..operators.textops import PII_PATTERNS
+
+    clean = "aug"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(aug, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents),
+    s AS (
+      SELECT doc_id, {clean} AS clean_text,
+           {counts}
+      FROM a
+    )
+    SELECT doc_id, clean_text, n_email, n_ssn, n_card, n_phone, n_ip,
+           CAST({total} AS BIGINT) AS pii_total
+    FROM s
+    """
+
+
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = did.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s, F.lit("@mail.example.com"),
+        F.lit(" tel "),
+        F.lpad((F.lit(100) + did % 900).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+@q("q_pii_scrub", _pii_sql())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.scrub_pii(_pii_planted(table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: docs sharing any 5-gram with the "eval set"
 # (every 47th document) are flagged. The eval docs are corpus members,
 # so they flag themselves — exactly what real decontamination does with

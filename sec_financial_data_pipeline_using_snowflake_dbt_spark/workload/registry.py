@@ -54,6 +54,11 @@ TAIL_QUERIES: tuple[str, ...] = (
     # json extraction stays covered in-window by q_json_doc and
     # q_sec_json_doc, and q_json_extract was green r1-r5.
     "q_json_extract",
+    # r6: parked to make window room for q_pii_scrub (new redaction
+    # operator earns the hard signal); CASE/quarter derivation stays
+    # covered in-window by q_date_dim, and q_case_quarter was green
+    # r1-r5.
+    "q_case_quarter",
     # parked in r3 to make window room for q_dedup_clusters (iterative
     # CC with a recursive-CTE oracle carries far more signal than
     # another explode/array battery; posexplode stays covered by

@@ -585,6 +585,36 @@ def test_c4_line_clean_rules(spark):
     assert got[5].c4_keep == 0  # brace doc-drop
 
 
+def test_scrub_pii_rules(spark):
+    """Each PII class masks to its typed placeholder; counts are
+    per-pattern on the input; digit runs WITHOUT separators (order ids)
+    are untouched; replacement order (email first) holds."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+            (3, "call 555-123-4567 or 555.123.4567 from 192.168.0.1"),
+            (4, "order 1234567890 qty 4111111111111111"),  # no separators
+            (5, "two mails a@b.co c@d.io"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].clean_text == "mail <EMAIL> now" and got[1].n_email == 1
+    assert got[2].clean_text == "ssn <SSN> card <CARD>"
+    assert got[2].n_ssn == 1 and got[2].n_card == 1
+    assert got[3].clean_text == "call <PHONE> or <PHONE> from <IP>"
+    assert got[3].n_phone == 2 and got[3].n_ip == 1
+    assert got[4].clean_text == docs.filter("doc_id = 4").first().text
+    assert got[4].pii_total == 0
+    assert got[5].clean_text == "two mails <EMAIL> <EMAIL>"
+    assert got[5].n_email == 2 and got[5].pii_total == 2
+
+
 def test_decontaminate_planted_overlap(spark):
     """A corpus doc embedding a full eval 5-gram is flagged; disjoint
     docs and sub-n overlaps (4 shared tokens) are not."""
