@@ -39,7 +39,8 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import QUERI
 # q_text_repetition (the sorted-run aggregate fold).
 # r6 additions (same caveat): q_dedup_simhash64 — the large-corpus
 # fingerprint width (NOTES_r6 §2); the 16-bit entry stays as the
-# oracle-parity baseline — and q_pii_scrub (redaction map stage).
+# oracle-parity baseline — q_pii_scrub (redaction map stage), and
+# q_chunk_docs (sliding-window context chunking, output-bound explode).
 HEADLINE = [
     "q_pricing_summary",
     "q_join_agg",
@@ -69,6 +70,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_chunk_docs",
     "q_corpus_pipeline",
 ]
 

@@ -290,6 +290,55 @@ def c4_line_clean(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window stage of a
+    training/RAG pipeline: each document becomes overlapping windows of
+    ``chunk_tokens`` whitespace tokens, window starts ``stride`` tokens
+    apart (overlap = chunk_tokens - stride). Returns
+    (id, chunk_id, chunk_text, n_chunk_tokens); empty documents emit no
+    chunks, a trailing partial window is kept (truncation would drop
+    tail tokens from the corpus).
+
+    Plan shape: tokens → 1-based start positions via ``sequence(1, n,
+    stride)`` → posexplode → ``slice`` + ``array_join``. One explode
+    whose output IS the result (output-bound), everything else a pure
+    Column map in whole-stage codegen — no shuffle, no UDF, no window
+    function, so the operator is a flat map at any corpus size.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = TX.tokens(text_col)
+    # sequence(1, 0) THROWS in Spark (boundaries must move toward stop),
+    # so the empty-document case needs an explicit empty array
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode("__starts").alias("chunk_id", "__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__s"), F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("__s") + 1, F.lit(chunk_tokens)
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 #: PII patterns, applied in THIS order (earlier replacements can
 #: destroy later matches, so order is part of the contract). Written in
 #: the common subset of Java regex (Spark) and RE2 (DuckDB): no

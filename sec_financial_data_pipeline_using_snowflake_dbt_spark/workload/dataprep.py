@@ -720,6 +720,42 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window chunking (context-window stage): 32-token windows, 24
+# apart (8-token overlap) — sizes chosen so the ~54-token synthetic docs
+# produce multiple chunks including a partial tail. Tokenization keeps
+# the original case (chunking must not rewrite text); DuckDB list
+# slicing toks[s : s+k-1] is 1-based inclusive and clamps at the end,
+# exactly like Spark's slice(arr, s, k).
+# ---------------------------------------------------------------------------
+_CHUNK_T, _CHUNK_S = 32, 24
+_RAW_TOKENS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+@q(
+    "q_chunk_docs",
+    f"""
+    WITH tk AS (SELECT doc_id, {_RAW_TOKENS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(1, len(toks), {_CHUNK_S})) AS s
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           array_to_string(toks[s : s + {_CHUNK_T - 1}], ' ') AS chunk_text,
+           CAST(least(len(toks) - s + 1, {_CHUNK_T}) AS BIGINT) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.chunk_documents(
+        table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_T,
+        stride=_CHUNK_S,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: docs sharing any 5-gram with the "eval set"
 # (every 47th document) are flagged. The eval docs are corpus members,
 # so they flag themselves — exactly what real decontamination does with

@@ -59,6 +59,11 @@ TAIL_QUERIES: tuple[str, ...] = (
     # covered in-window by q_date_dim, and q_case_quarter was green
     # r1-r5.
     "q_case_quarter",
+    # r6: parked to make window room for q_chunk_docs (new chunking
+    # operator earns the hard signal); A3 collect_list stays covered
+    # in-window by q_sec_json_doc's ARRAY_AGG(OBJECT_CONSTRUCT), and
+    # q_collect_list was green r1-r5.
+    "q_collect_list",
     # parked in r3 to make window room for q_dedup_clusters (iterative
     # CC with a recursive-CTE oracle carries far more signal than
     # another explode/array battery; posexplode stays covered by

@@ -585,6 +585,37 @@ def test_c4_line_clean_rules(spark):
     assert got[5].c4_keep == 0  # brace doc-drop
 
 
+def test_chunk_documents_windows(spark):
+    """Sliding windows: correct starts/overlap, kept partial tail,
+    no chunks for an empty document, exact token accounting."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,4,7,10 -> windows of 4,4,4 and a 1-token tail
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap (4-3)
+    assert c1[3].chunk_text == "w9"
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    # doc 2: single partial window
+    assert [(r.chunk_text, r.n_chunk_tokens) for r in by_doc[2]] == [
+        ("only three words", 3)
+    ]
+    # doc 3: whitespace-only -> no chunks
+    assert 3 not in by_doc
+
+
 def test_scrub_pii_rules(spark):
     """Each PII class masks to its typed placeholder; counts are
     per-pattern on the input; digit runs WITHOUT separators (order ids)
