@@ -207,33 +207,71 @@ def repetition_stats(
     ratios are meaningless below a size floor (Gopher's own rules are
     likewise length-gated).
     """
+    # Staged through barrier projections: Catalyst's subexpression
+    # elimination SKIPS lambda-bearing expressions (LambdaVariable can't
+    # be hoisted), and CollapseProject would re-inline each stage — so
+    # without barriers every output column referencing the sort+fold
+    # re-runs it (the bigram fold ran 4x per row; measured 4.6x slower
+    # at sf1, 24.4 s vs 5.4 s). The barrier is a dropped
+    # monotonically_increasing_id: nondeterministic projects don't
+    # collapse. Trade-off: caller predicates don't push below the
+    # barrier — irrelevant here, every output column is computed anyway.
+    def barrier(df, *cols):
+        return df.select(
+            *cols, F.monotonically_increasing_id().alias("__bar")
+        ).drop("__bar")
+
     toks = TX.tokens(F.lower(F.col(text_col)))
-    n = F.size(toks).cast("long")
+    s0 = barrier(docs, F.col(id_col), toks.alias("__toks"))
+    n0 = F.size(F.col("__toks")).cast("long")
     bgs = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(F.col("__toks"), 1, F.greatest(n0 - 1, F.lit(0)).cast("int")),
+        F.slice(F.col("__toks"), 2, F.greatest(n0 - 1, F.lit(0)).cast("int")),
         lambda a, b: F.concat(a, F.lit("␞"), b),
     )
-    nb = F.size(bgs).cast("long")
-    u = _run_stats(toks)
-    b = _run_stats(bgs)
+    s1 = barrier(
+        s0,
+        F.col(id_col),
+        n0.alias("__n"),
+        bgs.alias("__bgs"),
+        _run_stats(F.col("__toks")).alias("__u"),
+    )
+    s2 = barrier(
+        s1,
+        F.col(id_col),
+        F.col("__n"),
+        F.size("__bgs").cast("long").alias("__nb"),
+        F.col("__u"),
+        _run_stats(F.col("__bgs")).alias("__b"),
+    )
+    n, nb = F.col("__n"), F.col("__nb")
+    u, b = F.col("__u"), F.col("__b")
     top_uni = F.when(n > 0, F.round(u["best"].cast("double") / n, 6))
     top_bi = F.when(nb > 0, F.round(b["best"].cast("double") / nb, 6))
     dup_bi = F.when(
         nb > 0, F.round((nb - b["singles"]).cast("double") / nb, 6)
     )
-    return docs.select(
+    s3 = barrier(
+        s2,
         F.col(id_col),
         n.alias("n_tokens"),
         nb.alias("n_bigrams"),
         top_uni.alias("top_unigram_frac"),
         top_bi.alias("top_bigram_frac"),
         dup_bi.alias("dup_bigram_frac"),
-        F.when(n < min_tokens, F.lit(1))
+    )
+    return s3.select(
+        id_col,
+        "n_tokens",
+        "n_bigrams",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        F.when(F.col("n_tokens") < min_tokens, F.lit(1))
         .otherwise(
             (
-                (F.coalesce(top_bi, F.lit(0.0)) <= 0.2)
-                & (F.coalesce(dup_bi, F.lit(0.0)) <= 0.3)
+                (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.2)
+                & (F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0)) <= 0.3)
             ).cast("int")
         )
         .alias("repetition_keep"),
