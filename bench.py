@@ -66,6 +66,8 @@ HEADLINE = [
     "q_text_quality",
     "q_text_repetition",
     "q_fingerprint",
+    "q_vocab_topk",
+    "q_tfidf",
     "q_c4_clean",
     "q_pii_scrub",
     "q_decontaminate",

@@ -530,3 +530,107 @@ def pack_sequences(
         ).cast("long").alias("tok_in_seq"),
         F.col("n_tokens"),
     )
+
+
+def vocab_top_terms(
+    docs: DataFrame,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary building: the ``top_n`` most frequent
+    lowercase tokens with corpus frequency, document frequency, and
+    cumulative corpus coverage — the seed statistics a BPE/unigram
+    tokenizer trainer consumes.
+
+    Scale: ONE shuffle — explode + groupBy(token) with map-side combine
+    (COUNT and approx-free COUNT(DISTINCT doc) ride the same expand);
+    the corpus total rides the same aggregate tree as a second pass over
+    the (already tiny) per-token table and broadcasts back. The top-n
+    cut is a TakeOrdered (no full sort of the vocabulary), and the
+    rank/coverage window runs over ``top_n`` rows only — never over the
+    vocabulary, never over the corpus.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    total = freq.agg(F.sum("freq").alias("total"))
+    top = (
+        freq.orderBy(F.col("freq").desc(), "token")
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.round(
+            F.sum("freq").over(w).cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("cum_coverage"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the scikit-learn smoothing), the
+    keyword-extraction / quality-signal stage of a corpus pipeline.
+
+    Scale: tf is one explode + groupBy(doc, token) with map-side
+    combine; df is a second groupBy over the (far smaller) tf table;
+    N is a scalar broadcast. The df table joins back BY TOKEN — at
+    corpus scale the vocabulary is millions of rows against billions of
+    tf rows, and AQE broadcasts the small side. The top-k cut is a
+    per-document window (partitioned rank), never a global sort.
+
+    Cross-engine determinism: the score is rounded to 6 dp and the
+    rank tie-breaks on (rounded score DESC, token ASC), so the oracle's
+    libm ``ln`` and the JVM's agree on every emitted digit unless they
+    diverge by ≥1e-6 on the same double input (they don't).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * (
+            F.log(
+                (F.col("n_docs").cast("double") + F.lit(1.0))
+                / (F.col("doc_freq").cast("double") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -242,3 +242,39 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "2 hours",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream interval join: for each ``left`` event, every
+    ``right`` event from the same user within ``lookback`` before it
+    (click-to-purchase attribution). Both sides carry a watermark and
+    the join condition bounds event time on both sides, so Spark can
+    age out buffered state — without the time bound a stream-stream
+    join's state grows forever (the canonical pitfall).
+
+    Scale: state per key is bounded by ``watermark`` + ``lookback``;
+    the join shuffles both streams by ``user_col`` once. Works
+    identically on batch DataFrames (the oracle path) because the
+    interval condition is ordinary Column algebra.
+    """
+    lhs = left.withWatermark(ts_col, watermark).alias("l")
+    rhs = right.withWatermark(ts_col, watermark).alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    cond = (
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= lts)
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        F.col(f"l.{user_col}").alias(user_col),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        (F.unix_micros(lts) - F.unix_micros(rts)).cast("long").alias("lag_us"),
+    )

@@ -930,3 +930,67 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.pack_sequences(
         final, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: top-N tokens with corpus coverage — the seed
+# statistics a BPE/unigram tokenizer trainer consumes.
+# ---------------------------------------------------------------------------
+@q(
+    "q_vocab_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM freq),
+    top AS (
+      SELECT token, freq, doc_freq FROM freq
+      ORDER BY freq DESC, token LIMIT 50
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+           token, freq, doc_freq,
+           ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS cum_coverage
+    FROM top
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.vocab_top_terms(table(spark, sf_dir, "documents"), top_n=50)
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF top terms (scikit-learn smoothing:
+# tf * (ln((N+1)/(df+1)) + 1)) — keyword extraction / quality signal.
+# ---------------------------------------------------------------------------
+@q(
+    "q_tfidf",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+             ROUND(CAST(tf.tf AS DOUBLE)
+                   * (LN((n.n_docs + 1.0) / (CAST(df.doc_freq AS DOUBLE) + 1.0))
+                      + 1.0), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, doc_freq, score, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)

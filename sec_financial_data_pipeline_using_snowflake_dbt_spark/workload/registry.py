@@ -87,6 +87,21 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_set_ops",
     "q_null_safe_join",
     "q_percentiles",
+    # r6 (second rotation, for the four NEW oracle-bearing queries
+    # q_vocab_topk / q_tfidf / q_stream_join / q_ann_pq — new operators
+    # earn the hard driver signal first; each parked battery was green
+    # in every window r1-r5 and stays covered in-window:
+    # q_array_ops (slice/sequence/posexplode now in-window via
+    # q_chunk_docs, HOF folds via q_text_repetition), q_filter_compose
+    # (dynamic predicates covered by q_sql_gate's gated plan + serve
+    # pytest), q_watermark (incremental high-watermark covered by
+    # q_stream_hourly + streaming pytest), q_validation_stats
+    # (regex/range/length checks covered by test_checks pytest +
+    # q_pii_scrub's regex surface).
+    "q_array_ops",
+    "q_filter_compose",
+    "q_watermark",
+    "q_validation_stats",
     # parked in r5 to keep ONE array-family query (q_array_ops) inside
     # the window (ADVICE r4): running-sum window frames stay in-window
     # via q_pack_sequences' per-shard cumulative window and

@@ -76,3 +76,46 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "q_stream_join",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           p.event_id AS left_id,
+           c.event_id AS right_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 2 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run to completion: click→purchase
+    attribution within a 2-hour lookback, per user. Two independent
+    file streams; watermarks + a two-sided event-time bound keep the
+    join state finite (streaming/incremental.py stream_interval_join).
+    AvailableNow processes the single landing file in one micro-batch,
+    so the watermark drops nothing and the batch oracle sees the same
+    rows.
+    """
+    from ..streaming.incremental import stream_interval_join
+
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = stream_interval_join(purchases, clicks, lookback="2 hours")
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -698,3 +698,79 @@ def test_pack_sequences_invariants(spark):
     # determinism across invocations
     again = pack_sequences(docs, budget=10, n_shards=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_vocab_top_terms_ranks_and_coverage(spark):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        vocab_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b C"),
+            (2, "a b c c"),
+            (3, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in vocab_top_terms(docs, top_n=10).collect()}
+    # lowercased totals: a=5 (3 docs), b=3 (2 docs), c=3 (2 docs)
+    assert rows["a"].rank == 1 and rows["a"].freq == 5 and rows["a"].doc_freq == 3
+    # freq tie b/c broken by token asc
+    assert rows["b"].rank == 2 and rows["c"].rank == 3
+    # coverage is monotone and ends at 1.0 when top_n covers the vocab
+    cov = [r.cum_coverage for r in sorted(rows.values(), key=lambda r: r.rank)]
+    assert cov == sorted(cov) and cov[-1] == 1.0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+
+    # "common" appears in every doc, "rare" in one: same tf within doc 1,
+    # so the rare term must win on idf.
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common x"),
+            (3, "common y"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r.rank: r.term
+        for r in tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 1).collect()
+    }
+    assert top[1] == "rare" and top[2] == "common"
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The streaming operator's Column algebra is engine-agnostic: run it
+    on BATCH frames and compare against a hand-built expected set."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    purchases = mk([(100, 1, s(0)), (101, 2, s(0))])
+    clicks = mk(
+        [
+            (200, 1, s(-30)),       # in window
+            (201, 1, s(-7201)),     # outside 2h lookback
+            (202, 1, s(1)),         # after the purchase — excluded
+            (203, 2, s(-7200)),     # exactly at the boundary — included
+            (204, 3, s(-10)),       # other user
+        ]
+    )
+    got = {
+        (r.left_id, r.right_id, r.lag_us)
+        for r in stream_interval_join(purchases, clicks).collect()
+    }
+    assert got == {(100, 200, 30_000_000), (101, 203, 7_200_000_000)}
