@@ -457,3 +457,215 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the codes-in-memory ANN scale path.
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    sample: list[list[float]],
+    dim: int,
+    m: int = 4,
+    k_sub: int = 4,
+    n_iters: int = 2,
+    round_means: int = 6,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks from a DRIVER-SIDE sample — plain
+    deterministic Lloyd, no RNG (init = the first ``k_sub`` sample
+    subvectors, in sample order).
+
+    Driver-side training is the standard PQ posture (faiss trains its
+    codebooks on a bounded sample too): the sample is tiny and fixed
+    regardless of corpus size, so training cost is O(1) in the corpus —
+    the DISTRIBUTED parts are encode (linear scan) and ADC search
+    (linear scan over 1-byte-per-subspace codes), which is the whole
+    point of PQ at 100 TB: the codes for a billion vectors fit where
+    the vectors themselves never would (m bytes vs 4·dim).
+
+    Reproducibility mirrors ``ivf_assign``: every centroid coordinate is
+    rounded to ``round_means`` dp after each mean step (absorbs
+    summation-order ulp drift), assignment tie-breaks on the lower
+    centroid index, and a cluster that loses all members keeps its
+    previous centroid — the SQL oracle replays the identical schedule.
+
+    Returns ``codebooks[j][c] = centroid c of subspace j`` with
+    ``m * k_sub`` entries of ``dim // m`` floats each.
+    """
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        vecs = [row[j * sub : (j + 1) * sub] for row in sample]
+        cents = [list(vecs[c]) for c in range(k_sub)]
+        for _ in range(n_iters):
+            sums = [[0.0] * sub for _ in range(k_sub)]
+            counts = [0] * k_sub
+            for v in vecs:
+                best, best_d = 0, None
+                for ci, c in enumerate(cents):
+                    d = 0.0
+                    for x, y in zip(v, c):
+                        d += (x - y) * (x - y)
+                    if best_d is None or d < best_d:  # strict: ties keep lower ci
+                        best, best_d = ci, d
+                counts[best] += 1
+                for i, x in enumerate(v):
+                    sums[best][i] += x
+            cents = [
+                [_round_half_up(s / counts[ci], round_means) for s in sums[ci]]
+                if counts[ci]
+                else cents[ci]  # empty cluster keeps its centroid
+                for ci in range(k_sub)
+            ]
+        books.append(cents)
+    return books
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """HALF_UP rounding of a double's EXACT binary expansion — the
+    semantics of Spark's ``F.round`` (BigDecimal.setScale(…, HALF_UP))
+    and DuckDB's ``ROUND``. Python's builtin ``round`` is banker's
+    rounding and would diverge on exact halves."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _pq_code_col(
+    vec: F.Column, books: list[list[list[float]]], sub: int
+) -> F.Column:
+    """``array<int>`` of per-subspace centroid codes for ``vec`` — one
+    argmin fold per subspace against codebook literals (zero shuffles,
+    same plan shape as the IVF literal assign)."""
+    codes = []
+    for j, cents in enumerate(books):
+        scored = F.array(
+            *[
+                F.struct(
+                    _sqdist(
+                        F.slice(vec, j * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ).alias("dist"),
+                    F.lit(ci).cast("int").alias("code"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        codes.append(F.element_at(F.array_sort(scored), 1).code)
+    return F.array(*codes)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the PQ compression of the corpus: a
+    single narrow scan, no shuffle, no join; at scale this is the
+    materialized index (m small ints per vector)."""
+    sub = dim // len(books)
+    v = V.as_double(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col).alias("id"), _pq_code_col(v, books, sub).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    k_sub: int = 4,
+    n_train: int = 64,
+    n_iters: int = 2,
+    round_means: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: top-``k`` neighbors per query by
+    ADC (sum over subspaces of the exact distance from the query
+    subvector to the neighbor's CODE centroid).
+
+    Scale shape: train on the ``n_train`` lowest-id vectors (driver
+    sample, O(1) in the corpus), encode in one narrow scan, then score
+    with per-query lookup tables baked in as literals — the scan reads
+    only (id, codes), never the vectors; the only shuffle is the
+    per-query top-k window over candidate rows. Queries are collected
+    driver-side (bounded query batch — same posture as the centroid
+    collect in ``ivf_assign``).
+
+    ADC float discipline: LUT entries are computed driver-side with the
+    same left-to-right fold the SQL oracle unrolls; the total is the
+    left-associated sum over subspaces, rounded to 6 dp — ranking uses
+    the ROUNDED value with an id tie-break, so both engines rank
+    identical numbers.
+    """
+    sub = dim // m
+    sample = [
+        list(r.v)
+        for r in corpus.select(
+            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("id")
+        .limit(n_train)
+        .collect()
+    ]
+    books = pq_train(sample, dim, m, k_sub, n_iters, round_means)
+    codes = pq_encode(corpus, books, dim, id_col, vec_col)
+
+    q_rows = [
+        (int(r.id), list(r.v))
+        for r in queries.select(
+            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    spark = corpus.sparkSession
+    # LUT[j][c]: exact sqdist from the query's j-th subvector to codebook
+    # centroid c — left-to-right accumulation, mirroring the oracle
+    lut_rows = []
+    for qid, qv in q_rows:
+        lut = []
+        for j, cents in enumerate(books):
+            qsub = qv[j * sub : (j + 1) * sub]
+            row = []
+            for c in cents:
+                d = 0.0
+                for x, y in zip(qsub, c):
+                    d += (x - y) * (x - y)
+                row.append(d)
+            lut.append(row)
+        lut_rows.append((qid, lut))
+    luts = F.broadcast(
+        spark.createDataFrame(
+            lut_rows, "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
+        )
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), j + 1), F.col("codes")[j] + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(luts)
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -340,3 +340,126 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
         n_probe=3, round_means=6,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN — fully oracle-checked. The quantizer is
+# deterministic (driver-side Lloyd on the n_train lowest-id vectors,
+# HALF_UP-rounded means each round — operators/similarity.py pq_train),
+# so the oracle UNROLLS the identical per-subspace training schedule as
+# a CTE chain, then replays encode + ADC. Float discipline: every
+# squared-distance is generated as the SAME left-associated term chain
+# Python/Spark evaluate, and the ADC total is ranked on its ROUNDED
+# value with an id tie-break — both engines rank identical numbers
+# (the q_ann_ivf reproducibility argument, one level deeper).
+# ---------------------------------------------------------------------------
+def _ann_pq_sql(
+    dim: int = 64,
+    m: int = 4,
+    k_sub: int = 4,
+    n_train: int = 64,
+    n_iters: int = 2,
+    k: int = 5,
+    n_queries: int = 8,
+    round_to: int = 6,
+) -> str:
+    sub = dim // m
+
+    def sqd(vec: str, base: int, cvec: str) -> str:
+        # left-associated (((t1 + t2) + t3) ...) — SQL + is left-assoc,
+        # so a flat chain reproduces the Python/Spark fold order
+        terms = [
+            f"({vec}[{base + i}] - {cvec}[{i}]) * ({vec}[{base + i}] - {cvec}[{i}])"
+            for i in range(1, sub + 1)
+        ]
+        return " + ".join(terms)
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_train})",
+    ]
+    final_books = []
+    for j in range(m):
+        base = j * sub
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, v[{base + 1}:{base + sub}] AS sv FROM samp)"
+        )
+        ctes.append(
+            f"""b{j}_0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, sv AS cvec
+      FROM (SELECT vec_id, sv FROM s{j} ORDER BY vec_id LIMIT {k_sub}))"""
+        )
+        prev = f"b{j}_0"
+        for it in range(1, n_iters + 1):
+            ctes.append(
+                f"""a{j}_{it} AS (
+      SELECT vec_id, sv, code FROM (
+        SELECT s.vec_id, s.sv, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {sqd("s.sv", 0, "c.cvec")} ASC,
+                                           c.code ASC) AS rn
+        FROM s{j} s CROSS JOIN {prev} c) WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""m{j}_{it} AS (
+      SELECT code, list(mm ORDER BY i) AS cvec FROM (
+        SELECT a.code, i.i AS i, ROUND(AVG(a.sv[i.i]), {round_to}) AS mm
+        FROM a{j}_{it} a CROSS JOIN (SELECT UNNEST(generate_series(1, {sub})) AS i) i
+        GROUP BY a.code, i.i) GROUP BY code)"""
+            )
+            ctes.append(
+                f"""b{j}_{it} AS (
+      SELECT p.code, COALESCE(mnew.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN m{j}_{it} mnew USING (code))"""
+            )
+            prev = f"b{j}_{it}"
+        final_books.append(prev)
+        ctes.append(
+            f"""enc{j} AS (
+      SELECT vec_id, code FROM (
+        SELECT e.vec_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqd("e.v", base, "c.cvec")} ASC,
+                                           c.code ASC) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+    code_joins = " ".join(
+        f"JOIN enc{j} x{j} ON x{j}.vec_id = x0.vec_id" for j in range(1, m)
+    )
+    ctes.append(
+        f"""codes AS (
+      SELECT x0.vec_id, {", ".join(f"x{j}.code AS c{j}" for j in range(m))}
+      FROM enc0 x0 {code_joins})"""
+    )
+    adc_terms = " + ".join(
+        f"({sqd('q.v', j * sub, f'bb{j}.cvec')})" for j in range(m)
+    )
+    book_joins = " ".join(
+        f"JOIN {final_books[j]} bb{j} ON bb{j}.code = x.c{j}" for j in range(m)
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             ROUND({adc_terms}, {round_to}) AS adc
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < {n_queries}) q
+      CROSS JOIN codes x {book_joins}
+      WHERE x.vec_id <> q.vec_id)"""
+    )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@q("q_ann_pq", _ann_pq_sql())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, m=4, k_sub=4,
+        n_train=64, n_iters=2, round_means=6,
+    )

@@ -774,3 +774,92 @@ def test_stream_interval_join_matches_batch(spark):
         for r in stream_interval_join(purchases, clicks).collect()
     }
     assert got == {(100, 200, 30_000_000), (101, 203, 7_200_000_000)}
+
+
+def test_pq_train_deterministic_and_empty_cluster_retention():
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
+        pq_train,
+    )
+
+    # two tight clusters in 4-d, m=2 subspaces of 2 dims, k_sub=2
+    sample = [
+        [0.0, 0.0, 10.0, 10.0],
+        [0.1, 0.1, 10.1, 10.1],
+        [5.0, 5.0, 0.0, 0.0],
+        [5.1, 5.1, 0.1, 0.1],
+    ]
+    b1 = pq_train(sample, dim=4, m=2, k_sub=2, n_iters=2)
+    b2 = pq_train(sample, dim=4, m=2, k_sub=2, n_iters=2)
+    assert b1 == b2  # no RNG anywhere
+    assert b1[0][0] == [0.05, 0.05] and b1[0][1] == [5.05, 5.05]
+    # empty cluster: all sample points identical -> init centroids are
+    # duplicates, ties assign everything to code 0, code 1 must KEEP its
+    # initial centroid (not NaN out on 0/0)
+    same = [[1.0, 2.0]] * 4
+    b = pq_train(same, dim=2, m=1, k_sub=2, n_iters=2)
+    assert b[0][0] == [1.0, 2.0] and b[0][1] == [1.0, 2.0]
+
+
+def test_pq_topk_matches_numpy_reference(spark, emb):
+    """PQ is deterministic end-to-end, so an INDEPENDENT numpy
+    reimplementation (same schedule: sample -> per-subspace Lloyd with
+    HALF_UP-rounded means -> encode -> ADC -> rounded rank) must produce
+    the identical (query, neighbor, adc, rank) set."""
+    import numpy as np
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
+        _round_half_up,
+        pq_train,
+    )
+
+    dim, m, k_sub, n_train, k = 64, 4, 4, 64, 5
+    sub = dim // m
+    rows = sorted(
+        ((r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()),
+    )
+    ids = [i for i, _ in rows]
+    V = [v for _, v in rows]
+    books = pq_train(V[:n_train], dim, m, k_sub, n_iters=2)
+
+    def code_of(v):
+        out = []
+        for j in range(m):
+            sv = v[j * sub : (j + 1) * sub]
+            best, bd = 0, None
+            for ci, c in enumerate(books[j]):
+                d = 0.0
+                for x, y in zip(sv, c):
+                    d += (x - y) * (x - y)
+                if bd is None or d < bd:
+                    best, bd = ci, d
+            out.append(best)
+        return out
+
+    codes = {i: code_of(v) for i, v in zip(ids, V)}
+    expected = set()
+    for qi, qv in zip(ids, V):
+        if qi >= 8:
+            continue
+        cand = []
+        for ni in ids:
+            if ni == qi:
+                continue
+            adc = None
+            for j in range(m):
+                c = books[j][codes[ni][j]]
+                d = 0.0
+                for x, y in zip(qv[j * sub : (j + 1) * sub], c):
+                    d += (x - y) * (x - y)
+                adc = d if adc is None else adc + d
+            cand.append((_round_half_up(adc, 6), ni))
+        cand.sort()
+        for rank, (adc, ni) in enumerate(cand[:k], start=1):
+            expected.add((qi, ni, adc, rank))
+
+    got = {
+        (r.query_id, r.neighbor_id, r.adc, r.rank)
+        for r in SIM.pq_topk(
+            emb.filter(F.col("vec_id") < 8), emb, dim=dim, k=k
+        ).collect()
+    }
+    assert got == expected
