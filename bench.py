@@ -74,6 +74,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_pack_sequences",
     "q_chunk_docs",
+    "q_data_mixture",
     "q_corpus_pipeline",
 ]
 

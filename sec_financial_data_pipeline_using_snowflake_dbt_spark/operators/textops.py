@@ -634,3 +634,50 @@ def tfidf_top_terms(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def mixture_resample(
+    docs: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Data-mixture resampling with REPETITION: realize per-stratum
+    target weights (e.g. "2.5× wiki, 0.3× crawl" domain mixing for a
+    training run) by emitting each row ``floor(w)`` times plus one more
+    with probability ``frac(w)``, the extra copy decided by the same
+    deterministic id-hash uniform as ``stratified_sample_hash`` — so
+    the realized mixture is reproducible across runs, engines,
+    partitionings, and corpus growth. Downsampling is the w < 1 case
+    (floor 0 + Bernoulli(w)); strata absent from ``weights`` drop.
+
+    Returns (id, stratum, copy) with ``copy`` in 1..n — the copy index
+    gives each repetition a distinct identity for downstream sequence
+    packing/shuffling.
+
+    Scale: one narrow map + an output-bound explode; no shuffle, no
+    join (the weight table is a folded CASE literal — mixtures have
+    tens of strata, not millions).
+    """
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % resolution
+    base = F.lit(0)
+    thr = F.lit(-1)
+    for stratum, w in sorted(weights.items()):
+        whole = int(w)
+        frac = int(round((w - whole) * resolution))
+        base = F.when(F.col(strata_col) == stratum, F.lit(whole)).otherwise(base)
+        thr = F.when(F.col(strata_col) == stratum, F.lit(frac)).otherwise(thr)
+    n = (base + (u < thr).cast("int")).alias("n")
+    return (
+        docs.select(F.col(id_col), F.col(strata_col), n)
+        .filter(F.col("n") >= 1)
+        .select(
+            id_col,
+            strata_col,
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("copy"),
+        )
+        .withColumn("copy", F.col("copy").cast("long"))
+    )

@@ -994,3 +994,56 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture resampling: per-source target weights realized with
+# repetition (floor(w) copies + one Bernoulli(frac(w)) copy decided by
+# the deterministic id-hash uniform) — domain mixing for a training run.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {
+    "src0": 2.5,   # upsample
+    "src1": 1.0,   # keep
+    "src2": 0.3,   # downsample
+    "src3": 3.0,   # pure upsample, no fractional part
+    # every other source drops (weight 0)
+}
+_SQL_MIX_BASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(_MIX_WEIGHTS.items()))
+    + " ELSE 0 END"
+)
+_SQL_MIX_THR = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN {int(round((w - int(w)) * 1_000_000))}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    + " ELSE -1 END"
+)
+
+
+@q(
+    "q_data_mixture",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             MD5(CAST(doc_id AS VARCHAR) || ':' || 'mix') AS h
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             ({_SQL_MIX_BASE})
+             + (CASE WHEN ({{hex8}}) % 1000000 < ({_SQL_MIX_THR})
+                     THEN 1 ELSE 0 END) AS n
+      FROM hashed
+    )
+    SELECT doc_id, source,
+           CAST(UNNEST(generate_series(1, n)) AS BIGINT) AS copy
+    FROM n WHERE n >= 1
+    """.replace("{hex8}", _SQL_HEX8),
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.mixture_resample(
+        table(spark, sf_dir, "documents"), "source", _MIX_WEIGHTS
+    )

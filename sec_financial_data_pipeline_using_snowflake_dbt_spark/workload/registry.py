@@ -102,6 +102,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_filter_compose",
     "q_watermark",
     "q_validation_stats",
+    # r6: parked for q_data_mixture's window slot (the new mixture-
+    # resampling operator earns the hard signal); ranked-window top-k
+    # stays covered in-window by q_tfidf's per-doc rank and q_ann_pq's
+    # per-query rank, plus the serve-layer pagination pytest.
+    # q_window_topk was green in every window r1-r5.
+    "q_window_topk",
     # parked in r5 to keep ONE array-family query (q_array_ops) inside
     # the window (ADVICE r4): running-sum window frames stay in-window
     # via q_pack_sequences' per-shard cumulative window and

@@ -863,3 +863,29 @@ def test_pq_topk_matches_numpy_reference(spark, emb):
         ).collect()
     }
     assert got == expected
+
+
+def test_mixture_resample_realizes_weights(spark, docs):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        mixture_resample,
+    )
+
+    out = mixture_resample(
+        docs, "lang", {"en": 2.5, "de": 1.0, "zh": 0.25}
+    )
+    per = {r.lang: r for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("d")
+    ).collect()}
+    n_docs = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {"en", "de", "zh"}  # unlisted strata drop
+    # de at weight 1.0: exactly one copy per doc
+    assert per["de"].n == n_docs["de"] and per["de"].d == n_docs["de"]
+    # en at 2.5: every doc 2 or 3 times; realized rate near 2.5
+    assert per["en"].d == n_docs["en"]
+    assert 2.0 * n_docs["en"] <= per["en"].n <= 3.0 * n_docs["en"]
+    # zh at 0.25: a strict subset, single copies
+    assert per["zh"].d == per["zh"].n < n_docs["zh"]
+    # determinism: a rerun realizes the identical multiset
+    again = mixture_resample(docs, "lang", {"en": 2.5, "de": 1.0, "zh": 0.25})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
