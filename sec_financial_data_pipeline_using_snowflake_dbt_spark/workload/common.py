@@ -84,11 +84,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The file-stream source requires a DIRECTORY base path, and
+    # pathGlobFilter matches LEAF file names only. So the two layouts
+    # need different streams: a Spark-written events.parquet DIRECTORY
+    # of part files streams directly (with a *.parquet filter to skip
+    # _SUCCESS markers), while the driver testdata's single-FILE
+    # events.parquet streams from its parent with an exact-name filter.
+    import os
+
+    table_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table_path.removeprefix("file:")):
+        reader = spark.readStream.schema(raw_schema).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        stream = reader.parquet(table_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_event_ts(stream)
 
 
