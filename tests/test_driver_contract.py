@@ -46,8 +46,6 @@ def test_oracle_queries_inside_driver_window():
         "q_decontaminate",
         "q_pack_sequences",
         "q_corpus_pipeline",
-        # r5 (ADVICE r4): keep one array-family query in the hard signal
-        "q_array_ops",
         # r6 rotation (VERDICT r5 #4): the five longest-parked
         # oracle-bearing batteries re-earn a driver-recorded green row
         "q_greatest_least",
@@ -55,6 +53,14 @@ def test_oracle_queries_inside_driver_window():
         "q_date_arith",
         "q_window_frames",
         "q_string_funcs",
+        # r6 new operators take the hard signal first (q_array_ops'
+        # r5 pin rotated out in exchange — array slicing/explode stays
+        # in-window via q_chunk_docs, HOF folds via q_text_repetition)
+        "q_vocab_topk",
+        "q_tfidf",
+        "q_stream_join",
+        "q_ann_pq",
+        "q_data_mixture",
     ):
         assert k in window, k
 
