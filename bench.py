@@ -69,6 +69,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_vocab_topk",
     "q_tfidf",
+    "q_unigram_logprob",
     "q_c4_clean",
     "q_pii_scrub",
     "q_decontaminate",

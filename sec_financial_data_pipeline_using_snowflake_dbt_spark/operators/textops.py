@@ -681,3 +681,47 @@ def mixture_resample(
         )
         .withColumn("copy", F.col("copy").cast("long"))
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the language-model quality-filter stage
+    (CCNet scores docs with a KenLM n-gram model; the unigram model is
+    the self-contained analogue): documents full of corpus-typical
+    tokens score high, boilerplate/garbage scores low.
+
+    ``avg_logprob = mean over tokens of ln(count(token) / total)``.
+
+    Scale: corpus counts are one map-side-combined shuffle; the scalar
+    total rides a second agg over the (tiny) count table and broadcasts
+    back; scoring joins doc tokens to counts BY TOKEN (AQE broadcasts
+    the vocabulary when it fits, sort-merge otherwise) and reduces per
+    doc — no window, no driver collect.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("cnt").cast("double")
+                        / F.col("total").cast("double")
+                    )
+                ),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )

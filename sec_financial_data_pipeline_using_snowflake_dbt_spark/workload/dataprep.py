@@ -1047,3 +1047,29 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.mixture_resample(
         table(spark, sf_dir, "documents"), "source", _MIX_WEIGHTS
     )
+
+
+# ---------------------------------------------------------------------------
+# LM quality filter: per-doc mean unigram log-probability under the
+# corpus's own unigram distribution (the self-contained analogue of
+# CCNet's KenLM document scoring).
+# ---------------------------------------------------------------------------
+@q(
+    "q_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 6)
+             AS avg_logprob
+    FROM tok JOIN counts USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.unigram_logprob(table(spark, sf_dir, "documents"))

@@ -108,6 +108,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # per-query rank, plus the serve-layer pagination pytest.
     # q_window_topk was green in every window r1-r5.
     "q_window_topk",
+    # r6: parked for q_unigram_logprob's window slot (the new LM
+    # quality-filter operator earns the hard signal); S8/F6 row-records
+    # JSON stays covered in-window by q_sec_json_doc (the same
+    # collect_list(struct) + to_json construction over the SEC star)
+    # and the test_tsv_read sink tests. q_json_doc was green r1-r5.
+    "q_json_doc",
     # parked in r5 to keep ONE array-family query (q_array_ops) inside
     # the window (ADVICE r4): running-sum window frames stay in-window
     # via q_pack_sequences' per-shard cumulative window and

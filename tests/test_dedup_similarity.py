@@ -889,3 +889,26 @@ def test_mixture_resample_realizes_weights(spark, docs):
     # determinism: a rerun realizes the identical multiset
     again = mixture_resample(docs, "lang", {"en": 2.5, "de": 1.0, "zh": 0.25})
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_unigram_logprob_orders_typical_above_rare(spark):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),   # only corpus-typical tokens
+            (2, "the qzx"),           # one hapax
+        ],
+        "doc_id long, text string",
+    )
+    import math
+
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert rows[1].n_tokens == 4 and rows[2].n_tokens == 2
+    # corpus: the=5, qzx=1, total=6
+    assert rows[1].avg_logprob == round(math.log(5 / 6), 6)
+    exp2 = round((math.log(5 / 6) + math.log(1 / 6)) / 2, 6)
+    assert abs(rows[2].avg_logprob - exp2) <= 1e-6
+    assert rows[1].avg_logprob > rows[2].avg_logprob

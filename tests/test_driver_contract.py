@@ -61,6 +61,7 @@ def test_oracle_queries_inside_driver_window():
         "q_stream_join",
         "q_ann_pq",
         "q_data_mixture",
+        "q_unigram_logprob",
     ):
         assert k in window, k
 
