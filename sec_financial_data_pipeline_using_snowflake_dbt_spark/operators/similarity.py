@@ -492,6 +492,12 @@ def pq_train(
     Returns ``codebooks[j][c] = centroid c of subspace j`` with
     ``m * k_sub`` entries of ``dim // m`` floats each.
     """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
+    if len(sample) < k_sub:
+        raise ValueError(
+            f"PQ training needs >= k_sub={k_sub} sample vectors, got {len(sample)}"
+        )
     sub = dim // m
     books: list[list[list[float]]] = []
     for j in range(m):

@@ -661,6 +661,9 @@ def mixture_resample(
     join (the weight table is a folded CASE literal — mixtures have
     tens of strata, not millions).
     """
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"mixture weights must be >= 0, got {bad}")
     h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
     u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % resolution
     base = F.lit(0)
