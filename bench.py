@@ -64,6 +64,7 @@ HEADLINE = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_ann_pq",
+    "q_ann_ivfpq",
     "q_text_quality",
     "q_text_repetition",
     "q_fingerprint",

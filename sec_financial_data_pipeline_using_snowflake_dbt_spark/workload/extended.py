@@ -463,3 +463,166 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, m=4, k_sub=4,
         n_train=64, n_iters=2, round_means=6,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed (the faiss IVF*,PQ* architecture): IVF cells prune
+# candidates, PQ codes score them by ADC — fully oracle-checked. The
+# oracle unrolls BOTH deterministic training schedules (full-corpus IVF
+# Lloyd like _ann_ivf_sql, per-subspace PQ Lloyd like _ann_pq_sql) with
+# every squared distance generated as the same left-associated term
+# chain all engine paths evaluate.
+# ---------------------------------------------------------------------------
+def _ann_ivfpq_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    ivf_iters: int = 2,
+    m: int = 4,
+    k_sub: int = 4,
+    n_train: int = 64,
+    pq_iters: int = 2,
+    n_queries: int = 8,
+    round_to: int = 6,
+) -> str:
+    sub = dim // m
+
+    def sqd(vec: str, base: int, cvec: str, width: int) -> str:
+        return " + ".join(
+            f"({vec}[{base + i}] - {cvec}[{i}]) * ({vec}[{base + i}] - {cvec}[{i}])"
+            for i in range(1, width + 1)
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_train})",
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cvec
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}))""",
+    ]
+    # IVF coarse quantizer: full-corpus Lloyd, means rounded per round
+    cents = "c0"
+    for it in range(1, ivf_iters + 1):
+        ctes.append(
+            f"""iva{it} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqd("e.v", 0, "c.cvec", dim)} ASC,
+                                           c.cell ASC) AS rn
+        FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""ivc{it} AS (
+      SELECT cell, list(mm ORDER BY i) AS cvec FROM (
+        SELECT a.cell, i.i AS i, ROUND(AVG(a.v[i.i]), {round_to}) AS mm
+        FROM iva{it} a CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+        GROUP BY a.cell, i.i) GROUP BY cell)"""
+        )
+        cents = f"ivc{it}"
+    ctes.append(
+        f"""cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqd("e.v", 0, "c.cvec", dim)} ASC,
+                                           c.cell ASC) AS rn
+        FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
+    )
+    # PQ codebooks + encode (identical schedule to _ann_pq_sql)
+    final_books = []
+    for j in range(m):
+        base = j * sub
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, v[{base + 1}:{base + sub}] AS sv FROM samp)"
+        )
+        ctes.append(
+            f"""b{j}_0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, sv AS cvec
+      FROM (SELECT vec_id, sv FROM s{j} ORDER BY vec_id LIMIT {k_sub}))"""
+        )
+        prev = f"b{j}_0"
+        for it in range(1, pq_iters + 1):
+            ctes.append(
+                f"""a{j}_{it} AS (
+      SELECT vec_id, sv, code FROM (
+        SELECT s.vec_id, s.sv, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {sqd("s.sv", 0, "c.cvec", sub)} ASC,
+                                           c.code ASC) AS rn
+        FROM s{j} s CROSS JOIN {prev} c) WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""m{j}_{it} AS (
+      SELECT code, list(mm ORDER BY i) AS cvec FROM (
+        SELECT a.code, i.i AS i, ROUND(AVG(a.sv[i.i]), {round_to}) AS mm
+        FROM a{j}_{it} a CROSS JOIN (SELECT UNNEST(generate_series(1, {sub})) AS i) i
+        GROUP BY a.code, i.i) GROUP BY code)"""
+            )
+            ctes.append(
+                f"""b{j}_{it} AS (
+      SELECT p.code, COALESCE(mnew.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN m{j}_{it} mnew USING (code))"""
+            )
+            prev = f"b{j}_{it}"
+        final_books.append(prev)
+        ctes.append(
+            f"""enc{j} AS (
+      SELECT vec_id, code FROM (
+        SELECT e.vec_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqd("e.v", base, "c.cvec", sub)} ASC,
+                                           c.code ASC) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+    code_joins = " ".join(
+        f"JOIN enc{j} x{j} ON x{j}.vec_id = x0.vec_id" for j in range(1, m)
+    )
+    ctes.append(
+        f"""codes AS (
+      SELECT x0.vec_id, cl.cell, {", ".join(f"x{j}.code AS c{j}" for j in range(m))}
+      FROM enc0 x0 {code_joins} JOIN cells cl ON cl.vec_id = x0.vec_id)"""
+    )
+    # query probes: n_probe nearest IVF cells, same (dist, cell) tie-break
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sqd("q.v", 0, "c.cvec", dim)} ASC,
+                                           c.cell ASC) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {n_queries}) q
+        CROSS JOIN {cents} c) WHERE rn <= {n_probe})"""
+    )
+    adc_terms = " + ".join(
+        f"({sqd('p.qv', j * sub, f'bb{j}.cvec', sub)})" for j in range(m)
+    )
+    book_joins = " ".join(
+        f"JOIN {final_books[j]} bb{j} ON bb{j}.code = x.c{j}" for j in range(m)
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             ROUND({adc_terms}, {round_to}) AS adc
+      FROM probes p JOIN codes x ON x.cell = p.cell {book_joins}
+      WHERE x.vec_id <> p.query_id)"""
+    )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@q("q_ann_ivfpq", _ann_ivfpq_sql())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
+        n_probe=3, m=4, k_sub=4, n_train=64, pq_iters=2, round_means=6,
+    )

@@ -114,6 +114,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # collect_list(struct) + to_json construction over the SEC star)
     # and the test_tsv_read sink tests. q_json_doc was green r1-r5.
     "q_json_doc",
+    # r6: parked for q_ann_ivfpq's window slot (the composed IVF+PQ
+    # architecture earns the hard signal); F5's MD5 surrogate macro
+    # stays covered in-window by q_sec_fact_bs, whose fact build runs
+    # the identical dbt_utils-parity surrogate-key expression, plus the
+    # test_functions byte-parity pytest. q_surrogate_key was green
+    # r1-r5.
+    "q_surrogate_key",
     # parked in r5 to keep ONE array-family query (q_array_ops) inside
     # the window (ADVICE r4): running-sum window frames stay in-window
     # via q_pack_sequences' per-shard cumulative window and

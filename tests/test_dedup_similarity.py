@@ -912,3 +912,45 @@ def test_unigram_logprob_orders_typical_above_rare(spark):
     exp2 = round((math.log(5 / 6) + math.log(1 / 6)) / 2, 6)
     assert abs(rows[2].avg_logprob - exp2) <= 1e-6
     assert rows[1].avg_logprob > rows[2].avg_logprob
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb):
+    """Algebraic invariant: probing ALL IVF cells removes the pruning,
+    so composed IVF+PQ must return exactly plain PQ's result set (same
+    codebooks: both train on the n_train lowest-id vectors)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    full = {
+        (r.query_id, r.neighbor_id, r.adc, r.rank)
+        for r in SIM.ivfpq_topk(
+            queries, emb, dim=64, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id, r.adc, r.rank)
+        for r in SIM.pq_topk(queries, emb, dim=64, k=5).collect()
+    }
+    assert full == pq
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, emb):
+    """Every returned neighbor must live in one of its query's n_probe
+    nearest cells (pruning is real, not decorative)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
+        _sqdist_py,
+        ivf_assign,
+    )
+
+    assignments, centroids = ivf_assign(emb, dim=64, n_centroids=8, round_means=6)
+    cell_of = {r.id: r.cell for r in assignments.select("id", "cell").collect()}
+    cents = [(r.cell, list(r.cvec)) for r in centroids.collect()]
+    qv = {
+        r.id: list(r.v)
+        for r in assignments.select("id", "v").filter(F.col("id") < 8).collect()
+    }
+    res = SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_probe=3
+    ).collect()
+    assert res
+    for r in res:
+        probed = [c for _, c in sorted((_sqdist_py(qv[r.query_id], cv), c) for c, cv in cents)[:3]]
+        assert cell_of[r.neighbor_id] in probed

@@ -62,6 +62,7 @@ def test_oracle_queries_inside_driver_window():
         "q_ann_pq",
         "q_data_mixture",
         "q_unigram_logprob",
+        "q_ann_ivfpq",
     ):
         assert k in window, k
 
