@@ -71,6 +71,7 @@ HEADLINE = [
     "q_vocab_topk",
     "q_tfidf",
     "q_unigram_logprob",
+    "q_quality_filter",
     "q_c4_clean",
     "q_pii_scrub",
     "q_decontaminate",

@@ -151,6 +151,21 @@ def stratified_sample_hash(
     return docs.filter(u < thr)
 
 
+def _barrier(df: DataFrame, *cols) -> DataFrame:
+    """Barrier projection: select ``cols`` plus a dropped
+    ``monotonically_increasing_id`` so CollapseProject cannot re-inline
+    the stage into its consumers. Catalyst's subexpression elimination
+    SKIPS lambda-bearing expressions (LambdaVariable can't be hoisted),
+    so without a barrier every output column referencing a staged array
+    HOF re-evaluates it per reference (measured 4.6x slower on
+    repetition_stats at sf1 — the r6 lesson). Trade-off: caller
+    predicates don't push below the barrier, so only stage columns that
+    every consumer computes anyway."""
+    return df.select(
+        *cols, F.monotonically_increasing_id().alias("__bar")
+    ).drop("__bar")
+
+
 def _run_stats(arr):
     """(best, singles) over an array: the longest equal-value run of the
     SORTED array (= max occurrence count of any value) and the number of
@@ -207,19 +222,9 @@ def repetition_stats(
     ratios are meaningless below a size floor (Gopher's own rules are
     likewise length-gated).
     """
-    # Staged through barrier projections: Catalyst's subexpression
-    # elimination SKIPS lambda-bearing expressions (LambdaVariable can't
-    # be hoisted), and CollapseProject would re-inline each stage — so
-    # without barriers every output column referencing the sort+fold
-    # re-runs it (the bigram fold ran 4x per row; measured 4.6x slower
-    # at sf1, 24.4 s vs 5.4 s). The barrier is a dropped
-    # monotonically_increasing_id: nondeterministic projects don't
-    # collapse. Trade-off: caller predicates don't push below the
-    # barrier — irrelevant here, every output column is computed anyway.
-    def barrier(df, *cols):
-        return df.select(
-            *cols, F.monotonically_increasing_id().alias("__bar")
-        ).drop("__bar")
+    # Staged through _barrier projections (without them the bigram fold
+    # ran 4x per row; measured 4.6x slower at sf1, 24.4 s vs 5.4 s).
+    barrier = _barrier
 
     toks = TX.tokens(F.lower(F.col(text_col)))
     s0 = barrier(docs, F.col(id_col), toks.alias("__toks"))
@@ -728,3 +733,96 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 40,
+    max_tokens: int = 70,
+    min_mean_len: float = 4.3,
+    max_mean_len: float = 4.7,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    min_distinct_ratio: float = 0.35,
+    stopwords: tuple[str, ...] = ("a", "the"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style composite document quality filter (Rae et al. 2021
+    §A1.1): per-document signals plus one 0/1 flag per rule and an
+    overall ``passes`` — the actual keep/drop decision stage a training
+    corpus pipeline runs after scoring. Rules: token-count bounds, mean
+    token length bounds, alphabetic-token ratio, minimum stopword
+    count, minimum distinct-token ratio (the repetition proxy).
+
+    Scale: a pure narrow map — every signal is an array HOF over the
+    per-row token array (size / filter / aggregate), no explode, no
+    shuffle, no join, no UDF; whole-stage codegen end to end. The
+    heavy token array is built ONCE behind a barrier projection (the
+    q_text_repetition lesson: Catalyst re-inlines staged projections
+    and re-evaluates lambda-bearing expressions per reference without
+    it).
+
+    Cross-engine determinism: char counts and token counts are exact
+    integers, so every ratio is the same double on both engines;
+    ratios are rounded to ``round_to`` before the threshold compare so
+    the emitted value and the flag derive from the same number.
+    """
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    staged = _barrier(docs, F.col(id_col), toks.alias("toks"))
+    n = F.size(F.col("toks")).cast("long")
+    sum_chars = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.round(sum_chars.cast("double") / n.cast("double"), round_to)
+    n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / n.cast("double"), round_to)
+    n_stop = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin(*stopwords))
+    ).cast("long")
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(F.col("toks"))).cast("double") / n.cast("double"),
+        round_to,
+    )
+    sig = _barrier(
+        staged,
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    flag = lambda c: c.cast("int").cast("long")  # noqa: E731
+    fail_length = flag(
+        (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)
+    )
+    fail_mean_len = flag(
+        (F.col("mean_token_len") < min_mean_len)
+        | (F.col("mean_token_len") > max_mean_len)
+    )
+    fail_alpha = flag(F.col("alpha_ratio") < min_alpha_ratio)
+    fail_stop = flag(F.col("n_stopwords") < min_stopwords)
+    fail_diversity = flag(F.col("distinct_ratio") < min_distinct_ratio)
+    out = sig.select(
+        id_col,
+        "n_tokens",
+        "mean_token_len",
+        "alpha_ratio",
+        "n_stopwords",
+        "distinct_ratio",
+        fail_length.alias("fail_length"),
+        fail_mean_len.alias("fail_mean_len"),
+        fail_alpha.alias("fail_alpha"),
+        fail_stop.alias("fail_stopwords"),
+        fail_diversity.alias("fail_diversity"),
+    )
+    passes = (
+        (F.col("fail_length") == 0)
+        & (F.col("fail_mean_len") == 0)
+        & (F.col("fail_alpha") == 0)
+        & (F.col("fail_stopwords") == 0)
+        & (F.col("fail_diversity") == 0)
+    )
+    return out.withColumn("passes", passes.cast("int").cast("long"))

@@ -1073,3 +1073,53 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter: per-doc signals + one 0/1 flag
+# per rule + the overall keep/drop decision (Rae et al. 2021 §A1.1
+# analogue over the synthetic corpus's attainable signal range).
+# ---------------------------------------------------------------------------
+@q(
+    "q_quality_filter",
+    f"""
+    WITH s AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / len(toks), 6) AS mean_token_len,
+             ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                        AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+             CAST(len(list_filter(toks, t -> t IN ('a', 'the'))) AS BIGINT)
+               AS n_stopwords,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               AS distinct_ratio
+      FROM s
+    ),
+    flags AS (
+      SELECT *,
+             CAST(CASE WHEN n_tokens < 40 OR n_tokens > 70
+                       THEN 1 ELSE 0 END AS BIGINT) AS fail_length,
+             CAST(CASE WHEN mean_token_len < 4.3 OR mean_token_len > 4.7
+                       THEN 1 ELSE 0 END AS BIGINT) AS fail_mean_len,
+             CAST(CASE WHEN alpha_ratio < 0.8
+                       THEN 1 ELSE 0 END AS BIGINT) AS fail_alpha,
+             CAST(CASE WHEN n_stopwords < 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS fail_stopwords,
+             CAST(CASE WHEN distinct_ratio < 0.35
+                       THEN 1 ELSE 0 END AS BIGINT) AS fail_diversity
+      FROM sig
+    )
+    SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, n_stopwords,
+           distinct_ratio, fail_length, fail_mean_len, fail_alpha,
+           fail_stopwords, fail_diversity,
+           CAST(CASE WHEN fail_length = 0 AND fail_mean_len = 0
+                      AND fail_alpha = 0 AND fail_stopwords = 0
+                      AND fail_diversity = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM flags
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.quality_filter(table(spark, sf_dir, "documents"))

@@ -127,6 +127,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_window_topk's ranked window; q_window_running has been green
     # since r1.
     "q_window_running",
+    # r6: parked for q_quality_filter's window slot (the new composite
+    # quality-filter operator earns the hard signal); J10 left-anti
+    # semantics stay exercised by test_checks' fk_orphans pytest (the
+    # identical left_anti build at checks.py:57), and q_anti_join was
+    # green in every window r1-r5.
+    "q_anti_join",
 )
 
 _ALL_QUERIES: dict[str, object] = {

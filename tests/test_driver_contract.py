@@ -63,6 +63,10 @@ def test_oracle_queries_inside_driver_window():
         "q_data_mixture",
         "q_unigram_logprob",
         "q_ann_ivfpq",
+        # r6 continuation: the Gopher-style composite filter decision
+        # stage (q_anti_join parked in exchange — left-anti stays
+        # exercised by test_checks' fk_orphans pytest)
+        "q_quality_filter",
     ):
         assert k in window, k
 
