@@ -72,6 +72,7 @@ HEADLINE = [
     "q_tfidf",
     "q_unigram_logprob",
     "q_quality_filter",
+    "q_bm25",
     "q_c4_clean",
     "q_pii_scrub",
     "q_decontaminate",

@@ -826,3 +826,90 @@ def quality_filter(
         & (F.col("fail_diversity") == 0)
     )
     return out.withColumn("passes", passes.cast("int").cast("long"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 top-``k`` document retrieval for a batch of text queries —
+    the classic sparse-retrieval scorer (Robertson-Sparck Jones; the
+    Lucene/Elasticsearch default) and the lexical arm of a RAG stack:
+
+        score(q, d) = sum over distinct query terms t of
+            idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1 - b + b*|d|/avgdl))
+        idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))   (Lucene form)
+
+    Query term frequency is ignored (distinct terms), matching Lucene.
+    Returns (query_id, doc_id, n_terms, score, rank), rank per query by
+    (rounded score DESC, doc_id ASC), rows with rank <= k.
+
+    Scale: the corpus-sized work is ONE explode semi-joined against the
+    broadcast distinct-query-term set BEFORE the tf groupBy, so the only
+    big shuffle carries candidate (doc, term) pairs — documents without
+    any query term never shuffle. df comes from a second groupBy over
+    the (candidate-only) tf table; N/avgdl ride a scalar aggregate over
+    the narrow per-doc-length projection and broadcast back; the
+    doc-length join is an equi-join AQE resolves (broadcast when the
+    candidate side is small). The top-k cut is a per-query rank window
+    over candidates only — never a global sort.
+
+    Cross-engine determinism: tf/df/dl/N are exact integers; every
+    per-term float op is written in the same left-associated order the
+    DuckDB oracle uses, and the per-(query, doc) SUM is rounded to
+    ``round_to`` before ranking (the q_tfidf/q_unigram_logprob LN- and
+    sum-parity precedent).
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id LONG, qtext STRING")
+    qterms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(TX.tokens(F.lower(F.col("qtext"))))).alias("term"),
+    )
+    term_set = qterms.select("term").distinct()
+    dl = docs.select(
+        F.col(id_col), F.size(TX.tokens(F.lower(F.col(text_col)))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = (
+        tok.join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = idf * (tfd * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", id_col, term_score.alias("ts"))
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum("ts"), round_to).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return agg.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -1123,3 +1123,68 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.quality_filter(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (Lucene idf form) for a literal query batch —
+# the lexical-retrieval arm of a RAG stack. Float discipline: every
+# per-term op is written in the same left-associated order on both
+# engines; the per-(query, doc) SUM rounds to 6 dp before ranking.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    (1, "hash join table"),
+    (2, "sort merge join"),
+    (3, "group agg window query"),
+]
+_SQL_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
+@q(
+    "q_bm25",
+    f"""
+    WITH qtab(query_id, qtext) AS (VALUES {_SQL_BM25_VALUES}),
+    qterms AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             UNNEST(list_distinct(list_filter(
+               string_split_regex(lower(qtext), '\\s+'), t -> t <> ''))) AS term
+      FROM qtab
+    ),
+    dl AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tok AS (SELECT doc_id, UNNEST({SQL_TOKENS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             LN(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS ts
+      FROM tf
+      JOIN qterms qt USING (term)
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             ROUND(SUM(ts), 6) AS score
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_terms, score, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rk
+          FROM agg)
+    WHERE rk <= 10
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.bm25_topk(table(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)

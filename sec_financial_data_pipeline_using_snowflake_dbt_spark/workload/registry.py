@@ -133,6 +133,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # identical left_anti build at checks.py:57), and q_anti_join was
     # green in every window r1-r5.
     "q_anti_join",
+    # r6: parked for q_bm25's window slot (the new sparse-retrieval
+    # scorer earns the hard signal); J1/J11 composite-key inner joins
+    # stay in-window via q_sec_fact_bs's fact build and A5 SUM rollups
+    # via q_pricing_summary/q_rollup. q_join_agg was green in every
+    # window r1-r5.
+    "q_join_agg",
 )
 
 _ALL_QUERIES: dict[str, object] = {

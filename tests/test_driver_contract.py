@@ -67,6 +67,10 @@ def test_oracle_queries_inside_driver_window():
         # stage (q_anti_join parked in exchange — left-anti stays
         # exercised by test_checks' fk_orphans pytest)
         "q_quality_filter",
+        # r6 continuation: BM25 retrieval (q_join_agg parked in
+        # exchange — composite-key joins stay in-window via
+        # q_sec_fact_bs, SUM rollups via q_pricing_summary)
+        "q_bm25",
     ):
         assert k in window, k
 
