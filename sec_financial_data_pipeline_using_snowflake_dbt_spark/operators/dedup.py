@@ -864,3 +864,83 @@ def keep_canonical(
         id_col,
         "left_semi",
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    n_iters: int = 2,
+    round_means: int | None = 6,
+    round_to: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning. Embeddings are assigned
+    to ``n_cells`` data-adaptive cells by the deterministic Lloyd
+    quantizer (``similarity.ivf_assign`` — lowest-id init, fixed
+    rounds, rounded means, so runs and engines agree); within each cell
+    a row is DROPPED when a lower-id cell-mate sits at or above the
+    cosine ``threshold`` (keep-lowest-id, the exact_dedup convention;
+    the paper keeps the example farthest from the centroid — a
+    one-line ORDER BY swap, but id order is reproducible across engines
+    and growth, which the oracle discipline requires).
+
+    Returns one row per input: (id, cell, n_near, witness_id, keep)
+    where ``n_near`` counts lower-id cell-mates at/above threshold,
+    ``witness_id`` is the smallest such id (NULL when kept), and
+    ``keep`` is a 0/1 BIGINT.
+
+    Scale shape: the quantizer is the IVF assign (zero-shuffle literal
+    fold per iteration + one groupBy(cell) mean); pair generation is an
+    equi-join ON CELL — the SemDeDup design point: the quadratic term
+    is bounded per cell, and n_cells grows with the corpus (the paper
+    uses 50k clusters at 8B docs) so cells stay ~constant-sized. No
+    broadcast hint on either corpus side (AQE decides, splits skewed
+    cells); norms are computed once per row, not per pair. The verdict
+    join back onto the assignment is one AQE-decided equi-join on id.
+
+    Cross-engine determinism: the cosine is rounded to ``round_to``
+    BEFORE the threshold compare (q_dedup_embedding precedent) and the
+    raw cosine is deliberately NOT emitted — the output depends on
+    floats only through the compare, so a last-ulp divergence flips a
+    row only if a pair's cosine sits within ~1e-12 of the threshold.
+    """
+    from .similarity import ivf_assign  # deferred: mirrors similarity's own
+    # deferred import of dedup._persist (no module-level cycle)
+
+    assigned, _ = ivf_assign(
+        emb,
+        dim,
+        n_centroids=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_means=round_means,
+    )
+    e = _persist(assigned.withColumn("nrm", V.norm(F.col("v"))))
+    a = _spread(e).alias("a")
+    b = e.alias("b")
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    near = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.round(cos, round_to) >= threshold)
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_near"),
+            F.min(F.col("a.id")).alias("witness_id"),
+        )
+    )
+    return (
+        e.join(near, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+            F.col("witness_id"),
+            F.col("witness_id").isNull().cast("int").cast("long").alias("keep"),
+        )
+    )

@@ -259,17 +259,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed AVG (operators/similarity.py ivf_assign docstring).
 # list_distance (sqrt'd L2) vs Spark's squared L2 is argmin-equivalent.
 # ---------------------------------------------------------------------------
-def _ann_ivf_sql(
-    dim: int = 64,
-    k: int = 5,
-    n_centroids: int = 8,
-    n_probe: int = 3,
-    n_iters: int = 2,
-    round_means: int = 6,
-    n_queries: int = 8,
-) -> str:
-    def assign_cte(name: str, cents: str) -> str:
-        return f"""
+def _lloyd_assign_cte(name: str, cents: str) -> str:
+    """One Lloyd assign step as a DuckDB CTE: nearest centroid with the
+    engine-shared (dist ASC, cell ASC) tie-break."""
+    return f"""
     {name} AS (
       SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
@@ -279,8 +272,12 @@ def _ann_ivf_sql(
         FROM e CROSS JOIN {cents} c) WHERE rn = 1
     )"""
 
-    def means_cte(name: str, asgn: str) -> str:
-        return f"""
+
+def _lloyd_means_cte(name: str, asgn: str, dim: int, round_means: int) -> str:
+    """One Lloyd mean step as a DuckDB CTE: per-cell elementwise mean,
+    each coordinate ROUND()ed like the Spark side (round_means) so the
+    distributed-AVG last-ulp drift can't diverge the chain."""
+    return f"""
     {name} AS (
       SELECT cell, list(m ORDER BY i) AS cvec FROM (
         SELECT a.cell, i.i AS i, ROUND(AVG(a.v[i.i]), {round_means}) AS m
@@ -289,8 +286,17 @@ def _ann_ivf_sql(
       GROUP BY cell
     )"""
 
+
+def _lloyd_chain_ctes(
+    dim: int, n_centroids: int, n_iters: int, round_means: int
+) -> tuple[list[str], str]:
+    """The full deterministic Lloyd unroll over the ``embeddings`` table
+    (lowest-id init, n_iters assign+mean rounds, one final assign) as a
+    list of CTE strings; returns (ctes, final_assign_cte_name). Shared
+    by every oracle that replays similarity.ivf_assign (q_ann_ivf,
+    q_ann_ivfpq's IVF arm, q_dedup_semantic)."""
     ctes = [
-        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
         f"""c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cvec
       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})
@@ -298,11 +304,25 @@ def _ann_ivf_sql(
     ]
     cents = "c0"
     for it in range(1, n_iters + 1):
-        ctes.append(assign_cte(f"a{it}", cents))
-        ctes.append(means_cte(f"c{it}", f"a{it}"))
+        ctes.append(_lloyd_assign_cte(f"a{it}", cents))
+        ctes.append(_lloyd_means_cte(f"c{it}", f"a{it}", dim, round_means))
         cents = f"c{it}"
     final_assign = f"a{n_iters + 1}"
-    ctes.append(assign_cte(final_assign, cents))
+    ctes.append(_lloyd_assign_cte(final_assign, cents))
+    return ctes, final_assign
+
+
+def _ann_ivf_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    round_means: int = 6,
+    n_queries: int = 8,
+) -> str:
+    ctes, final_assign = _lloyd_chain_ctes(dim, n_centroids, n_iters, round_means)
+    cents = f"c{n_iters}"
     ctes.append(
         f"""probes AS (
       SELECT query_id, qv, cell FROM (
@@ -625,4 +645,51 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(
         emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
         n_probe=3, m=4, k_sub=4, n_train=64, pq_iters=2, round_means=6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
+# pruning, keep-lowest-id. Lives here (not dataprep.py) because the
+# oracle replays the same deterministic Lloyd unroll as q_ann_ivf via
+# _lloyd_chain_ctes. The raw cosine is deliberately not emitted — the
+# output depends on floats only through the rounded threshold compare.
+# ---------------------------------------------------------------------------
+def _dedup_semantic_sql(
+    dim: int = 64,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    n_iters: int = 2,
+    round_means: int = 6,
+    round_to: int = 6,
+) -> str:
+    ctes, final_assign = _lloyd_chain_ctes(dim, n_cells, n_iters, round_means)
+    ctes.append(
+        f"""near AS (
+      SELECT b.vec_id AS vid, CAST(COUNT(*) AS BIGINT) AS n_near,
+             MIN(a.vec_id) AS witness_id
+      FROM {final_assign} a JOIN {final_assign} b USING (cell)
+      WHERE a.vec_id < b.vec_id
+        AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), {round_to}) >= {threshold}
+      GROUP BY b.vec_id
+    )"""
+    )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell,
+           COALESCE(n.n_near, 0) AS n_near, n.witness_id,
+           CAST(CASE WHEN n.witness_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM {final_assign} m LEFT JOIN near n ON m.vec_id = n.vid
+    """
+
+
+@q("q_dedup_semantic", _dedup_semantic_sql())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    return DD.semantic_dedup(
+        table(spark, sf_dir, "embeddings"), dim=64, n_cells=8, threshold=0.4,
+        n_iters=2, round_means=6,
     )

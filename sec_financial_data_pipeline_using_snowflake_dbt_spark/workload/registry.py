@@ -139,6 +139,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # via q_pricing_summary/q_rollup. q_join_agg was green in every
     # window r1-r5.
     "q_join_agg",
+    # r6: parked for q_dedup_semantic's window slot (the new SemDeDup
+    # operator earns the hard signal); P5's constant-filter fact shape
+    # stays in-window via q_sec_fact_bs (the same filtered star build,
+    # golden-tested) and q_broadcast_star. q_fact_star_shape was green
+    # in every window r1-r5.
+    "q_fact_star_shape",
 )
 
 _ALL_QUERIES: dict[str, object] = {

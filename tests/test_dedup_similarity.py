@@ -954,3 +954,32 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, emb):
     for r in res:
         probed = [c for _, c in sorted((_sqdist_py(qv[r.query_id], cv), c) for c, cv in cents)[:3]]
         assert cell_of[r.neighbor_id] in probed
+
+
+def test_semantic_dedup_extremes(spark, emb):
+    """SemDeDup invariants: at threshold > 1 every row keeps (no pair
+    can reach it); at threshold -1 every pair qualifies, so within each
+    cell exactly the lowest id keeps, every other row's witness is the
+    cell minimum, and n_near = (rank of id within cell) - 1."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    all_keep = semantic_dedup(emb, dim=64, n_cells=4, threshold=1.01)
+    rows = all_keep.collect()
+    assert rows and all(r.keep == 1 and r.n_near == 0 for r in rows)
+
+    none_keep = semantic_dedup(emb, dim=64, n_cells=4, threshold=-1.0)
+    got = none_keep.collect()
+    by_cell: dict[int, list] = {}
+    for r in got:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        ids = sorted(m.vec_id for m in members)
+        for m in members:
+            rank = ids.index(m.vec_id)
+            assert m.n_near == rank
+            if m.vec_id == ids[0]:
+                assert m.keep == 1 and m.witness_id is None
+            else:
+                assert m.keep == 0 and m.witness_id == ids[0]

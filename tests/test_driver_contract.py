@@ -71,6 +71,10 @@ def test_oracle_queries_inside_driver_window():
         # exchange — composite-key joins stay in-window via
         # q_sec_fact_bs, SUM rollups via q_pricing_summary)
         "q_bm25",
+        # r6 continuation: SemDeDup (q_fact_star_shape parked in
+        # exchange — the constant-filter star build stays in-window
+        # via q_sec_fact_bs + q_broadcast_star)
+        "q_dedup_semantic",
     ):
         assert k in window, k
 
