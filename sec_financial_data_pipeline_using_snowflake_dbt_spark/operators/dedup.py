@@ -866,6 +866,57 @@ def keep_canonical(
     )
 
 
+def _semantic_near_gemm(
+    cells: DataFrame, threshold: float, round_to: int
+) -> DataFrame:
+    """Per-cell SemDeDup verdicts via one BLAS GEMM per cell: for each
+    vector, the count of LOWER-ID cell-mates whose rounded cosine meets
+    ``threshold`` and the smallest such id. Input (id, v, cell); output
+    (id, n_near, witness_id) — only ids with n_near > 0 are emitted
+    (the caller left-joins and coalesces). The qualifying-pair set is
+    reduced inside the kernel, never materialized as rows: output is
+    O(cell size), not O(pairs). Cosine = normalized GEMM rounded to
+    ``round_to`` — the same qualifying set as the Column fold arm
+    except for pairs within ~1e-12 of the threshold (the
+    embedding_neardup_pairs_gemm equivalence argument; arm agreement is
+    pytest-enforced).
+
+    Memory: one cell's k x k similarity tile must fit per task (a 50k
+    cell at float64 is ~20 GB — size n_cells so cells stay in the
+    hundreds-to-thousands, the SemDeDup posture; tile the GEMM inside
+    this kernel if a skewed cell must exceed that).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": [], "n_near": [], "witness_id": []}).astype(
+                {"id": "int64", "n_near": "int64", "witness_id": "int64"}
+            )
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        mat = np.vstack(pdf["v"].to_numpy()[order]).astype("float64")
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        normed = mat / norms
+        sims = normed @ normed.T
+        hit = np.triu(np.round(sims, round_to) >= threshold, k=1)
+        n_near = hit.sum(axis=0)
+        witness_idx = hit.argmax(axis=0)  # first True row = lowest id
+        keep = n_near > 0
+        return pd.DataFrame(
+            {
+                "id": ids[keep],
+                "n_near": n_near[keep].astype("int64"),
+                "witness_id": ids[witness_idx[keep]],
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        per_cell, "id long, n_near long, witness_id long"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     dim: int,
@@ -876,6 +927,7 @@ def semantic_dedup(
     round_to: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
     clustering + within-cluster cosine pruning. Embeddings are assigned
@@ -907,10 +959,24 @@ def semantic_dedup(
     raw cosine is deliberately NOT emitted — the output depends on
     floats only through the compare, so a last-ulp divergence flips a
     row only if a pair's cosine sits within ~1e-12 of the threshold.
-    """
-    from .similarity import ivf_assign  # deferred: mirrors similarity's own
-    # deferred import of dedup._persist (no module-level cycle)
 
+    ``strategy``: 'fold' = Column arms end to end (the oracle-bearing
+    configuration); 'gemm' = Arrow/numpy arms for BOTH the Lloyd assign
+    and the within-cell pair scoring (``embedding_neardup_pairs_gemm``
+    per cell — one BLAS GEMM per cell instead of per-pair lambda
+    folds); 'auto' (default) = fold at or below the oracle-scale term
+    count (``similarity.GEMM_ASSIGN_MIN_TERMS``), gemm above — at
+    20k vectors x 80 cells the fold arms measure ~41 s vs ~2 s for
+    gemm, same output (arm agreement pytest-enforced).
+    """
+    from .similarity import GEMM_ASSIGN_MIN_TERMS, ivf_assign  # deferred:
+    # mirrors similarity's own deferred import of dedup._persist
+
+    if strategy not in ("auto", "fold", "gemm"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    use_gemm = strategy == "gemm" or (
+        strategy == "auto" and n_cells * dim > GEMM_ASSIGN_MIN_TERMS
+    )
     assigned, _ = ivf_assign(
         emb,
         dim,
@@ -919,21 +985,35 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         round_means=round_means,
+        assign_strategy="gemm" if use_gemm else "fold",
     )
     e = _persist(assigned.withColumn("nrm", V.norm(F.col("v"))))
-    a = _spread(e).alias("a")
-    b = e.alias("b")
-    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    near = (
-        a.join(b, F.col("a.cell") == F.col("b.cell"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .filter(F.round(cos, round_to) >= threshold)
-        .groupBy(F.col("b.id").alias("id"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_near"),
-            F.min(F.col("a.id")).alias("witness_id"),
+    if use_gemm:
+        # one GEMM per cell, and the count/min verdicts are REDUCED
+        # INSIDE the kernel — the qualifying pairs are never
+        # materialized as rows. With near-dup groups of size g the pair
+        # set is O(g^2) while the verdict is O(n); emitting pairs made
+        # the sf10 fixture output-bound at ~10^8 rows for a 2*10^5-row
+        # answer (measured 80 s of pure pair traffic, NOTES_r6).
+        near = _semantic_near_gemm(
+            e.select("id", "v", "cell"), threshold=threshold, round_to=round_to
         )
-    )
+    else:
+        a = _spread(e).alias("a")
+        b = e.alias("b")
+        cos = V.dot(F.col("a.v"), F.col("b.v")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        near = (
+            a.join(b, F.col("a.cell") == F.col("b.cell"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(F.round(cos, round_to) >= threshold)
+            .groupBy(F.col("b.id").alias("id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_near"),
+                F.min(F.col("a.id")).alias("witness_id"),
+            )
+        )
     return (
         e.join(near, "id", "left")
         .select(

@@ -983,3 +983,39 @@ def test_semantic_dedup_extremes(spark, emb):
                 assert m.keep == 1 and m.witness_id is None
             else:
                 assert m.keep == 0 and m.witness_id == ids[0]
+
+
+def test_ivf_assign_gemm_arm_matches_fold(spark, emb):
+    """The Arrow/numpy GEMM assign arm produces the identical
+    (id, cell) assignment as the Column fold arm (argmin equivalence:
+    GEMM_ASSIGN_MIN_TERMS doc), at both an oracle-scale and a
+    large-cell-count configuration."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    for k in (8, 40):
+        fold, _ = ivf_assign(
+            emb, 64, n_centroids=k, n_iters=2, round_means=6,
+            assign_strategy="fold",
+        )
+        gemm, _ = ivf_assign(
+            emb, 64, n_centroids=k, n_iters=2, round_means=6,
+            assign_strategy="gemm",
+        )
+        a = {r.id: r.cell for r in fold.collect()}
+        b = {r.id: r.cell for r in gemm.collect()}
+        assert a == b, f"assign arms diverge at n_centroids={k}"
+
+
+def test_semantic_dedup_gemm_strategy_matches_fold(spark, emb):
+    """semantic_dedup(strategy='gemm') (GEMM assign + GEMM pair
+    scoring) returns the same rows as strategy='fold'."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    fold = semantic_dedup(emb, dim=64, n_cells=8, threshold=0.4, strategy="fold")
+    gemm = semantic_dedup(emb, dim=64, n_cells=8, threshold=0.4, strategy="gemm")
+    key = lambda r: (r.vec_id, r.cell, r.n_near, r.witness_id, r.keep)  # noqa: E731
+    assert sorted(map(key, fold.collect())) == sorted(map(key, gemm.collect()))
