@@ -80,6 +80,8 @@ HEADLINE = [
     "q_pack_sequences",
     "q_chunk_docs",
     "q_data_mixture",
+    "q_dsir_select",
+    "q_global_shuffle",
     "q_corpus_pipeline",
 ]
 

@@ -913,3 +913,119 @@ def bm25_topk(
     return agg.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style data selection by importance resampling (Xie et al.
+    2023): score every raw document by how much more likely its hashed
+    token features are under a TARGET distribution (a small trusted
+    subset — wiki-quality pages, a curated domain) than under the raw
+    corpus distribution, then keep the top-``k``:
+
+        log w(d) = sum over tokens of
+            ln p_target(bucket(tok)) - ln p_raw(bucket(tok))
+
+    with md5-hashed token buckets (``n_buckets``) and Laplace
+    smoothing ((c+1)/(total+B)) on both distributions. The bucket hash
+    is the same engine-portable md5-prefix integer the split/sampler
+    operators use, so runs, engines, and layouts agree.
+
+    Returns the top-``k`` raw docs as (id, n_tokens, logratio, rank),
+    rank by (rounded logratio DESC, id ASC).
+
+    Scale: two token explodes (raw + target) each feeding ONE
+    map-side-combined groupBy(bucket); the log-ratio table is at most
+    ``n_buckets`` rows and BROADCASTS to the token-level scoring join;
+    the per-doc reduce is one groupBy(doc). The top-k cut is
+    orderBy+limit — a TakeOrdered tree reduction, no global sort — and
+    the rank window runs over k rows only (vocab_top_terms precedent).
+
+    Cross-engine determinism: bucket counts and totals are exact
+    integers so each bucket's log-ratio is the same double on both
+    engines; the per-doc SUM rounds to ``round_to`` before ranking
+    (q_unigram_logprob sum-parity precedent).
+    """
+
+    def bucketed(d: DataFrame) -> DataFrame:
+        tok = d.select(
+            F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        b = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        return tok.select(F.col(id_col), (b % n_buckets).alias("bucket"))
+
+    raw = bucketed(docs)
+    tgt = bucketed(target)
+    raw_counts = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    raw_total = raw_counts.agg(F.sum("rc").alias("rn"))
+    tgt_total = tgt.agg(F.count(F.lit(1)).alias("tn"))
+    lr = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("tn").cast("double") + F.lit(float(n_buckets)))
+    ) - F.log(
+        (F.col("rc").cast("double") + F.lit(1.0))
+        / (F.col("rn").cast("double") + F.lit(float(n_buckets)))
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select("bucket", lr.alias("lr"))
+    )
+    scored = (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), round_to).alias("logratio"),
+        )
+    )
+    top = scored.orderBy(F.col("logratio").desc(), id_col).limit(k)
+    w = Window.orderBy(F.col("logratio").desc(), id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def global_shuffle(
+    docs: DataFrame,
+    n_shards: int = 32,
+    salt: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: the examples-
+    randomization step before packing/writing a training corpus.
+    Each row gets a pseudo-random md5 sort key (id ‖ ':' ‖ salt — a
+    pure function of the row id like assign_split, so the order is
+    reproducible across runs, engines, partitionings, and corpus
+    growth); rows land in ``shard`` = first hash byte-pair mod
+    ``n_shards`` and are ordered WITHIN their shard. Reading shards
+    round-robin (or concatenated) yields the shuffled order; a new
+    ``salt`` is a fresh epoch permutation.
+
+    Returns (id, shard, pos) with pos 0-based within shard.
+
+    Scale: ONE shuffle — the per-shard window partition — and no
+    global sort anywhere (the pack_sequences posture: a total order
+    over 100 TB is a single-reducer funnel; a sharded order with
+    deterministic shard assignment gives the same statistical shuffle
+    at full parallelism). Ties on the (astronomically unlikely) equal
+    hash break by id.
+    """
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).alias(
+        "shard"
+    )
+    base = docs.select(F.col(id_col), h.alias("h"), shard)
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return base.select(
+        id_col,
+        F.col("shard").cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

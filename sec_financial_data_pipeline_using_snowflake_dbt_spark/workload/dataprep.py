@@ -1188,3 +1188,76 @@ _SQL_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bm25_topk(table(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023): hashed-token
+# log-likelihood ratio of a trusted target subset vs the raw corpus,
+# top-k selection. Target = the en/src0 slice (the "curated domain").
+# ---------------------------------------------------------------------------
+@q(
+    "q_dsir_select",
+    f"""
+    WITH tokb AS (
+      SELECT doc_id, CAST(({_SQL_HEX8}) % 256 AS BIGINT) AS bucket
+      FROM (SELECT doc_id, MD5(token) AS h
+            FROM (SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents))
+    ),
+    tgtb AS (
+      SELECT CAST(({_SQL_HEX8}) % 256 AS BIGINT) AS bucket
+      FROM (SELECT MD5(token) AS h
+            FROM (SELECT UNNEST({SQL_TOKENS}) AS token FROM documents
+                  WHERE lang = 'en' AND source = 'src0'))
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS rc FROM tokb GROUP BY bucket),
+    rt AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rn FROM raw),
+    tgt AS (SELECT bucket, COUNT(*) AS tc FROM tgtb GROUP BY bucket),
+    tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tn FROM tgtb),
+    ratio AS (
+      SELECT r.bucket,
+             LN((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1.0) / (tt.tn + 256.0))
+             - LN((CAST(r.rc AS DOUBLE) + 1.0) / (rt.rn + 256.0)) AS lr
+      FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN rt CROSS JOIN tt
+    ),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(SUM(lr), 6) AS logratio
+      FROM tokb JOIN ratio USING (bucket) GROUP BY doc_id
+    ),
+    top AS (SELECT * FROM scored ORDER BY logratio DESC, doc_id LIMIT 100)
+    SELECT doc_id, n_tokens, logratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM top
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("source") == "src0"))
+    return TO.dsir_importance(docs, target, n_buckets=256, k=100)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle: pseudo-random md5 order, sharded so no
+# global sort exists anywhere in the plan (training-order epoch
+# permutation; new salt = new permutation).
+# ---------------------------------------------------------------------------
+@q(
+    "q_global_shuffle",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || 'shuffle') AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, h, CAST(({_SQL_HEX_BYTE}) % 32 AS BIGINT) AS shard
+      FROM hashed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.global_shuffle(table(spark, sf_dir, "documents"), n_shards=32)

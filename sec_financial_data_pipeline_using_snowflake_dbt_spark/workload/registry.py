@@ -145,6 +145,20 @@ TAIL_QUERIES: tuple[str, ...] = (
     # golden-tested) and q_broadcast_star. q_fact_star_shape was green
     # in every window r1-r5.
     "q_fact_star_shape",
+    # r6: parked for q_dsir_select's window slot (the new DSIR
+    # importance-resampling operator earns the hard signal); J3/J4
+    # left-join semantics stay in-window via q_sec_fact_bs's
+    # null-rejection post-left-join and q_sec_json_doc's multi-way
+    # left flattening. q_left_join_counts was green in every window
+    # r1-r5.
+    "q_left_join_counts",
+    # r6: parked for q_global_shuffle's window slot (the new
+    # training-order shuffle earns the hard signal); J5's
+    # expression-key join (to_date ≙ TRY_TO_DATE, ANSI off) stays
+    # in-window because q_sec_fact_bs runs the IDENTICAL join inside
+    # build_fact (operators/facts.py:121-124), golden-tested.
+    # q_expr_key_join was green in every window r1-r5.
+    "q_expr_key_join",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -75,6 +75,14 @@ def test_oracle_queries_inside_driver_window():
         # exchange — the constant-filter star build stays in-window
         # via q_sec_fact_bs + q_broadcast_star)
         "q_dedup_semantic",
+        # r6 continuation: DSIR importance resampling
+        # (q_left_join_counts parked in exchange — left joins stay
+        # in-window via q_sec_fact_bs + q_sec_json_doc)
+        "q_dsir_select",
+        # r6 continuation: deterministic training-order shuffle
+        # (q_expr_key_join parked in exchange — the identical
+        # expression-key join runs inside q_sec_fact_bs's build_fact)
+        "q_global_shuffle",
     ):
         assert k in window, k
 
