@@ -66,6 +66,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_recall",
     "q_text_quality",
     "q_text_repetition",
     "q_fingerprint",
@@ -82,6 +83,7 @@ HEADLINE = [
     "q_data_mixture",
     "q_dsir_select",
     "q_global_shuffle",
+    "q_corpus_stats",
     "q_corpus_pipeline",
 ]
 

@@ -1029,3 +1029,50 @@ def global_shuffle(
         F.col("shard").cast("long").alias("shard"),
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-stratum corpus report card — the summary table a dataset
+    release ships (per source: volume, token budget, language spread,
+    quality pass rate, exact-duplicate rate). Composes
+    ``quality_filter`` for the pass/fail decision and reduces
+    everything in ONE groupBy(stratum).
+
+    Scale: the narrow per-doc projection (token count via array size,
+    md5 content hash) is a flat map; the quality join is id-equi
+    (AQE-decided); the only shuffle is the final stratum groupBy —
+    strata are few, and COUNT(DISTINCT lang/hash) rides Spark's
+    expand-based distinct aggregation with map-side partials.
+    """
+    qf = quality_filter(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("passes")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.col("lang"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.size(TX.tokens(F.lower(F.col(text_col)))).cast("long").alias("n_toks"),
+    )
+    return (
+        base.join(qf, id_col)
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_toks"), round_to).alias("mean_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(F.avg("passes"), round_to).alias("pass_rate"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("h").cast("double") / F.count(F.lit(1)),
+                round_to,
+            ).alias("dup_rate"),
+        )
+    )

@@ -1261,3 +1261,34 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.global_shuffle(table(spark, sf_dir, "documents"), n_shards=32)
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report card: volume / token budget / language
+# spread / quality pass rate / exact-dup rate in one groupBy. The
+# oracle nests the q_quality_filter oracle for the pass decision.
+# ---------------------------------------------------------------------------
+def _corpus_stats_sql() -> str:
+    qf = PREP_ORACLES["q_quality_filter"]
+    return f"""
+    WITH qf AS (SELECT doc_id, passes FROM ({qf})),
+    base AS (
+      SELECT doc_id, source, lang, MD5(text) AS h,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_toks), 6) AS mean_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(AVG(passes), 6) AS pass_rate,
+           ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM base JOIN qf USING (doc_id)
+    GROUP BY source
+    """
+
+
+@q("q_corpus_stats", _corpus_stats_sql())
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.corpus_stats(table(spark, sf_dir, "documents"))

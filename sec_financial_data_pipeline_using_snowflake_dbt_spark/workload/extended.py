@@ -693,3 +693,61 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"), dim=64, n_cells=8, threshold=0.4,
         n_iters=2, round_means=6,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: recall@k of the IVF approximate search against
+# the exact brute-force top-k — the measurement harness every ANN
+# deployment runs before trusting an index. Both sides are
+# deterministic, so the oracle composes the two existing oracle bodies
+# as nested-WITH subqueries and must agree exactly.
+# ---------------------------------------------------------------------------
+def _ann_recall_sql() -> str:
+    from .dataprep import PREP_ORACLES  # no cycle: dataprep never imports extended
+
+    exact = PREP_ORACLES["q_ann_topk"]
+    approx = _ann_ivf_sql()
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx})),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    ),
+    base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact
+             GROUP BY query_id)
+    SELECT b.query_id, b.k, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / b.k, 6) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    """
+
+
+@q("q_ann_recall", _ann_recall_sql())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = SIM.brute_force_topk(qs, emb, k=5)
+    approx = SIM.ivf_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
+        n_probe=3, round_means=6,
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k"), 6
+        ).alias("recall"),
+    )

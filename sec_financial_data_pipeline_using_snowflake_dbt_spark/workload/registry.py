@@ -159,6 +159,22 @@ TAIL_QUERIES: tuple[str, ...] = (
     # build_fact (operators/facts.py:121-124), golden-tested.
     # q_expr_key_join was green in every window r1-r5.
     "q_expr_key_join",
+    # r6: parked for q_ann_recall's window slot (the ANN recall
+    # evaluation harness earns the hard signal); W1/U4's
+    # row_number-over-generator surface stays exercised by
+    # q_global_shuffle's per-shard row_number windows and
+    # q_chunk_docs' sequence explode, F2/F3 CASE/date derivations by
+    # the in-window q_date_arith battery, and q_date_dim itself stays
+    # oracle-verified every pytest run (test_workload_oracle at
+    # sf0.001). Green in every window r1-r5.
+    "q_date_dim",
+    # r6: parked for q_corpus_stats's window slot (the new per-source
+    # report-card aggregate earns the hard signal); A5 SUM rollups
+    # stay in-window via q_pricing_summary, A6 value-counts via
+    # q_vocab_topk's frequency counting and q_corpus_stats's own
+    # count-distinct aggregates. q_rollup was green in every window
+    # r1-r5.
+    "q_rollup",
 )
 
 _ALL_QUERIES: dict[str, object] = {

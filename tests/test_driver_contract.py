@@ -83,6 +83,11 @@ def test_oracle_queries_inside_driver_window():
         # (q_expr_key_join parked in exchange — the identical
         # expression-key join runs inside q_sec_fact_bs's build_fact)
         "q_global_shuffle",
+        # r6 continuation: ANN recall harness + corpus report card
+        # (q_date_dim / q_rollup parked in exchange, rationale in
+        # registry.py)
+        "q_ann_recall",
+        "q_corpus_stats",
     ):
         assert k in window, k
 
