@@ -61,6 +61,7 @@ HEADLINE = [
     "q_dedup_simhash64",
     "q_dedup_embedding",
     "q_dedup_semantic",
+    "q_dedup_substrings",
     "q_ann_topk",
     "q_ann_lsh",
     "q_ann_ivf",

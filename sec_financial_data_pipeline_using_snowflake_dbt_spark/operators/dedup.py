@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1022,5 +1022,91 @@ def semantic_dedup(
             F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
             F.col("witness_id"),
             F.col("witness_id").isNull().cast("int").cast("long").alias("keep"),
+        )
+    )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Repeated-substring detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every length-
+    ``k`` token shingle that occurs MORE THAN ONCE corpus-wide, and
+    report, per document, how much of it is covered by duplicated
+    spans — the signal the substring-dedup pass cuts on (the paper
+    removes the spans; this operator scores them, and the span starts
+    it derives are exactly the cut points a removal pass would use).
+
+    Returns (id, n_tokens, n_dup_starts, covered_tokens, covered_frac):
+    ``n_dup_starts`` = shingle positions whose shingle is duplicated,
+    ``covered_tokens`` = |union of [start, start+k-1] over those
+    positions| via the sorted-interval identity
+    sum(min(k, next_start - start)) — exact integer math, engine-
+    invariant.
+
+    Scale: one posexplode bounded by total token count; shingles are
+    md5-hashed so the duplicate groupBy shuffles 16-byte keys with
+    map-side combine, not k-token strings; the duplicated-shingle join
+    is id-agnostic equi-join (AQE decides; a corpus-wide hot shingle —
+    boilerplate — is exactly what AQE skew split handles); the span
+    union is a per-doc LEAD window + one groupBy, no driver state.
+    """
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    base = _persist(
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+            "n_tokens", F.size(F.col("toks")).cast("long")
+        )
+    )
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(1), (F.col("n_tokens") - F.lit(k - 1)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "id",
+        F.explode(starts).alias("start"),
+        F.col("toks"),
+    ).select(
+        "id",
+        "start",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")).alias(
+            "g"
+        ),
+    )
+    sh = _persist(sh)
+    dup = sh.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    dstarts = sh.join(dup.select("g"), "g").select("id", "start")
+    w = Window.partitionBy("id").orderBy("start")
+    spans = dstarts.withColumn("nxt", F.lead("start").over(w)).select(
+        "id",
+        F.when(
+            F.col("nxt").isNotNull(), F.least(F.lit(k), F.col("nxt") - F.col("start"))
+        )
+        .otherwise(F.lit(k))
+        .alias("cov"),
+    )
+    agg = spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_starts"),
+        F.sum("cov").cast("long").alias("covered_tokens"),
+    )
+    return (
+        base.join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_starts", F.lit(0).cast("long")).alias("n_dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens").cast("double"),
+                round_to,
+            ).alias("covered_frac"),
         )
     )

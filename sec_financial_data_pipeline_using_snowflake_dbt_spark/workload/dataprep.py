@@ -1292,3 +1292,51 @@ def _corpus_stats_sql() -> str:
 @q("q_corpus_stats", _corpus_stats_sql())
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.corpus_stats(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring detection (Lee et al. 2022): corpus-wide duplicated
+# k-token shingles + per-doc duplicated-span coverage via the sorted-
+# interval union identity sum(min(k, next_start - start)).
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_substrings",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, start,
+             MD5(array_to_string(toks[start:start+7], ' ')) AS g
+      FROM (SELECT doc_id, toks,
+                   UNNEST(generate_series(1, CAST(n_tokens AS INTEGER) - 7))
+                     AS start
+            FROM base WHERE n_tokens >= 8)
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 1),
+    dstarts AS (SELECT doc_id, start FROM sh JOIN dup USING (g)),
+    spans AS (
+      SELECT doc_id,
+             CASE WHEN nxt IS NULL THEN 8
+                  ELSE LEAST(8, nxt - start) END AS cov
+      FROM (SELECT doc_id, start,
+                   LEAD(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+            FROM dstarts)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_starts,
+             CAST(SUM(cov) AS BIGINT) AS covered_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(a.n_dup_starts, 0) AS n_dup_starts,
+           COALESCE(a.covered_tokens, 0) AS covered_tokens,
+           ROUND(CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE), 6) AS covered_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.duplicated_ngram_spans(table(spark, sf_dir, "documents"), k=8)

@@ -175,6 +175,14 @@ TAIL_QUERIES: tuple[str, ...] = (
     # count-distinct aggregates. q_rollup was green in every window
     # r1-r5.
     "q_rollup",
+    # r6: parked for q_dedup_substrings's window slot (the new
+    # repeated-substring detector earns the hard signal); exact
+    # token-set Jaccard's surface stays in-window via q_dedup_minhash
+    # (the banded estimator of the SAME similarity measure, full SQL
+    # oracle) and the corpus pipeline's minhash arm; q_dedup_jaccard
+    # itself stays oracle-verified every pytest run at sf0.001. Green
+    # in every window r1-r5.
+    "q_dedup_jaccard",
 )
 
 _ALL_QUERIES: dict[str, object] = {

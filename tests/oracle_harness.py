@@ -13,6 +13,14 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.common impor
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB's default memory_limit is 80% of RAM, sized as if it owned
+    # the box — but these sweeps run beside a live Spark JVM (24g heap +
+    # overhead), and after ~50 warm oracle executions the combined RSS
+    # can overcommit physical memory: the heavy unrolled-CTE oracles
+    # (q_ann_ivfpq) then die with a spurious 16 KB "Out of Memory"
+    # malloc failure. Cap DuckDB well below the deficit so it spills to
+    # temp instead of crashing the sweep.
+    con.execute("SET memory_limit = '48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -88,6 +88,10 @@ def test_oracle_queries_inside_driver_window():
         # registry.py)
         "q_ann_recall",
         "q_corpus_stats",
+        # r6 continuation: repeated-substring detection
+        # (q_dedup_jaccard parked in exchange — Jaccard semantics stay
+        # in-window via q_dedup_minhash's banded estimator)
+        "q_dedup_substrings",
     ):
         assert k in window, k
 
