@@ -1019,3 +1019,20 @@ def test_semantic_dedup_gemm_strategy_matches_fold(spark, emb):
     gemm = semantic_dedup(emb, dim=64, n_cells=8, threshold=0.4, strategy="gemm")
     key = lambda r: (r.vec_id, r.cell, r.n_near, r.witness_id, r.keep)  # noqa: E731
     assert sorted(map(key, fold.collect())) == sorted(map(key, gemm.collect()))
+
+
+def test_ivf_topk_gemm_arm_matches_fold(spark, emb):
+    """ivf_topk with the Arrow/numpy probe+assign arms returns the same
+    result set as the Column fold arms (same cells probed, same rounded
+    cosines, same ranks)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from pyspark.sql import functions as SF
+
+    qs = emb.filter(SF.col("vec_id") < 8)
+    kw = dict(dim=64, k=5, n_centroids=8, n_probe=3, round_means=6)
+    fold = ivf_topk(qs, emb, assign_strategy="fold", **kw)
+    gemm = ivf_topk(qs, emb, assign_strategy="gemm", **kw)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos)  # noqa: E731
+    assert sorted(map(key, fold.collect())) == sorted(map(key, gemm.collect()))
