@@ -85,6 +85,7 @@ HEADLINE = [
     "q_dsir_select",
     "q_global_shuffle",
     "q_corpus_stats",
+    "q_training_mix",
     "q_corpus_pipeline",
 ]
 

@@ -806,37 +806,39 @@ _SQL_HEX4_HSH = " + ".join(
     f"(STRPOS('{_HEX}', SUBSTR(hsh, {i}, 1)) - 1) * {16 ** (4 - i)}"
     for i in range(1, 5)
 )
-def _pack_sql_from(src: str) -> str:
-    """Pack-manifest SQL over any (doc_id, text) source CTE/table —
-    reused verbatim by q_pack_sequences (over ``documents``) and by the
-    end-to-end q_corpus_pipeline (over its cleaned/deduped survivors)."""
+def _pack_sql_from(src: str, id_col: str = "doc_id") -> str:
+    """Pack-manifest SQL over any (id, text) source CTE/table —
+    reused verbatim by q_pack_sequences (over ``documents``), by the
+    end-to-end q_corpus_pipeline (over its cleaned/deduped survivors),
+    and — with ``id_col`` — by q_training_mix (over its mixture-expanded
+    (doc × copy) examples)."""
     return f"""
     WITH t AS (
-      SELECT doc_id,
-             MD5(CAST(doc_id AS VARCHAR) || ':pack:shard') AS hsh,
-             MD5(CAST(doc_id AS VARCHAR) || ':pack:ord') AS ord,
+      SELECT {id_col},
+             MD5(CAST({id_col} AS VARCHAR) || ':pack:shard') AS hsh,
+             MD5(CAST({id_col} AS VARCHAR) || ':pack:ord') AS ord,
              CAST(LEN({SQL_TOKENS}) AS BIGINT) AS n_tokens
       FROM {src}
     ), b AS (
-      SELECT doc_id, CAST(({_SQL_HEX4_HSH}) % {_PACK_SHARDS} AS INTEGER) AS shard,
+      SELECT {id_col}, CAST(({_SQL_HEX4_HSH}) % {_PACK_SHARDS} AS INTEGER) AS shard,
              ord, n_tokens
       FROM t WHERE n_tokens > 0
     ), c AS (
       -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which
       -- generate_series below refuses
-      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, {id_col}
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS tok_end
       FROM b
     ), d AS (
       SELECT *, tok_end - n_tokens AS tok_start FROM c
     ), e AS (
-      SELECT shard, doc_id, tok_start, tok_end, n_tokens,
+      SELECT shard, {id_col}, tok_start, tok_end, n_tokens,
              UNNEST(generate_series(tok_start // {_PACK_BUDGET},
                                     (tok_end - 1) // {_PACK_BUDGET})) AS seq_id
       FROM d
     )
-    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
            CAST(LEAST(tok_end, (seq_id + 1) * {_PACK_BUDGET})
                 - GREATEST(tok_start, seq_id * {_PACK_BUDGET}) AS BIGINT)
              AS tok_in_seq,
@@ -1340,3 +1342,40 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicated_ngram_spans(table(spark, sf_dir, "documents"), k=8)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-batch assembly: mixture resampling (per-source
+# weights with repetition) -> (doc x copy) example identities -> GPT-
+# style sequence packing. One chained oracle replays the whole thing:
+# the mixture oracle body feeds the generalized pack SQL via ex_id.
+# Each copy gets its own md5 shard/order, so repeated documents spread
+# across the token stream instead of clumping — exactly why
+# mixture_resample emits a copy index.
+# ---------------------------------------------------------------------------
+def _training_mix_sql() -> str:
+    mixture = PREP_ORACLES["q_data_mixture"]
+    pack = _pack_sql_from("ex", "ex_id")
+    return f"""
+    WITH mixed AS (SELECT * FROM ({mixture})),
+    ex AS (
+      SELECT CAST(m.doc_id AS VARCHAR) || '#' || CAST(m.copy AS VARCHAR)
+               AS ex_id,
+             d.text
+      FROM mixed m JOIN documents d USING (doc_id)
+    )
+    SELECT * FROM ({pack})
+    """
+
+
+@q("q_training_mix", _training_mix_sql())
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mix = TO.mixture_resample(docs, "source", _MIX_WEIGHTS)
+    ex = mix.join(docs.select("doc_id", "text"), "doc_id").select(
+        F.concat_ws("#", F.col("doc_id"), F.col("copy")).alias("ex_id"),
+        "text",
+    )
+    return TO.pack_sequences(
+        ex, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, id_col="ex_id"
+    )

@@ -183,6 +183,14 @@ TAIL_QUERIES: tuple[str, ...] = (
     # itself stays oracle-verified every pytest run at sf0.001. Green
     # in every window r1-r5.
     "q_dedup_jaccard",
+    # r6: parked for q_training_mix's window slot (the end-to-end
+    # mixture->shuffle->pack assembly earns the hard signal); the
+    # SimHash surface stays in-window via q_dedup_simhash64 — the SAME
+    # operator at the large-corpus fingerprint width, with its own full
+    # banded-join oracle — and the 16-bit query stays oracle-verified
+    # every pytest run. q_dedup_simhash was green in every window
+    # r1-r5 (and stays in the bench HEADLINE for perf tracking).
+    "q_dedup_simhash",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -92,6 +92,10 @@ def test_oracle_queries_inside_driver_window():
         # (q_dedup_jaccard parked in exchange — Jaccard semantics stay
         # in-window via q_dedup_minhash's banded estimator)
         "q_dedup_substrings",
+        # r6 continuation: end-to-end mixture->pack assembly
+        # (q_dedup_simhash parked in exchange — q_dedup_simhash64 is
+        # the same operator at the large-corpus width)
+        "q_training_mix",
     ):
         assert k in window, k
 
