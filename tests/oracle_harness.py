@@ -13,14 +13,16 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.common impor
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # DuckDB's default memory_limit is 80% of RAM, sized as if it owned
-    # the box — but these sweeps run beside a live Spark JVM (24g heap +
-    # overhead), and after ~50 warm oracle executions the combined RSS
-    # can overcommit physical memory: the heavy unrolled-CTE oracles
-    # (q_ann_ivfpq) then die with a spurious 16 KB "Out of Memory"
-    # malloc failure. Cap DuckDB well below the deficit so it spills to
-    # temp instead of crashing the sweep.
-    con.execute("SET memory_limit = '48GB'")
+    # DuckDB's default memory_limit is 80% of RAM — but its buffer
+    # blocks are ~256 KB and glibc mmaps every allocation that size, so
+    # a grown buffer pool means HUNDREDS OF THOUSANDS of memory
+    # mappings. The process then hits vm.max_map_count (65530 here)
+    # long before physical memory runs out, and the heavy unrolled-CTE
+    # oracles (q_ann_ivfpq) die with a spurious 16 KB "Out of Memory"
+    # bad_alloc while 120 GB sits free. Cap the pool so the worst-case
+    # map count stays far under the kernel limit; every oracle in the
+    # registry runs comfortably inside 8 GB (verified incl. ivfpq).
+    con.execute("SET memory_limit = '8GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
