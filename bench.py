@@ -74,9 +74,11 @@ HEADLINE = [
     "q_vocab_topk",
     "q_tfidf",
     "q_unigram_logprob",
+    "q_bigram_logprob",
     "q_quality_filter",
     "q_bm25",
     "q_c4_clean",
+    "q_line_dedup",
     "q_pii_scrub",
     "q_decontaminate",
     "q_pack_sequences",

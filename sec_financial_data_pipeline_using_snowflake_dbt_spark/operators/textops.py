@@ -1076,3 +1076,115 @@ def corpus_stats(
             ).alias("dup_rate"),
         )
     )
+
+
+def line_dedup(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2
+    discard-all-but-one): every distinct line survives only at its
+    FIRST occurrence — lowest (doc, line index) — and each page is
+    reassembled from its surviving lines in original order.
+
+    Returns (id, n_lines, n_kept, text) with ``text`` the deduplicated
+    page ('' when every line was claimed earlier).
+
+    Scale: one posexplode of the line table; the first-occurrence
+    verdict is a row_number window PARTITIONED BY LINE — one hash
+    shuffle on the line value (a hot boilerplate line is one skewed
+    partition; AQE splits it) — and the reassembly is one groupBy(doc)
+    collect_list sorted per row. No driver state, no global sort.
+    """
+    lines = pages.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "idx")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean interpolated bigram log-probability under the
+    corpus's own bigram/unigram statistics — the n-gram upgrade of
+    ``unigram_logprob`` (one step closer to CCNet's KenLM scorer):
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(w2)/total
+
+    scored over positions 2..n and averaged. Documents of corpus-
+    typical word SEQUENCES (not just typical words) score high.
+
+    Returns (id, n_bigrams, avg_logprob); single-token and empty
+    documents drop (no bigram positions — the unigram scorer covers
+    them).
+
+    Scale: bigram and unigram count tables are each ONE map-side-
+    combined shuffle; the context table is a second tiny groupBy over
+    the bigram counts; scoring joins the exploded bigram positions to
+    the three count tables BY KEY (AQE broadcasts the vocabulary-sized
+    sides when they fit) and reduces per doc. Counts are exact
+    integers, the interpolation is written in the same left-associated
+    order as the oracle, and the per-doc AVG rounds to ``round_to``
+    (q_unigram_logprob precedent).
+    """
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    n0 = F.size(F.col("__toks")).cast("long")
+    staged = _barrier(docs, F.col(id_col), toks.alias("__toks"))
+    bg = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.greatest(n0 - 1, F.lit(0)).cast("int")),
+        F.slice(F.col("__toks"), 2, F.greatest(n0 - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pos = staged.select(F.col(id_col), F.explode(bg).alias("b")).select(
+        F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    uni = docs.select(
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("total"))
+    p = F.lit(lam) * (
+        F.col("cb").cast("double") / F.col("cc").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("cu").cast("double") / F.col("total").cast("double")
+    )
+    return (
+        pos.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, pos.w2 == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
+        )
+    )

@@ -569,7 +569,11 @@ def _c4_pages(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", page.alias("text"))
 
 
-def _c4_sql() -> str:
+def _c4_pages_ctes() -> str:
+    """The t0/t1/pages CTE chain replicating ``_c4_pages`` in SQL —
+    shared by the q_c4_clean oracle and the q_line_dedup oracle (both
+    operate on the same synthetic multi-line pages)."""
+
     def core(hi: int) -> str:
         return (
             f"array_to_string(list_slice(toks, i*5+1, i*5+{hi}), ' ')"
@@ -585,8 +589,7 @@ def _c4_sql() -> str:
     lined = (
         f"CASE WHEN (doc_id + i) % 4 = 0 THEN {based} ELSE {based} || '.' END"
     )
-    return f"""
-    WITH t0 AS (
+    return f"""t0 AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), t1 AS (
       SELECT doc_id,
@@ -606,7 +609,12 @@ def _c4_sql() -> str:
                      THEN chr(10) || 'config = {{ enabled: true }} is code.'
                      ELSE '' END AS text
       FROM t1
-    ), lf AS (
+    )"""
+
+
+def _c4_sql() -> str:
+    return f"""
+    WITH {_c4_pages_ctes()}, lf AS (
       SELECT doc_id,
              list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
              lower(text) AS low
@@ -1379,3 +1387,86 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.pack_sequences(
         ex, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, id_col="ex_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-wide line dedup: every distinct line survives only at
+# its first (doc, idx) occurrence; pages reassembled from survivors.
+# Runs over the same synthetic multi-line pages as q_c4_clean.
+# ---------------------------------------------------------------------------
+@q(
+    "q_line_dedup",
+    f"""
+    WITH {_c4_pages_ctes()},
+    lines AS (
+      SELECT doc_id, i - 1 AS idx, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                   UNNEST(generate_series(1, len(string_split(text, chr(10)))))
+                     AS i
+            FROM pages)
+    ),
+    kept AS (
+      SELECT doc_id, idx, line FROM (
+        SELECT doc_id, idx, line,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        FROM lines) WHERE rn = 1
+    ),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines
+      GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text, '') AS text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.line_dedup(_c4_pages(table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality scoring: the n-gram upgrade of
+# q_unigram_logprob (lam*bigram MLE + (1-lam)*unigram MLE, LN'd and
+# averaged per doc).
+# ---------------------------------------------------------------------------
+@q(
+    "q_bigram_logprob",
+    f"""
+    WITH s AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   UNNEST(generate_series(1, len(toks) - 1)) AS i
+            FROM s WHERE len(toks) >= 2)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM pos GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(cb) AS cc FROM bc GROUP BY w1),
+    uni AS (
+      SELECT token AS tok, COUNT(*) AS cu
+      FROM (SELECT UNNEST({SQL_TOKENS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS total FROM uni)
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(
+             0.7 * (CAST(bc.cb AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+             -- (1.0 - 0.7) folds to the same IEEE double Python's
+             -- 1.0 - lam produces (0.30000000000000004), NOT 0.3 —
+             -- keeps the interpolation bit-identical across engines
+             + (1.0 - 0.7) * (CAST(uni.cu AS DOUBLE) / tot.total)
+           )), 6) AS avg_logprob
+    FROM pos p
+    JOIN bc USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN uni ON p.w2 = uni.tok
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.bigram_logprob(table(spark, sf_dir, "documents"), lam=0.7)

@@ -191,6 +191,19 @@ TAIL_QUERIES: tuple[str, ...] = (
     # every pytest run. q_dedup_simhash was green in every window
     # r1-r5 (and stays in the bench HEADLINE for perf tracking).
     "q_dedup_simhash",
+    # r6: parked for q_line_dedup's window slot (the new corpus-wide
+    # line dedup earns the hard signal); the line-stage family runs
+    # over the SAME synthetic pages (shared _c4_pages/_c4_pages_ctes
+    # construction) and q_c4_clean stays oracle-verified every pytest
+    # run. Green in every window r3-r5 (added r3).
+    "q_c4_clean",
+    # r6: parked for q_bigram_logprob's window slot (the n-gram LM
+    # scorer earns the hard signal); the packing surface stays
+    # in-window via q_training_mix, which runs the IDENTICAL
+    # pack_sequences chain over its mixture examples (generalized
+    # _pack_sql_from oracle). q_pack_sequences was green in every
+    # window r3-r5.
+    "q_pack_sequences",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -41,10 +41,12 @@ def test_oracle_queries_inside_driver_window():
         "q_unpivot",
         "q_ann_ivf",
         # rotated in for r4 (VERDICT r3, task 1): the newest corpus
-        # operators get the driver's hard signal
-        "q_c4_clean",
+        # operators get the driver's hard signal. r6 rotation:
+        # q_c4_clean and q_pack_sequences earned green rows r3-r5 and
+        # parked in exchange for q_line_dedup / q_bigram_logprob (their
+        # pins moved with them — the line stage and the pack chain stay
+        # in-window through the successors).
         "q_decontaminate",
-        "q_pack_sequences",
         "q_corpus_pipeline",
         # r6 rotation (VERDICT r5 #4): the five longest-parked
         # oracle-bearing batteries re-earn a driver-recorded green row
@@ -96,6 +98,11 @@ def test_oracle_queries_inside_driver_window():
         # (q_dedup_simhash parked in exchange — q_dedup_simhash64 is
         # the same operator at the large-corpus width)
         "q_training_mix",
+        # r6 continuation: line dedup + bigram LM (q_c4_clean /
+        # q_pack_sequences parked in exchange, rationale in
+        # registry.py)
+        "q_line_dedup",
+        "q_bigram_logprob",
     ):
         assert k in window, k
 
