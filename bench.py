@@ -72,6 +72,7 @@ HEADLINE = [
     "q_text_repetition",
     "q_fingerprint",
     "q_vocab_topk",
+    "q_bpe_train",
     "q_tfidf",
     "q_unigram_logprob",
     "q_bigram_logprob",

@@ -1188,3 +1188,95 @@ def bigram_logprob(
             F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
         )
     )
+
+
+#: Symbol delimiter for BPE training: every symbol is stored as
+#: SEP+symbol+SEP inside the word string, so a plain (non-regex)
+#: replace of SEP+a+SEP+SEP+b+SEP can only match at symbol boundaries,
+#: and both engines' replace() scans left-to-right non-overlapping —
+#: exactly BPE's greedy merge semantics ("aaa" + merge(a,a) -> "aa","a").
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules over the corpus's word-frequency table.
+    Each round finds the most frequent adjacent symbol pair (ties:
+    count DESC, then pair lexicographic ASC) and merges every greedy
+    left-to-right occurrence across the vocabulary.
+
+    Returns the merge table (step, lhs, rhs, merged, pair_count) — the
+    artifact a tokenizer ships. Stops early if the vocabulary runs out
+    of adjacent pairs.
+
+    Scale: BPE training runs over the WORD-FREQUENCY table, not the
+    corpus — one corpus-sized explode+groupBy builds it, then each
+    round is (a) a pair-count groupBy over the vocabulary (map-side
+    combined; vocabulary rows, not corpus rows), (b) a 1-row driver
+    collect of the argmax (the Lloyd-coordination pattern), and (c) a
+    narrow string replace applied to every word. The evolving word
+    table is re-persisted per round (constant lineage depth); at real
+    scale it is millions of rows — distributed, never collected.
+
+    Cross-engine determinism: counts are exact integers; the merge
+    application is a PLAIN substring replace on the SEP-delimited
+    symbol string (byte-identical semantics both engines — see
+    _BPE_SEP); the oracle unrolls the same rounds as CTEs.
+    """
+    spark = docs.sparkSession
+    sep = _BPE_SEP
+    words = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    delim = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.col("w"), ""),
+            lambda c: F.concat(F.lit(sep), c, F.lit(sep)),
+        ),
+    )
+    cur = words.select(delim.alias("s"), "cnt").persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            syms = F.split(
+                F.col("s").substr(F.lit(2), F.length("s") - 2), sep + sep
+            )
+            n = F.size(syms)
+            pair = F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+                    F.slice(syms, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+                    lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+                )
+            )
+            top = (
+                cur.select(F.col("cnt"), pair.alias("p"))
+                .groupBy("p.s1", "p.s2")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), "s1", "s2")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            s1, s2, c = top[0].s1, top[0].s2, int(top[0].c)
+            merges.append((step, s1, s2, s1 + s2, c))
+            pat = f"{sep}{s1}{sep}{sep}{s2}{sep}"
+            rep = f"{sep}{s1}{s2}{sep}"
+            nxt = cur.select(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
+            ).persist()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "step LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG"
+    )

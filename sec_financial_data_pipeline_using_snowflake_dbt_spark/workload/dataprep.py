@@ -1470,3 +1470,65 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bigram_logprob(table(spark, sf_dir, "documents"), lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al. 2016). The merge
+# schedule is fully deterministic (exact integer counts, count-then-
+# lexicographic tie-break, plain left-to-right substring replace), so
+# the oracle UNROLLS the rounds as CTEs — the q_ann_ivf discipline
+# applied to tokenizer training. chr(31) is the symbol delimiter
+# (textops._BPE_SEP).
+# ---------------------------------------------------------------------------
+def _bpe_sql(n_merges: int = 10) -> str:
+    sep = "chr(31)"
+    ctes = [
+        f"""wf AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT UNNEST({SQL_TOKENS}) AS w FROM documents) GROUP BY w
+    )""",
+        f"""w0 AS (
+      SELECT array_to_string(list_transform(string_split(w, ''),
+                                            c -> {sep} || c || {sep}), '') AS s,
+             cnt
+      FROM wf
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+      SELECT syms[i] AS s1, syms[i + 1] AS s2, SUM(cnt) AS c FROM (
+        SELECT syms, cnt, UNNEST(generate_series(1, len(syms) - 1)) AS i FROM (
+          SELECT string_split(s[2:len(s) - 1], {sep} || {sep}) AS syms, cnt
+          FROM {prev}))
+      GROUP BY s1, s2
+    )"""
+        )
+        ctes.append(
+            f"""m{r} AS (SELECT s1, s2, c FROM p{r}
+                         ORDER BY c DESC, s1, s2 LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+      SELECT replace(s, {sep} || s1 || {sep} || {sep} || s2 || {sep},
+                     {sep} || s1 || s2 || {sep}) AS s, cnt
+      FROM {prev}, m{r}
+    )"""
+        )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS step, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {body}
+    SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, pair_count
+    FROM ({union})
+    """
+
+
+@q("q_bpe_train", _bpe_sql(10))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.bpe_train(table(spark, sf_dir, "documents"), n_merges=10)

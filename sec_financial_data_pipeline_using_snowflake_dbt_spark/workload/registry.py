@@ -204,6 +204,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # _pack_sql_from oracle). q_pack_sequences was green in every
     # window r3-r5.
     "q_pack_sequences",
+    # r6: parked for q_bpe_train's window slot (the distributed BPE
+    # trainer earns the hard signal); the md5-hash-threshold sampling
+    # construct stays in-window via q_data_mixture (the identical
+    # u < threshold Bernoulli arm) and q_corpus_split (the same md5
+    # bucket machinery). q_stratified_sample was green in every window
+    # r1-r5.
+    "q_stratified_sample",
 )
 
 _ALL_QUERIES: dict[str, object] = {

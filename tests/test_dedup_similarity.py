@@ -1036,3 +1036,28 @@ def test_ivf_topk_gemm_arm_matches_fold(spark, emb):
     gemm = ivf_topk(qs, emb, assign_strategy="gemm", **kw)
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos)  # noqa: E731
     assert sorted(map(key, fold.collect())) == sorted(map(key, gemm.collect()))
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """BPE invariants on a hand-checkable corpus: the top pair merges
+    greedily left-to-right ('aaaa' + merge(a,a) yields two 'aa'
+    symbols, not three overlapping ones), and subsequent rounds see
+    the merged symbols."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=3).collect()
+    # round 1: pairs of 'aaaa'x2 = (a,a) 3 each greedy-independent?
+    # pair COUNTS are positional: 'aaaa' has 3 adjacent (a,a) pairs,
+    # twice, plus 'ab' gives (a,b): top = (a,a) count 6
+    assert (merges[0].lhs, merges[0].rhs, merges[0].pair_count) == ("a", "a", 6)
+    # merge applied greedily: 'aaaa' -> ['aa','aa'] (NOT 'aa','a','a')
+    # so round 2's top pair is (aa,aa) with count 2
+    assert (merges[1].lhs, merges[1].rhs, merges[1].pair_count) == ("aa", "aa", 2)
+    assert merges[1].merged == "aaaa"
+    # round 3: remaining pairs: (a,b) from 'ab' = 1
+    assert (merges[2].lhs, merges[2].rhs) == ("a", "b")

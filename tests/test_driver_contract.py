@@ -103,6 +103,10 @@ def test_oracle_queries_inside_driver_window():
         # registry.py)
         "q_line_dedup",
         "q_bigram_logprob",
+        # r6 continuation: distributed BPE trainer
+        # (q_stratified_sample parked in exchange — the md5-threshold
+        # construct stays in-window via q_data_mixture/q_corpus_split)
+        "q_bpe_train",
     ):
         assert k in window, k
 
