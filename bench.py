@@ -73,6 +73,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_vocab_topk",
     "q_bpe_train",
+    "q_bpe_encode",
     "q_tfidf",
     "q_unigram_logprob",
     "q_bigram_logprob",

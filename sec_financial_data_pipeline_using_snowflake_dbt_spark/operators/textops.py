@@ -1280,3 +1280,81 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG"
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train`` output order
+    matters — merges apply sequentially) and report per-document BPE
+    token counts — the REAL token budget a trained tokenizer would
+    produce, vs. the whitespace/char estimates in ``text_quality``.
+
+    Returns (id, n_words, n_chars, n_bpe_tokens, chars_per_token).
+
+    Scale: a pure narrow map — every word becomes its SEP-delimited
+    symbol string, the merge list applies as a fixed chain of plain
+    substring replaces inside ONE array transform (merge tables are
+    tens-of-thousands of rules in practice; each is a literal — for
+    very large rule sets, batch the chain or move encode to a
+    mapInPandas trie, the standard fast-tokenizer move). Symbol
+    counting needs no re-split: each symbol carries exactly two SEP
+    bytes, so n_symbols = SEP_count / 2.
+    """
+    sep = _BPE_SEP
+
+    def encode(word):
+        s = F.concat_ws(
+            "",
+            F.transform(
+                F.split(word, ""),
+                lambda c: F.concat(F.lit(sep), c, F.lit(sep)),
+            ),
+        )
+        for s1, s2 in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{sep}{s1}{sep}{sep}{s2}{sep}"),
+                F.lit(f"{sep}{s1}{s2}{sep}"),
+            )
+        return s
+
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    staged = _barrier(
+        docs,
+        F.col(id_col),
+        F.transform(toks, encode).alias("ws"),
+    )
+    n_syms = F.aggregate(
+        F.col("ws"),
+        F.lit(0).cast("long"),
+        # SEP count is always even (two per symbol), so the halved
+        # double is integral and the long cast is exact
+        lambda acc, w: acc
+        + (
+            (F.length(w) - F.length(F.replace(w, F.lit(sep), F.lit("")))) / 2
+        ).cast("long"),
+    )
+    n_chars = F.aggregate(
+        F.col("ws"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(F.replace(w, F.lit(sep), F.lit(""))),
+    )
+    out = _barrier(
+        staged,
+        F.col(id_col),
+        F.size(F.col("ws")).cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_syms.cast("long").alias("n_bpe_tokens"),
+    )
+    return out.withColumn(
+        "chars_per_token",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"),
+            round_to,
+        ),
+    )

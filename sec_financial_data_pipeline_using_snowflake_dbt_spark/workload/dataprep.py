@@ -1480,7 +1480,9 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applied to tokenizer training. chr(31) is the symbol delimiter
 # (textops._BPE_SEP).
 # ---------------------------------------------------------------------------
-def _bpe_sql(n_merges: int = 10) -> str:
+def _bpe_ctes(n_merges: int = 10) -> list[str]:
+    """The unrolled BPE training CTE chain (wf/w0, then p{r}/m{r}/w{r}
+    per round) — shared by the q_bpe_train and q_bpe_encode oracles."""
     sep = "chr(31)"
     ctes = [
         f"""wf AS (
@@ -1516,6 +1518,11 @@ def _bpe_sql(n_merges: int = 10) -> str:
       FROM {prev}, m{r}
     )"""
         )
+    return ctes
+
+
+def _bpe_sql(n_merges: int = 10) -> str:
+    ctes = _bpe_ctes(n_merges)
     body = ",\n    ".join(c.strip() for c in ctes)
     union = "\n    UNION ALL ".join(
         f"SELECT {r} AS step, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, "
@@ -1532,3 +1539,59 @@ def _bpe_sql(n_merges: int = 10) -> str:
 @q("q_bpe_train", _bpe_sql(10))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bpe_train(table(spark, sf_dir, "documents"), n_merges=10)
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding: apply the learned merge table to the corpus and report
+# per-doc BPE token budgets (the encoder side of q_bpe_train). The
+# oracle reuses the unrolled training CTEs, then applies m1..mN
+# sequentially to the delimited word arrays.
+# ---------------------------------------------------------------------------
+def _bpe_encode_sql(n_merges: int = 10) -> str:
+    sep = "chr(31)"
+    ctes = _bpe_ctes(n_merges)
+    ctes.append(
+        f"""d0 AS (
+      SELECT doc_id,
+             list_transform({SQL_TOKENS},
+               w -> array_to_string(list_transform(string_split(w, ''),
+                                    c -> {sep} || c || {sep}), '')) AS ws
+      FROM documents
+    )"""
+    )
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT doc_id,
+             list_transform(ws, w -> replace(w,
+               {sep} || m.s1 || {sep} || {sep} || m.s2 || {sep},
+               {sep} || m.s1 || m.s2 || {sep})) AS ws
+      FROM d{r - 1}, m{r} m
+    )"""
+        )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws,
+                w -> length(replace(w, {sep}, '')))) AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform(ws,
+                w -> (length(w) - length(replace(w, {sep}, ''))) // 2))
+             AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(list_sum(list_transform(ws,
+                     w -> length(replace(w, {sep}, '')))) AS DOUBLE)
+                 / CAST(list_sum(list_transform(ws,
+                     w -> (length(w) - length(replace(w, {sep}, ''))) // 2))
+                   AS DOUBLE), 6) AS chars_per_token
+    FROM d{n_merges}
+    """
+
+
+@q("q_bpe_encode", _bpe_encode_sql(10))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()
+    ]
+    return TO.bpe_encode_counts(docs, merges)

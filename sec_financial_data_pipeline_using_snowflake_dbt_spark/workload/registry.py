@@ -211,6 +211,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # bucket machinery). q_stratified_sample was green in every window
     # r1-r5.
     "q_stratified_sample",
+    # r6: parked for q_bpe_encode's window slot (the encoder side of
+    # the BPE pair earns the hard signal); the md5-bucket assignment
+    # machinery stays in-window via q_global_shuffle (the same
+    # hex-prefix bucketing), q_data_mixture, and q_training_mix's pack
+    # shards. q_corpus_split was green in every window r1-r5.
+    "q_corpus_split",
 )
 
 _ALL_QUERIES: dict[str, object] = {

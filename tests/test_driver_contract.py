@@ -107,6 +107,10 @@ def test_oracle_queries_inside_driver_window():
         # (q_stratified_sample parked in exchange — the md5-threshold
         # construct stays in-window via q_data_mixture/q_corpus_split)
         "q_bpe_train",
+        # r6 continuation: the BPE encoder (q_corpus_split parked in
+        # exchange — md5-bucket machinery stays via q_global_shuffle /
+        # q_data_mixture / q_training_mix)
+        "q_bpe_encode",
     ):
         assert k in window, k
 
