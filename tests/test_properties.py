@@ -201,3 +201,95 @@ def test_pack_sequences_matches_sequential_reference(spark, docs, budget):
                 )
             off = end
     assert got == sorted(want)
+
+
+_docs_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=30),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(texts=_docs_texts)
+@settings(**_SETTINGS)
+def test_global_shuffle_is_a_permutation(spark, texts):
+    """global_shuffle emits every id exactly once, positions are
+    contiguous 0..n-1 within each shard, and the assignment is a pure
+    function of the id (layout-invariant: a repartitioned input gives
+    the identical rows)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TO.global_shuffle(docs, n_shards=4).collect()
+    assert Counter(r.doc_id for r in out) == Counter(i for i, _ in rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    again = TO.global_shuffle(docs.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(texts=st.lists(st.sampled_from(
+    ["x y", "x y\nz w", "z w\nx y", "a b\na b", ""]), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_line_dedup_matches_sequential_reference(spark, texts):
+    """line_dedup == a sequential first-occurrence scan over
+    (doc_id, idx) order, including intra-document duplicates and empty
+    lines."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TO.line_dedup(docs).collect()}
+    seen: set[str] = set()
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.n_kept == len(kept)
+        assert r.text == "\n".join(kept)
+
+
+@given(texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=16),
+                      min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_bpe_train_matches_sequential_reference(spark, texts):
+    """bpe_train == a sequential reference BPE (word-frequency dict,
+    greedy left-to-right merges, count-then-lexicographic tie-break)
+    on random corpora."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in TO.bpe_train(docs, n_merges=4).collect()
+    ]
+
+    wf = Counter(w for _, t in rows for w in t.lower().split() if w)
+    words = {w: list(w) for w in wf}
+    expected = []
+    for step in range(1, 5):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wf[w]
+        if not pairs:
+            break
+        (s1, s2), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, s1, s2, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == expected
