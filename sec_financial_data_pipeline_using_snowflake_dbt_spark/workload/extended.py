@@ -367,11 +367,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic (driver-side Lloyd on the n_train lowest-id vectors,
 # HALF_UP-rounded means each round — operators/similarity.py pq_train),
 # so the oracle UNROLLS the identical per-subspace training schedule as
-# a CTE chain, then replays encode + ADC. Float discipline: every
-# squared-distance is generated as the SAME left-associated term chain
-# Python/Spark evaluate, and the ADC total is ranked on its ROUNDED
-# value with an id tie-break — both engines rank identical numbers
-# (the q_ann_ivf reproducibility argument, one level deeper).
+# a CTE chain, then replays encode + ADC. Float discipline: the EMITTED
+# ADC total is generated as the SAME left-associated term chain
+# Python/Spark evaluate and ranked on its ROUNDED value with an id
+# tie-break — both engines rank identical numbers (the q_ann_ivf
+# reproducibility argument, one level deeper). Argmin-only steps
+# (Lloyd assigns, encode) use list_distance — argmin/tie-break
+# equivalent, and it keeps the expression executors small enough that
+# a default-config DuckDB stays far under vm.max_map_count (the
+# NOTES_r6 §13 failure mode; the fully-unrolled form reached 45k maps
+# at sf0.1 — within 1.5x of the kernel wall — in one process).
 # ---------------------------------------------------------------------------
 def _ann_pq_sql(
     dim: int = 64,
@@ -416,7 +421,7 @@ def _ann_pq_sql(
       SELECT vec_id, sv, code FROM (
         SELECT s.vec_id, s.sv, c.code,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                  ORDER BY {sqd("s.sv", 0, "c.cvec")} ASC,
+                                  ORDER BY list_distance(s.sv, c.cvec) ASC,
                                            c.code ASC) AS rn
         FROM s{j} s CROSS JOIN {prev} c) WHERE rn = 1)"""
             )
@@ -439,7 +444,7 @@ def _ann_pq_sql(
       SELECT vec_id, code FROM (
         SELECT e.vec_id, c.code,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {sqd("e.v", base, "c.cvec")} ASC,
+                                  ORDER BY list_distance(e.v[{base + 1}:{base + sub}], c.cvec) ASC,
                                            c.code ASC) AS rn
         FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
@@ -487,11 +492,24 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF + PQ composed (the faiss IVF*,PQ* architecture): IVF cells prune
-# candidates, PQ codes score them by ADC — fully oracle-checked. The
-# oracle unrolls BOTH deterministic training schedules (full-corpus IVF
-# Lloyd like _ann_ivf_sql, per-subspace PQ Lloyd like _ann_pq_sql) with
-# every squared distance generated as the same left-associated term
-# chain all engine paths evaluate.
+# candidates, PQ codes score them by ADC — fully oracle-checked.
+#
+# Oracle footprint discipline (round 7): the previous formulation
+# unrolled EVERY squared distance — IVF assigns over the full corpus,
+# PQ subspace Lloyd, encode, probes — as dim-wide left-associated term
+# chains. Correct, but the resulting expression executors were so large
+# that DuckDB's default-config buffer pool (32 threads x ~256 KB glibc
+# mmaps) exhausted vm.max_map_count (65530) on a 500-row table and died
+# with a spurious 16 KB "Out of Memory" (reproduced: 65531 maps in
+# /proc/PID/maps at failure; NOTES_r6 §13). The slim formulation keeps
+# the expanded chain ONLY where the produced double is actually emitted
+# and hash-compared (the ADC in `scored`); every argmin-only comparison
+# uses list_distance(), which is argmin- and tie-break-equivalent
+# (sqrt is monotone) and is exactly how the driver-green q_ann_ivf
+# oracle replays the same Spark assigns. The IVF arm is now literally
+# _lloyd_chain_ctes — shared with q_ann_ivf / q_dedup_semantic instead
+# of a duplicated unroll. Verified on an UNCAPPED duckdb.connect() at
+# sf0.01 and sf0.001 against the Spark result.
 # ---------------------------------------------------------------------------
 def _ann_ivfpq_sql(
     dim: int = 64,
@@ -509,48 +527,22 @@ def _ann_ivfpq_sql(
     sub = dim // m
 
     def sqd(vec: str, base: int, cvec: str, width: int) -> str:
+        # left-associated (((t1 + t2) + t3) ...) — only used for the
+        # EMITTED ADC value, where bit-parity with the Spark-side
+        # Python LUT fold matters; argmin steps use list_distance.
         return " + ".join(
             f"({vec}[{base + i}] - {cvec}[{i}]) * ({vec}[{base + i}] - {cvec}[{i}])"
             for i in range(1, width + 1)
         )
 
-    ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_train})",
-        f"""c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cvec
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}))""",
-    ]
-    # IVF coarse quantizer: full-corpus Lloyd, means rounded per round
-    cents = "c0"
-    for it in range(1, ivf_iters + 1):
-        ctes.append(
-            f"""iva{it} AS (
-      SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c.cell,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {sqd("e.v", 0, "c.cvec", dim)} ASC,
-                                           c.cell ASC) AS rn
-        FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
-        )
-        ctes.append(
-            f"""ivc{it} AS (
-      SELECT cell, list(mm ORDER BY i) AS cvec FROM (
-        SELECT a.cell, i.i AS i, ROUND(AVG(a.v[i.i]), {round_to}) AS mm
-        FROM iva{it} a CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS i) i
-        GROUP BY a.cell, i.i) GROUP BY cell)"""
-        )
-        cents = f"ivc{it}"
-    ctes.append(
-        f"""cells AS (
-      SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c.cell,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {sqd("e.v", 0, "c.cvec", dim)} ASC,
-                                           c.cell ASC) AS rn
-        FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
-    )
-    # PQ codebooks + encode (identical schedule to _ann_pq_sql)
+    # IVF coarse quantizer + final corpus assign: the shared Lloyd
+    # unroll (identical CTEs to the q_ann_ivf oracle — same init, same
+    # rounded means, same (dist, cell) tie-break).
+    ctes, final_assign = _lloyd_chain_ctes(dim, n_centroids, ivf_iters, round_to)
+    cents = f"c{ivf_iters}"
+
+    # PQ codebooks: per-subspace Lloyd on the n_train lowest-id sample.
+    ctes.append(f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_train})")
     final_books = []
     for j in range(m):
         base = j * sub
@@ -569,7 +561,7 @@ def _ann_ivfpq_sql(
       SELECT vec_id, sv, code FROM (
         SELECT s.vec_id, s.sv, c.code,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                  ORDER BY {sqd("s.sv", 0, "c.cvec", sub)} ASC,
+                                  ORDER BY list_distance(s.sv, c.cvec) ASC,
                                            c.code ASC) AS rn
         FROM s{j} s CROSS JOIN {prev} c) WHERE rn = 1)"""
             )
@@ -587,12 +579,13 @@ def _ann_ivfpq_sql(
             )
             prev = f"b{j}_{it}"
         final_books.append(prev)
+        # encode the FULL corpus's j-th subvector against the final book
         ctes.append(
             f"""enc{j} AS (
       SELECT vec_id, code FROM (
         SELECT e.vec_id, c.code,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {sqd("e.v", base, "c.cvec", sub)} ASC,
+                                  ORDER BY list_distance(e.v[{base + 1}:{base + sub}], c.cvec) ASC,
                                            c.code ASC) AS rn
         FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
@@ -602,7 +595,7 @@ def _ann_ivfpq_sql(
     ctes.append(
         f"""codes AS (
       SELECT x0.vec_id, cl.cell, {", ".join(f"x{j}.code AS c{j}" for j in range(m))}
-      FROM enc0 x0 {code_joins} JOIN cells cl ON cl.vec_id = x0.vec_id)"""
+      FROM enc0 x0 {code_joins} JOIN {final_assign} cl ON cl.vec_id = x0.vec_id)"""
     )
     # query probes: n_probe nearest IVF cells, same (dist, cell) tie-break
     ctes.append(
@@ -610,11 +603,14 @@ def _ann_ivfpq_sql(
       SELECT query_id, qv, cell FROM (
         SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {sqd("q.v", 0, "c.cvec", dim)} ASC,
+                                  ORDER BY list_distance(q.v, c.cvec) ASC,
                                            c.cell ASC) AS rn
         FROM (SELECT vec_id, v FROM e WHERE vec_id < {n_queries}) q
         CROSS JOIN {cents} c) WHERE rn <= {n_probe})"""
     )
+    # ADC — the one place the expanded left-associated chain remains:
+    # these doubles are emitted (ROUND 6dp) and hash-compared, so the
+    # fold order must match the Spark-side Python LUT accumulation.
     adc_terms = " + ".join(
         f"({sqd('p.qv', j * sub, f'bb{j}.cvec', sub)})" for j in range(m)
     )
