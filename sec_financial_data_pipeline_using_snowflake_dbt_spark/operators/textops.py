@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import text as TX
 
@@ -1282,12 +1283,22 @@ def bpe_train(
     )
 
 
+#: Above this merge-table size ``bpe_encode_counts(strategy="auto")``
+#: switches from the Column replace chain to the Arrow-batched ranked
+#: encoder: a real tokenizer ships ~32k merges, and a 32k-deep Column
+#: chain does not plan (Catalyst tree + codegen blow up long before
+#: that — measured: the chain arm is fine at 64, painful past a few
+#: hundred), while the pandas arm is flat in merge count.
+MAX_CHAIN_MERGES = 64
+
+
 def bpe_encode_counts(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Apply a learned BPE merge table (``bpe_train`` output order
     matters — merges apply sequentially) and report per-document BPE
@@ -1296,16 +1307,38 @@ def bpe_encode_counts(
 
     Returns (id, n_words, n_chars, n_bpe_tokens, chars_per_token).
 
-    Scale: a pure narrow map — every word becomes its SEP-delimited
-    symbol string, the merge list applies as a fixed chain of plain
-    substring replaces inside ONE array transform (merge tables are
-    tens-of-thousands of rules in practice; each is a literal — for
-    very large rule sets, batch the chain or move encode to a
-    mapInPandas trie, the standard fast-tokenizer move). Symbol
-    counting needs no re-split: each symbol carries exactly two SEP
-    bytes, so n_symbols = SEP_count / 2.
+    Two arms, identical semantics (pytest-pinned equal on random
+    corpora and on the rank-resurrection adversarial case):
+
+    - ``chain`` (oracle parity, small tables): every word becomes its
+      SEP-delimited symbol string and the merge list applies as a fixed
+      chain of plain substring replaces inside ONE array transform.
+      Symbol counting needs no re-split: each symbol carries exactly
+      two SEP bytes, so n_symbols = SEP_count / 2.
+    - ``ranked`` (scale, real ~32k-rule tables): tokenize in Spark
+      (same ``TX.tokens``), then an Arrow-batched ``mapInPandas``
+      encodes each word against a rank dict with a monotone rank
+      floor — the fast-tokenizer move. Per-word results memoize across
+      the partition (Zipf: the hot vocabulary hits the cache).
+
+    Sequential == ranked-with-floor: one greedy left-to-right pass
+    removes EVERY occurrence of its pair (a survivor pair (s1,s2) in
+    the output would have been adjacent in the input and the scan
+    would have merged it), so each merge reaches its fixpoint in one
+    pass and never needs revisiting; the floor forbids re-applying an
+    earlier rank that a later merge resurrects (the replace chain
+    cannot go back either). ``strategy="auto"`` dispatches on
+    ``MAX_CHAIN_MERGES`` like the IVF ``assign_strategy``.
     """
     sep = _BPE_SEP
+    if strategy == "auto":
+        strategy = "chain" if len(merges) <= MAX_CHAIN_MERGES else "ranked"
+    if strategy == "ranked":
+        return _bpe_encode_counts_ranked(
+            docs, merges, id_col, text_col, round_to
+        )
+    if strategy != "chain":
+        raise ValueError(f"unknown bpe encode strategy: {strategy!r}")
 
     def encode(word):
         s = F.concat_ws(
@@ -1351,6 +1384,106 @@ def bpe_encode_counts(
         n_chars.cast("long").alias("n_chars"),
         n_syms.cast("long").alias("n_bpe_tokens"),
     )
+    return out.withColumn(
+        "chars_per_token",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"),
+            round_to,
+        ),
+    )
+
+
+def _bpe_encode_counts_ranked(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+    round_to: int,
+) -> DataFrame:
+    """The scale arm of ``bpe_encode_counts``: Arrow-batched per-word
+    BPE with a rank dict + monotone floor (exact sequential-chain
+    semantics — equivalence argument in the dispatcher docstring).
+
+    Plan shape: tokenization stays in Spark (the SAME ``TX.tokens``
+    split, so Java-vs-Python regex whitespace classes can never
+    diverge); ``mapInPandas`` sees (id, words) and is a NARROW map —
+    no shuffle, no collect, merge table broadcast via closure (~32k
+    rules ≈ a few MB). Per-word token counts memoize in a per-partition
+    dict: under a Zipfian vocabulary almost every lookup is a cache
+    hit, so the cost is O(unique words × merges applied), not
+    O(corpus tokens × merges) — the property that makes real
+    merge-table sizes feasible where the literal replace chain cannot
+    even plan.
+    """
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    merge_list = list(merges)
+    id_field = docs.schema[id_col]
+
+    words = docs.select(
+        F.col(id_col), TX.tokens(F.lower(F.col(text_col))).alias("ws")
+    )
+
+    def encode_partition(batches):
+        cache: dict[str, int] = {}
+
+        def n_syms(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            floor = 0
+            while len(syms) > 1:
+                best = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), -1)
+                    if r >= floor and (best == -1 or r < best):
+                        best = r
+                if best == -1:
+                    break
+                s1, s2 = merge_list[best]
+                out: list[str] = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
+                        out.append(s1 + s2)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                floor = best + 1
+            cache[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            n_words, n_chars, n_toks = [], [], []
+            for ws in pdf["ws"]:
+                lst = list(ws)
+                n_words.append(len(lst))
+                n_chars.append(sum(len(w) for w in lst))
+                n_toks.append(sum(n_syms(w) for w in lst))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.array(n_words, dtype="int64"),
+                    "n_chars": pd.array(n_chars, dtype="int64"),
+                    "n_bpe_tokens": pd.array(n_toks, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("n_words", T.LongType(), False),
+            T.StructField("n_chars", T.LongType(), False),
+            T.StructField("n_bpe_tokens", T.LongType(), False),
+        ]
+    )
+    out = words.mapInPandas(encode_partition, schema)
+    # final projection shared with the chain arm — same F.round HALF_UP
     return out.withColumn(
         "chars_per_token",
         F.round(

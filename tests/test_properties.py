@@ -293,3 +293,66 @@ def test_bpe_train_matches_sequential_reference(spark, texts):
                     i += 1
             words[w] = out
     assert got == expected
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=20),
+                   min_size=1, max_size=8),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_arms_agree(spark, texts, n_merges):
+    """bpe_encode_counts' ranked (mapInPandas, rank dict + monotone
+    floor) arm == the chain (oracle-parity literal replace) arm on
+    random corpora with merges trained on the same corpus — the exact
+    sequential-semantics guarantee that lets auto-dispatch swap arms
+    by merge-table size."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=n_merges).collect()
+    ]
+    chain = {
+        r.doc_id: tuple(r)
+        for r in TO.bpe_encode_counts(docs, merges, strategy="chain").collect()
+    }
+    ranked = {
+        r.doc_id: tuple(r)
+        for r in TO.bpe_encode_counts(docs, merges, strategy="ranked").collect()
+    }
+    assert chain == ranked
+
+
+def test_bpe_encode_rank_resurrection(spark):
+    """The floor discipline: merges=[("a","bc"),("b","c")] on "abc" —
+    applying rank 1 creates the pair of rank 0, which the sequential
+    chain can never revisit. A naive min-rank loop (no floor) would
+    collapse "abc" to ONE token; both arms must yield TWO."""
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "abc bc a b c")], "doc_id long, text string"
+    )
+    merges = [("a", "bc"), ("b", "c")]
+    chain = {
+        r.doc_id: tuple(r)
+        for r in TO.bpe_encode_counts(docs, merges, strategy="chain").collect()
+    }
+    ranked = {
+        r.doc_id: tuple(r)
+        for r in TO.bpe_encode_counts(docs, merges, strategy="ranked").collect()
+    }
+    assert chain == ranked
+    assert chain[0][3] == 2  # n_bpe_tokens: (a)(bc), NOT (abc)
+
+
+def test_bpe_encode_auto_dispatch(spark):
+    """auto == chain at small tables, ranked above MAX_CHAIN_MERGES —
+    and both produce the same rows either way (the 'aaaa' overlap word
+    exercises greedy non-overlapping replacement in both arms)."""
+    docs = spark.createDataFrame([(0, "aaaa aaa aa a")], "doc_id long, text string")
+    merges = [("a", "a"), ("aa", "aa"), ("aa", "a")]
+    auto = TO.bpe_encode_counts(docs, merges).collect()
+    chain = TO.bpe_encode_counts(docs, merges, strategy="chain").collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in chain]
+    big = merges + [(f"x{i}", f"y{i}") for i in range(TO.MAX_CHAIN_MERGES)]
+    auto_big = TO.bpe_encode_counts(docs, big).collect()
+    assert [tuple(r) for r in auto_big] == [tuple(r) for r in chain]
