@@ -876,9 +876,14 @@ def _semantic_near_gemm(
     (the caller left-joins and coalesces). The qualifying-pair set is
     reduced inside the kernel, never materialized as rows: output is
     O(cell size), not O(pairs). Cosine = normalized GEMM rounded to
-    ``round_to`` — the same qualifying set as the Column fold arm
-    except for pairs within ~1e-12 of the threshold (the
-    embedding_neardup_pairs_gemm equivalence argument; arm agreement is
+    ``round_to`` with Spark ``F.round`` semantics — HALF_UP, away from
+    zero on decimal midpoints, NOT numpy's half-to-even (ADVICE r6):
+    the bulk uses the vectorized floor(|x|·10^p + 0.5) formulation and
+    any entry within float error of an integer boundary of that shift
+    (the only place the formulations can disagree) is recomputed with
+    the decimal-exact ``_round_half_up`` — so the qualifying set
+    matches the Column fold arm bit-for-bit (GEMM dot-product fold
+    order remains the one residual difference; arm agreement is
     pytest-enforced).
 
     Memory: one cell's k x k similarity tile must fit per task (a 50k
@@ -900,7 +905,20 @@ def _semantic_near_gemm(
         norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
         normed = mat / norms
         sims = normed @ normed.T
-        hit = np.triu(np.round(sims, round_to) >= threshold, k=1)
+        # HALF_UP like Spark F.round (np.round is half-to-even):
+        # floor of the +0.5-shifted magnitude, sign restored; entries
+        # where the shift lands within float error of an integer get
+        # the decimal-exact treatment.
+        scale = float(10**round_to)
+        shifted = np.abs(sims) * scale + 0.5
+        rounded = np.copysign(np.floor(shifted), sims) / scale
+        border = np.abs(shifted - np.rint(shifted)) < 1e-8
+        if border.any():
+            from .similarity import _round_half_up
+
+            for i, j in np.argwhere(border):
+                rounded[i, j] = _round_half_up(float(sims[i, j]), round_to)
+        hit = np.triu(rounded >= threshold, k=1)
         n_near = hit.sum(axis=0)
         witness_idx = hit.argmax(axis=0)  # first True row = lowest id
         keep = n_near > 0

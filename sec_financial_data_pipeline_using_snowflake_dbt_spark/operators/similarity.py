@@ -730,13 +730,23 @@ def pq_topk(
     ADC (sum over subspaces of the exact distance from the query
     subvector to the neighbor's CODE centroid).
 
-    Scale shape: train on the ``n_train`` lowest-id vectors (driver
-    sample, O(1) in the corpus), encode in one narrow scan, then score
-    with per-query lookup tables baked in as literals — the scan reads
-    only (id, codes), never the vectors; the only shuffle is the
-    per-query top-k window over candidate rows. Queries are collected
-    driver-side (bounded query batch — same posture as the centroid
-    collect in ``ivf_assign``).
+    ABLATION — do not use standalone at corpus scale: this is "PQ
+    without pruning" — the ``codes.crossJoin(luts)`` scores EVERY code
+    row against every query (compressed reads, but still a full scan
+    per query). It exists to isolate the compression axis, exactly
+    like ``exact=True`` in ``dedup.ngram_jaccard_pairs`` isolates the
+    quadratic baseline. The scale path is ``ivfpq_topk``, which
+    replaces the cross join with a broadcast (query, cell, LUT)
+    equi-join on the IVF cell so per-query work is proportional to the
+    probed cells' population.
+
+    Scale shape (of the parts ivfpq reuses): train on the ``n_train``
+    lowest-id vectors (driver sample, O(1) in the corpus), encode in
+    one narrow scan, then score with per-query lookup tables baked in
+    as literals — the scan reads only (id, codes), never the vectors;
+    the only shuffle is the per-query top-k window over candidate
+    rows. Queries are collected driver-side (bounded query batch —
+    same posture as the centroid collect in ``ivf_assign``).
 
     ADC float discipline: LUT entries are computed driver-side with the
     same left-to-right fold the SQL oracle unrolls; the total is the

@@ -795,7 +795,14 @@ def quality_filter(
         n_stop.alias("n_stopwords"),
         distinct_ratio.alias("distinct_ratio"),
     )
-    flag = lambda c: c.cast("int").cast("long")  # noqa: E731
+    # Zero-token documents have NULL ratio signals (0/0): a bare
+    # comparison would make fail_mean_len/fail_alpha/fail_diversity
+    # NULL, while the DuckDB oracle's CASE WHEN yields 0 (ADVICE r6).
+    # Define it explicitly: an UNDEFINED signal does not fail its own
+    # rule — the empty doc is still dropped because fail_length fires
+    # (0 < min_tokens), so `passes` is unaffected; only the per-rule
+    # flags needed pinning.
+    flag = lambda c: F.coalesce(c.cast("int"), F.lit(0)).cast("long")  # noqa: E731
     fail_length = flag(
         (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)
     )
@@ -1037,6 +1044,7 @@ def corpus_stats(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    lang_col: str = "lang",
     round_to: int = 6,
 ) -> DataFrame:
     """Per-stratum corpus report card — the summary table a dataset
@@ -1057,7 +1065,7 @@ def corpus_stats(
     base = docs.select(
         F.col(id_col),
         F.col(strata_col),
-        F.col("lang"),
+        F.col(lang_col).alias("lang"),
         F.md5(F.col(text_col)).alias("h"),
         F.size(TX.tokens(F.lower(F.col(text_col)))).cast("long").alias("n_toks"),
     )

@@ -1511,11 +1511,18 @@ def _bpe_ctes(n_merges: int = 10) -> list[str]:
             f"""m{r} AS (SELECT s1, s2, c FROM p{r}
                          ORDER BY c DESC, s1, s2 LIMIT 1)"""
         )
+        # LEFT JOIN ON TRUE + CASE: when the vocabulary exhausts pairs
+        # before n_merges rounds, m{r} is EMPTY — a plain cross join
+        # would empty w{r} and every later CTE (0 rows out), while
+        # Spark's bpe_train simply stops early and keeps all words
+        # (ADVICE r6). With the guard, an empty m{r} passes the
+        # previous round through unchanged.
         ctes.append(
             f"""w{r} AS (
-      SELECT replace(s, {sep} || s1 || {sep} || {sep} || s2 || {sep},
-                     {sep} || s1 || s2 || {sep}) AS s, cnt
-      FROM {prev}, m{r}
+      SELECT CASE WHEN m.s1 IS NULL THEN s
+                  ELSE replace(s, {sep} || m.s1 || {sep} || {sep} || m.s2 || {sep},
+                               {sep} || m.s1 || m.s2 || {sep}) END AS s, cnt
+      FROM {prev} LEFT JOIN m{r} m ON TRUE
     )"""
         )
     return ctes
@@ -1560,13 +1567,18 @@ def _bpe_encode_sql(n_merges: int = 10) -> str:
     )"""
     )
     for r in range(1, n_merges + 1):
+        # same empty-m{r} guard as w{r} in _bpe_ctes — and for the
+        # list column it must be a CASE, not COALESCE: replace(w, NULL)
+        # NULLs each ELEMENT, leaving a non-NULL list of NULLs that
+        # COALESCE would happily keep (ADVICE r6).
         ctes.append(
             f"""d{r} AS (
       SELECT doc_id,
-             list_transform(ws, w -> replace(w,
-               {sep} || m.s1 || {sep} || {sep} || m.s2 || {sep},
-               {sep} || m.s1 || m.s2 || {sep})) AS ws
-      FROM d{r - 1}, m{r} m
+             CASE WHEN m.s1 IS NULL THEN ws
+                  ELSE list_transform(ws, w -> replace(w,
+                    {sep} || m.s1 || {sep} || {sep} || m.s2 || {sep},
+                    {sep} || m.s1 || m.s2 || {sep})) END AS ws
+      FROM d{r - 1} LEFT JOIN m{r} m ON TRUE
     )"""
         )
     body = ",\n    ".join(c.strip() for c in ctes)

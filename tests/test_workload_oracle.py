@@ -31,3 +31,87 @@ def test_query_matches_oracle(spark, oracle, name):
     expected = oracle.execute(ORACLES[name]).df()
     problems = compare(df, expected, name)
     assert not problems, "\n".join(problems)
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """ADVICE r6: when the vocabulary exhausts pairs before n_merges
+    rounds, the unrolled oracle's per-round cross join against an EMPTY
+    m{r} used to wipe every later CTE (0 rows out) while Spark's
+    bpe_train stops early and bpe_encode_counts keeps all docs. The
+    LEFT JOIN + CASE guard must pass the previous round through
+    unchanged — both train and encode stay hash-equal on a corpus that
+    runs dry after one merge."""
+    import duckdb
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.dataprep import (
+        _bpe_encode_sql,
+        _bpe_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "(VALUES (0,'ab'),(1,'ab ab'),(2,'b a ab')) t(doc_id, text)"
+    )
+    docs = spark.createDataFrame(
+        [(0, "ab"), (1, "ab ab"), (2, "b a ab")], "doc_id long, text string"
+    )
+    merges_df = TO.bpe_train(docs, n_merges=10)
+    assert not compare(merges_df, con.execute(_bpe_sql(10)).df(), "bpe_train")
+    assert merges_df.count() == 1  # ran dry after ('a','b')
+
+    merges = [(r.lhs, r.rhs) for r in merges_df.collect()]
+    enc = TO.bpe_encode_counts(docs, merges)
+    exp = con.execute(_bpe_encode_sql(10)).df()
+    assert len(exp) == 3  # every doc survives the dry rounds
+    assert not compare(enc, exp, "bpe_encode")
+    con.close()
+
+
+def test_quality_filter_empty_docs_match_oracle(spark):
+    """ADVICE r6: zero-token documents have NULL ratio signals (0/0);
+    the per-rule flags must coalesce to 0 like the oracle's CASE WHEN
+    (an undefined signal does not fail its own rule) while fail_length
+    still drops the doc."""
+    import duckdb
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.dataprep import (
+        PREP_ORACLES,
+    )
+
+    rows = [(0, ""), (1, "   "), (2, "the a the quick brown fox"), (3, "a")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (0,''),(1,'   '),"
+        "(2,'the a the quick brown fox'),(3,'a')) t(doc_id, text)"
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TO.quality_filter(docs)
+    assert not compare(got, con.execute(PREP_ORACLES["q_quality_filter"]).df(),
+                       "quality_filter empty docs")
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[0].fail_length == 1 and by_id[0].passes == 0
+    assert by_id[0].fail_mean_len == 0  # defined: undefined signal != fail
+    con.close()
+
+
+def test_corpus_stats_lang_col_param(spark):
+    """ADVICE r6: corpus_stats takes lang_col like every other column
+    parameter instead of silently requiring a 'lang' column."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    rows = [(0, "web", "en", "a b c"), (1, "web", "de", "a b"), (2, "book", "en", "x")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, language string, text string"
+    )
+    out = {r.source: r for r in TO.corpus_stats(docs, lang_col="language").collect()}
+    assert out["web"].n_langs == 2
+    assert out["book"].n_langs == 1
