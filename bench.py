@@ -67,6 +67,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_ivfpq_res",
     "q_ann_recall",
     "q_text_quality",
     "q_text_repetition",

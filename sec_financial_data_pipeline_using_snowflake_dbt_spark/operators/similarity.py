@@ -842,6 +842,7 @@ def ivfpq_topk(
     round_means: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed — the standard billion-scale ANN architecture
     (faiss IVF*,PQ*): the IVF coarse quantizer prunes candidates to the
@@ -859,11 +860,16 @@ def ivfpq_topk(
     (full-vector scoring), and PQ (no pruning) are its one-axis
     ablations, all implemented above.
 
-    This is raw-vector PQ (codebooks on the vectors themselves);
-    faiss-style RESIDUAL encoding (PQ on v − centroid(cell)) is the
-    accuracy refinement and uses identical plumbing — one extra
-    zip_with subtraction before encode — at the cost of a per-cell
-    codebook join in the oracle. Determinism discipline is shared with
+    ``residual=True`` is the faiss-default accuracy refinement: PQ
+    codebooks train on and codes encode v − centroid(cell) instead of
+    the raw vectors — residual magnitudes are much smaller than vector
+    magnitudes, so the same k_sub codebook spends its resolution on
+    the part the IVF cell hasn't already explained. Plumbing is
+    identical except (a) one zip_with subtraction against the
+    broadcast centroid literal before encode and (b) the query LUT is
+    per PROBED CELL (q − centroid(cell)) instead of per query — the
+    probe table was already (query, cell)-grained, so the join shape
+    is unchanged. Determinism discipline is shared with
     ``pq_topk``/``ivf_assign``: rounded means, left-associated distance
     folds, (dist, index) tie-breaks, ranking on the ROUNDED ADC.
     """
@@ -872,14 +878,38 @@ def ivfpq_topk(
         round_means=round_means,
     )
     cents = [(r.cell, list(r.cvec)) for r in centroids.collect()]
+    cent_map = {cell: cvec for cell, cvec in cents}
     sub = dim // m
-    sample = [
-        list(r.v)
-        for r in assignments.select("id", "v").orderBy("id").limit(n_train).collect()
-    ]
+    if residual:
+        # cells are 1-based consecutive ints: a literal array-of-arrays
+        # indexed by cell gives the broadcast centroid lookup with zero
+        # joins; the zip_with subtraction is the SAME double op the
+        # Python/LUT and oracle sides perform.
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent_map[cell]])
+                for cell in sorted(cent_map)
+            ]
+        )
+        enc_vec = F.zip_with(
+            F.col("v"),
+            F.element_at(cent_arr, F.col("cell").cast("int")),
+            lambda a, b: a - b,
+        )
+    else:
+        enc_vec = F.col("v")
+    sample_rows = (
+        assignments.select("id", "v", "cell").orderBy("id").limit(n_train).collect()
+    )
+    if residual:
+        sample = [
+            [x - c for x, c in zip(r.v, cent_map[r.cell])] for r in sample_rows
+        ]
+    else:
+        sample = [list(r.v) for r in sample_rows]
     books = pq_train(sample, dim, m, k_sub, pq_iters, round_means)
     codes = assignments.select(
-        "id", "cell", _pq_code_col(F.col("v"), books, sub).alias("codes")
+        "id", "cell", _pq_code_col(enc_vec, books, sub).alias("codes")
     )
 
     q_rows = [
@@ -895,11 +925,14 @@ def ivfpq_topk(
         by_cell = sorted(
             (_sqdist_py(qv, cvec), cell) for cell, cvec in cents
         )
-        lut = [
-            [_sqdist_py(qv[j * sub : (j + 1) * sub], c) for c in books[j]]
-            for j in range(m)
-        ]
         for _, cell in by_cell[:n_probe]:
+            qr = (
+                [x - c for x, c in zip(qv, cent_map[cell])] if residual else qv
+            )
+            lut = [
+                [_sqdist_py(qr[j * sub : (j + 1) * sub], c) for c in books[j]]
+                for j in range(m)
+            ]
             probe_rows.append((qid, int(cell), lut))
     spark = corpus.sparkSession
     probes = F.broadcast(

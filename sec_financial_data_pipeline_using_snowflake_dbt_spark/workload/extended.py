@@ -523,6 +523,7 @@ def _ann_ivfpq_sql(
     pq_iters: int = 2,
     n_queries: int = 8,
     round_to: int = 6,
+    residual: bool = False,
 ) -> str:
     sub = dim // m
 
@@ -541,8 +542,26 @@ def _ann_ivfpq_sql(
     ctes, final_assign = _lloyd_chain_ctes(dim, n_centroids, ivf_iters, round_to)
     cents = f"c{ivf_iters}"
 
+    # residual=True (faiss default): PQ trains on and encodes
+    # v - centroid(cell). The residual list is one list_transform per
+    # vector (same double subtraction the Spark zip_with and the
+    # Python LUT perform); downstream CTEs are IDENTICAL — they just
+    # read from `res` instead of `e`.
+    enc_src = "e"
+    if residual:
+        enc_src = "res"
+        ctes.append(
+            f"""res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> a.v[i] - c.cvec[i]) AS v
+      FROM {final_assign} a JOIN {cents} c USING (cell))"""
+        )
+
     # PQ codebooks: per-subspace Lloyd on the n_train lowest-id sample.
-    ctes.append(f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_train})")
+    ctes.append(
+        f"samp AS (SELECT vec_id, v FROM {enc_src} ORDER BY vec_id LIMIT {n_train})"
+    )
     final_books = []
     for j in range(m):
         base = j * sub
@@ -587,7 +606,7 @@ def _ann_ivfpq_sql(
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY list_distance(e.v[{base + 1}:{base + sub}], c.cvec) ASC,
                                            c.code ASC) AS rn
-        FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        FROM {enc_src} e CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
     code_joins = " ".join(
         f"JOIN enc{j} x{j} ON x{j}.vec_id = x0.vec_id" for j in range(1, m)
@@ -597,11 +616,19 @@ def _ann_ivfpq_sql(
       SELECT x0.vec_id, cl.cell, {", ".join(f"x{j}.code AS c{j}" for j in range(m))}
       FROM enc0 x0 {code_joins} JOIN {final_assign} cl ON cl.vec_id = x0.vec_id)"""
     )
-    # query probes: n_probe nearest IVF cells, same (dist, cell) tie-break
+    # query probes: n_probe nearest IVF cells, same (dist, cell)
+    # tie-break. Cell selection always uses the FULL query vector; for
+    # residual the carried qv becomes q - centroid(cell), computed per
+    # (query, probed cell) — the probe table was already that grain.
+    qv_expr = (
+        f"list_transform(generate_series(1, {dim}), i -> q.v[i] - c.cvec[i])"
+        if residual
+        else "q.v"
+    )
     ctes.append(
         f"""probes AS (
       SELECT query_id, qv, cell FROM (
-        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+        SELECT q.vec_id AS query_id, {qv_expr} AS qv, c.cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY list_distance(q.v, c.cvec) ASC,
                                            c.cell ASC) AS rn
@@ -641,6 +668,19 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(
         emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
         n_probe=3, m=4, k_sub=4, n_train=64, pq_iters=2, round_means=6,
+    )
+
+
+# residual encoding (faiss IVF+PQ default): PQ on v − centroid(cell) —
+# the accuracy refinement over q_ann_ivfpq's raw-vector codebooks; the
+# q_ann_recall-style raw-vs-residual comparison is in NOTES_r7.
+@q("q_ann_ivfpq_res", _ann_ivfpq_sql(residual=True))
+def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5, n_centroids=8,
+        n_probe=3, m=4, k_sub=4, n_train=64, pq_iters=2, round_means=6,
+        residual=True,
     )
 
 

@@ -68,6 +68,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # level deeper — two-sided stateful interval join; hourly-agg
     # semantics stay pytest-oracled every run),
     "q_stream_hourly",
+    # r7: parked for q_ann_ivfpq_res's window slot (the new
+    # residual-encoding arm earns the hard signal first, per policy);
+    # J2's broadcast hint stays in-window via q_sec_fact_bs, whose fact
+    # build runs the reference's own X1 broadcast hint
+    # (operators/facts.py:72), golden-tested. q_broadcast_star was
+    # green in every window r1-r6.
+    "q_broadcast_star",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five
