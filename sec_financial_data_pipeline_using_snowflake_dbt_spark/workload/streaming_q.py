@@ -11,6 +11,7 @@ correctness bar as batch.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,34 @@ from .common import events_stream, table
 
 STREAM_QUERIES: dict[str, object] = {}
 STREAM_ORACLES: dict[str, str] = {}
+
+#: State partitions for the stateful streaming queries. A stateful
+#: streaming query's per-microbatch floor is LINEAR in its shuffle
+#: partition count: each partition is an HDFS-backed state-store
+#: instance paying open/commit/snapshot per batch, regardless of data
+#: (measured on q_stream_join at sf0.1, best-of-3: 32 partitions
+#: 8.46 s, 16 -> 4.49 s, 8 -> 2.7 s, 4 -> 2.31 s — ~0.26 s per
+#: partition; NOTES_r7). Batch queries want partitions ~ cores, but a
+#: streaming query's partition count is a per-checkpoint PINNED choice
+#: that should be sized to stream volume: at these volumes 8 is ample,
+#: and at 100 TB you raise it before first start (it cannot change
+#: without a new checkpoint).
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    """Scope ``spark.sql.shuffle.partitions`` to one streaming query.
+    The conf is read when the query STARTS; restoring it after
+    awaitTermination keeps the session's batch parallelism untouched
+    (results are identical either way — only state-store instance
+    count changes)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def q(name: str, sql: str | None):
@@ -67,14 +96,15 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_value_dec").cast("double").alias("total_value"),
         )
     )
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -110,12 +140,13 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     joined = stream_interval_join(purchases, clicks, lookback="2 hours")
-    query = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
