@@ -75,6 +75,7 @@ HEADLINE = [
     "q_vocab_topk",
     "q_bpe_train",
     "q_bpe_encode",
+    "q_bpe_encode_ids",
     "q_tfidf",
     "q_unigram_logprob",
     "q_bigram_logprob",

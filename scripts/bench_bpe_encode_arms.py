@@ -108,6 +108,23 @@ def main() -> None:
         force(TO.bpe_encode_counts(rich, merges, strategy="chain"))
         print(f"CHAIN arm, {len(merges)} merges: single rep {time.perf_counter()-t0:.2f}s")
 
+    if ARMS in ("both", "ids"):
+        # the id-emitting encoder's scale arm (full per-doc sequences,
+        # not just counts) — vocab derives once, then 3 timed encodes
+        vocab = TO.bpe_vocab(rich, merges)
+        print(f"vocab: {len(vocab)} symbols")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(TO.bpe_encode_ids(rich, merges, vocab=vocab, strategy="ranked"))
+            best = min(best, time.perf_counter() - t0)
+        print(f"IDS ranked arm, {len(merges)} merges: best-of-3 {best:.2f}s")
+        agg = (
+            TO.bpe_encode_ids(rich, merges, vocab=vocab, strategy="ranked")
+            .agg(F.sum("n_tokens")).collect()[0]
+        )
+        print(f"  total ids emitted {agg[0]}")
+
 
 if __name__ == "__main__":
     main()

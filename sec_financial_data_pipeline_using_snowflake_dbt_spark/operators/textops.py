@@ -1499,3 +1499,197 @@ def _bpe_encode_counts_ranked(
             round_to,
         ),
     )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Deterministic tokenizer vocabulary for ``bpe_encode_ids``: the
+    corpus alphabet (distinct characters of the lowercased whitespace
+    tokens, sorted — UTF-8 byte order == code-point order, so Python
+    sorted() and SQL ORDER BY agree) takes ids 0..B-1; each learned
+    merge symbol takes B + step - 1 in merge order. If a later merge
+    reproduces an existing symbol string, the FIRST id wins (ids need
+    not be dense — the oracle's MIN(id) GROUP BY symbol mirrors this).
+
+    Scale: the alphabet collect is a distinct over single characters —
+    bounded by the script's code-point count, not the corpus."""
+    chars = sorted(
+        r.c
+        for r in docs.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        TX.tokens(F.lower(F.col(text_col))),
+                        lambda w: F.split(w, ""),
+                    )
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab: dict[str, int] = {c: i for i, c in enumerate(chars)}
+    b = len(vocab)
+    for step, (s1, s2) in enumerate(merges, start=1):
+        vocab.setdefault(s1 + s2, b + step - 1)
+    return list(vocab.items())
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[tuple[str, int]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
+) -> DataFrame:
+    """The id-emitting encoder — what a training-data writer actually
+    ships: per document the full BPE token-ID SEQUENCE (order
+    preserved across words and within words) under the ``bpe_vocab``
+    numbering, plus its length. Returns (id, n_tokens, ids_csv) with
+    the sequence serialized as a comma-joined string so both engines
+    hash the same value (DuckDB/Arrow list renderings differ).
+
+    Same two arms and dispatcher as ``bpe_encode_counts`` (chain =
+    oracle parity at small merge tables; ranked = Arrow-batched
+    mapInPandas with the monotone rank floor for real ~32k-rule
+    tables); unknown symbols map to -1 (unreachable when the vocab is
+    derived from the same corpus).
+    """
+    sep = _BPE_SEP
+    if vocab is None:
+        vocab = bpe_vocab(docs, merges, text_col)
+    if strategy == "auto":
+        strategy = "chain" if len(merges) <= MAX_CHAIN_MERGES else "ranked"
+    if strategy == "ranked":
+        return _bpe_encode_ids_ranked(docs, merges, dict(vocab), id_col, text_col)
+    if strategy != "chain":
+        raise ValueError(f"unknown bpe encode strategy: {strategy!r}")
+
+    def encode(word):
+        s = F.concat_ws(
+            "",
+            F.transform(
+                F.split(word, ""),
+                lambda c: F.concat(F.lit(sep), c, F.lit(sep)),
+            ),
+        )
+        for s1, s2 in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{sep}{s1}{sep}{sep}{s2}{sep}"),
+                F.lit(f"{sep}{s1}{s2}{sep}"),
+            )
+        return s
+
+    vmap = F.create_map(
+        *[lit for sym, vid in vocab for lit in (F.lit(sym), F.lit(vid))]
+    )
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    staged = _barrier(
+        docs,
+        F.col(id_col),
+        F.transform(toks, encode).alias("ws"),
+    )
+    ids = F.flatten(
+        F.transform(
+            F.col("ws"),
+            lambda w: F.transform(
+                F.split(w.substr(F.lit(2), F.length(w) - 2), sep + sep),
+                lambda s: F.coalesce(
+                    F.element_at(vmap, s), F.lit(-1)
+                ).cast("int"),
+            ),
+        )
+    )
+    out = _barrier(staged, F.col(id_col), ids.alias("ids"))
+    return out.select(
+        id_col,
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.concat_ws(",", F.transform(F.col("ids"), lambda i: i.cast("string"))).alias(
+            "ids_csv"
+        ),
+    )
+
+
+def _bpe_encode_ids_ranked(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vmap: dict[str, int],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Scale arm of ``bpe_encode_ids``: the same rank-dict + monotone
+    floor encoder as ``_bpe_encode_counts_ranked``, memoizing the ID
+    LIST per unique word per partition."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    merge_list = list(merges)
+    id_field = docs.schema[id_col]
+
+    words = docs.select(
+        F.col(id_col), TX.tokens(F.lower(F.col(text_col))).alias("ws")
+    )
+
+    def encode_partition(batches):
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(word: str) -> list[int]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            floor = 0
+            while len(syms) > 1:
+                best = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), -1)
+                    if r >= floor and (best == -1 or r < best):
+                        best = r
+                if best == -1:
+                    break
+                s1, s2 = merge_list[best]
+                out: list[str] = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
+                        out.append(s1 + s2)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                floor = best + 1
+            ids = [vmap.get(s, -1) for s in syms]
+            cache[word] = ids
+            return ids
+
+        for pdf in batches:
+            n_toks, csvs = [], []
+            for ws in pdf["ws"]:
+                ids: list[int] = []
+                for w in ws:
+                    ids.extend(word_ids(w))
+                n_toks.append(len(ids))
+                csvs.append(",".join(str(i) for i in ids))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.array(n_toks, dtype="int64"),
+                    "ids_csv": pd.array(csvs, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("ids_csv", T.StringType(), False),
+        ]
+    )
+    return words.mapInPandas(encode_partition, schema)

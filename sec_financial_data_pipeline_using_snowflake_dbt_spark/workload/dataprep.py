@@ -1554,7 +1554,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle reuses the unrolled training CTEs, then applies m1..mN
 # sequentially to the delimited word arrays.
 # ---------------------------------------------------------------------------
-def _bpe_encode_sql(n_merges: int = 10) -> str:
+def _bpe_doc_ctes(n_merges: int = 10) -> list[str]:
+    """The per-document merge-application CTE chain (d0..d{n}) on top of
+    ``_bpe_ctes`` — shared by the q_bpe_encode and q_bpe_encode_ids
+    oracles. d{n_merges} holds (doc_id, ws) with each word as its
+    SEP-delimited symbol string after all learned merges."""
     sep = "chr(31)"
     ctes = _bpe_ctes(n_merges)
     ctes.append(
@@ -1581,6 +1585,12 @@ def _bpe_encode_sql(n_merges: int = 10) -> str:
       FROM d{r - 1} LEFT JOIN m{r} m ON TRUE
     )"""
         )
+    return ctes
+
+
+def _bpe_encode_sql(n_merges: int = 10) -> str:
+    sep = "chr(31)"
+    ctes = _bpe_doc_ctes(n_merges)
     body = ",\n    ".join(c.strip() for c in ctes)
     return f"""
     WITH {body}
@@ -1607,3 +1617,64 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()
     ]
     return TO.bpe_encode_counts(docs, merges)
+
+
+def _bpe_encode_ids_sql(n_merges: int = 10) -> str:
+    """Oracle for the id-emitting encoder: the shared train + doc merge
+    chain, then a deterministic vocabulary (sorted corpus alphabet gets
+    0..B-1; merge symbol of round r gets B+r-1, first id winning on
+    duplicate symbol strings — the MIN(id) GROUP BY) applied per symbol
+    via a DuckDB MAP; the per-doc id sequence is emitted as the same
+    comma-joined string Spark produces."""
+    sep = "chr(31)"
+    ctes = _bpe_doc_ctes(n_merges)
+    merge_union = "\n        UNION ALL ".join(
+        f"SELECT s1 || s2 AS sym, {r} AS step FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"""chars AS (
+      SELECT DISTINCT UNNEST(string_split(w, '')) AS sym
+      FROM (SELECT UNNEST({SQL_TOKENS}) AS w FROM documents))"""
+    )
+    ctes.append(
+        """base AS (
+      SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS id FROM chars)"""
+    )
+    ctes.append(
+        f"""vocab AS (
+      SELECT sym, MIN(id) AS id FROM (
+        SELECT sym, id FROM base
+        UNION ALL
+        SELECT sym, (SELECT COUNT(*) FROM base) + step - 1 AS id
+        FROM ({merge_union}))
+      GROUP BY sym)"""
+    )
+    ctes.append(
+        "vm AS (SELECT map(list(sym ORDER BY sym), list(id ORDER BY sym)) AS m FROM vocab)"
+    )
+    ids = (
+        f"flatten(list_transform(ws, w -> "
+        f"list_transform(string_split(w[2:len(w) - 1], {sep} || {sep}), "
+        f"s -> CAST(COALESCE(vm.m[s][1], -1) AS INT))))"
+    )
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           array_to_string(ids, ',') AS ids_csv
+    FROM (SELECT doc_id, {ids} AS ids FROM d{n_merges} CROSS JOIN vm)
+    """
+
+
+@q("q_bpe_encode_ids", _bpe_encode_ids_sql(10))
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's id-emitting output — per doc the full token-ID
+    sequence under the deterministic bpe_vocab numbering (what a
+    training-data writer ships; completes train → encode → pack)."""
+    docs = table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()
+    ]
+    return TO.bpe_encode_ids(docs, merges)

@@ -44,6 +44,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_language_id (lang distribution: in-window q_corpus_stats groups
     # the SAME langid-derived lang column; pytest-oracle every run),
     "q_language_id",
+    # r7: parked for q_bpe_encode_ids' window slot (the id-emitting
+    # tokenizer output — the new operator earns the hard signal first,
+    # per policy); the greatest/least + scalar-math battery re-earned
+    # its green row in r6 after the r2-r6 park, stays oracle-verified
+    # every pytest run at sf0.001, and F4 decimal math stays in-window
+    # via q_pricing_summary / q_stats_agg.
+    "q_greatest_least",
     # q_text_quality (in-window q_quality_filter computes a SUPERSET of
     # the same Gopher-style signals over the same docs),
     "q_text_quality",

@@ -48,9 +48,10 @@ def test_oracle_queries_inside_driver_window():
         # in-window through the successors).
         "q_decontaminate",
         "q_corpus_pipeline",
-        # r6 rotation (VERDICT r5 #4): the five longest-parked
+        # r6 rotation (VERDICT r5 #4): the longest-parked
         # oracle-bearing batteries re-earn a driver-recorded green row
-        "q_greatest_least",
+        # (q_greatest_least re-parked in r7 for q_bpe_encode_ids' slot
+        # after its r6 green row)
         "q_stats_agg",
         "q_date_arith",
         "q_window_frames",
@@ -111,6 +112,10 @@ def test_oracle_queries_inside_driver_window():
         # exchange — md5-bucket machinery stays via q_global_shuffle /
         # q_data_mixture / q_training_mix)
         "q_bpe_encode",
+        # r7: the id-emitting tokenizer output (train -> encode ->
+        # ids) earns the hard signal (q_greatest_least parked in
+        # exchange after its fresh r6 green row)
+        "q_bpe_encode_ids",
     ):
         assert k in window, k
 

@@ -356,3 +356,71 @@ def test_bpe_encode_auto_dispatch(spark):
     big = merges + [(f"x{i}", f"y{i}") for i in range(TO.MAX_CHAIN_MERGES)]
     auto_big = TO.bpe_encode_counts(docs, big).collect()
     assert [tuple(r) for r in auto_big] == [tuple(r) for r in chain]
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=20),
+                   min_size=1, max_size=8),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_ids_arms_agree_and_match_reference(spark, texts, n_merges):
+    """bpe_encode_ids' chain and ranked arms agree on random corpora,
+    AND the emitted id sequence equals a sequential Python reference:
+    tokenize → per-word sequential merge application (same loop the
+    train property test trusts) → lookup in the bpe_vocab numbering.
+    This pins the ORDER of the sequence, which the counts encoder
+    never checks."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=n_merges).collect()
+    ]
+    vocab = dict(TO.bpe_vocab(docs, merges))
+    chain = {
+        r.doc_id: tuple(r)
+        for r in TO.bpe_encode_ids(docs, merges, strategy="chain").collect()
+    }
+    ranked = {
+        r.doc_id: tuple(r)
+        for r in TO.bpe_encode_ids(docs, merges, strategy="ranked").collect()
+    }
+    assert chain == ranked
+
+    def seq_encode(word: str) -> list[str]:
+        syms = list(word)
+        for s1, s2 in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in rows:
+        ids = [vocab[s] for w in t.lower().split() for s in seq_encode(w)]
+        assert chain[i] == (i, len(ids), ",".join(map(str, ids)))
+
+
+def test_bpe_vocab_first_id_wins_on_duplicate_symbol(spark):
+    """If a later merge reproduces an existing symbol string, bpe_vocab
+    keeps the FIRST id (the oracle's MIN(id) GROUP BY sym). Forced
+    merges=[("a","b"),("ab",""?)] can't collide, so use a corpus where
+    ("a","b") then ("ab","c") and a separate ("a","bc") would both
+    spell "abc" — the ids list stays unique per symbol."""
+    docs = spark.createDataFrame(
+        [(0, "abc abc ab bc a b c")], "doc_id long, text string"
+    )
+    merges = [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+    vocab = TO.bpe_vocab(docs, merges)
+    syms = [s for s, _ in vocab]
+    assert len(syms) == len(set(syms))
+    vm = dict(vocab)
+    # alphabet a,b,c -> 0,1,2; merge steps 1..4 -> ids 3..6; "abc" is
+    # spelled twice (steps 3 and 4) and keeps the step-3 id.
+    assert vm["ab"] == 3 and vm["bc"] == 4 and vm["abc"] == 5
+    assert 6 not in vm.values()
