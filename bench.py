@@ -86,6 +86,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_pack_token_ids",
     "q_chunk_docs",
     "q_data_mixture",
     "q_dsir_select",

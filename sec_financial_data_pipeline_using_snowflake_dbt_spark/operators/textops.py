@@ -1693,3 +1693,85 @@ def _bpe_encode_ids_ranked(
         ]
     )
     return words.mapInPandas(encode_partition, schema)
+
+
+def pack_token_ids(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    salt: str = "pack",
+) -> DataFrame:
+    """The writer-side twin of ``pack_sequences``: where that operator
+    emits the pack MANIFEST (doc × sequence token counts), this one
+    emits the actual fixed-length training blocks — per (shard,
+    seq_id) the concatenated token-ID sequence itself, chunked at
+    ``budget`` boundaries in the same deterministic md5 shard/order.
+    ``ids_col`` is any ``array<int>`` column (e.g. ``bpe_encode_ids``
+    output via ``split(ids_csv, ',')``); the id stream is identical to
+    concatenating every document's ids in pack order and slicing every
+    ``budget`` tokens, so a doc straddling a boundary contributes its
+    head to one block and its tail to the next. Output: (shard,
+    seq_id, n_tokens, ids_csv) — every block holds exactly ``budget``
+    ids except each shard's final partial block; csv serialization so
+    both engines hash the same value.
+
+    Scale: the running offset is a window sum PARTITIONED BY SHARD
+    (no global sort — pick ``n_shards`` ≥ desired parallelism); the
+    boundary-straddle step SLICES each doc's array into per-block
+    segments (rows stay doc-grained — never a per-token explode); the
+    only shuffle is the (shard, seq_id) groupBy whose groups are
+    bounded by ``budget`` elements. Within-block assembly orders
+    segments by ``sort_array`` over (tok_start, segment) structs —
+    tok_start is unique within a block, so the order is total.
+    """
+    sid = F.col(id_col).cast("string")
+    h_sh = F.md5(F.concat_ws(":", sid, F.lit(f"{salt}:shard")))
+    h_ord = F.md5(F.concat_ws(":", sid, F.lit(f"{salt}:ord")))
+    base = docs.select(
+        F.col(id_col),
+        (F.conv(F.substring(h_sh, 1, 4), 16, 10).cast("int") % n_shards).alias(
+            "shard"
+        ),
+        h_ord.alias("ord"),
+        F.col(ids_col).alias("_ids"),
+        F.size(ids_col).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
+    base = base.withColumn("tok_end", F.sum("n_tokens").over(w)).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tokens")
+    )
+    first = F.floor(F.col("tok_start") / budget)
+    last = F.floor((F.col("tok_end") - 1) / budget)
+    seg_start = F.greatest(F.col("tok_start"), F.col("seq_id") * budget)
+    seg_end = F.least(F.col("tok_end"), (F.col("seq_id") + 1) * budget)
+    segs = (
+        base.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .select(
+            "shard",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col("tok_start"),
+            F.slice(
+                "_ids",
+                (seg_start - F.col("tok_start") + 1).cast("int"),
+                (seg_end - seg_start).cast("int"),
+            ).alias("seg"),
+        )
+    )
+    blocks = segs.groupBy("shard", "seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tok_start", "seg"))),
+                lambda s: s["seg"],
+            )
+        ).alias("_ids")
+    )
+    return blocks.select(
+        "shard",
+        "seq_id",
+        F.size("_ids").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            ",", F.transform(F.col("_ids"), lambda i: i.cast("string"))
+        ).alias("ids_csv"),
+    )

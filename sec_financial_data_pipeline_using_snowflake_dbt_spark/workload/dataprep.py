@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators import textops as TO
@@ -1678,3 +1679,91 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()
     ]
     return TO.bpe_encode_ids(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Writer-side block packing: where q_pack_sequences verifies the pack
+# MANIFEST (doc x sequence token counts), q_pack_token_ids verifies the
+# actual emitted training blocks — the concatenated per-block token-ID
+# stream itself. Token ids derive from an md5 hex-prefix of each token
+# (the engine-portable hashing idiom of q_corpus_split / q_global_shuffle)
+# so both engines build the identical id stream without sharing a hash
+# function; the operator composes unchanged with bpe_encode_ids output
+# (same array<int> contract — pinned by test_pack_token_ids_over_bpe_ids).
+# ---------------------------------------------------------------------------
+_TOKID_MOD = 32000
+
+
+def _sql_hex4(expr: str) -> str:
+    """First-4-hex-chars-to-int of any VARCHAR md5 expression (the
+    inline form of ``_SQL_HEX4_HSH`` for lambda bodies)."""
+    return " + ".join(
+        f"(STRPOS('{_HEX}', SUBSTR({expr}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+
+
+def _pack_token_ids_sql() -> str:
+    b = _PACK_BUDGET
+    hex4_tok = _sql_hex4("MD5(t || ':tok')")
+    tok_id = f"CAST(({hex4_tok}) % {_TOKID_MOD} AS INT)"
+    return f"""
+    WITH di AS (
+      SELECT doc_id, list_transform({SQL_TOKENS}, t -> {tok_id}) AS ids
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             MD5(CAST(doc_id AS VARCHAR) || ':pack:shard') AS hsh,
+             MD5(CAST(doc_id AS VARCHAR) || ':pack:ord') AS ord,
+             ids, CAST(LEN(ids) AS BIGINT) AS n_tokens
+      FROM di
+    ), b AS (
+      SELECT doc_id, CAST(({_SQL_HEX4_HSH}) % {_PACK_SHARDS} AS INTEGER) AS shard,
+             ord, ids, n_tokens
+      FROM t WHERE n_tokens > 0
+    ), c AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS tok_end
+      FROM b
+    ), d AS (
+      SELECT *, tok_end - n_tokens AS tok_start FROM c
+    ), e AS (
+      SELECT shard, tok_start, tok_end, ids,
+             UNNEST(generate_series(tok_start // {b}, (tok_end - 1) // {b}))
+               AS seq_id
+      FROM d
+    ), f AS (
+      SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, tok_start,
+             ids[(GREATEST(tok_start, seq_id * {b}) - tok_start + 1):
+                 (LEAST(tok_end, (seq_id + 1) * {b}) - tok_start)] AS seg
+      FROM e
+    )
+    SELECT shard, seq_id,
+           CAST(LEN(flatten(list(seg ORDER BY tok_start))) AS BIGINT) AS n_tokens,
+           array_to_string(flatten(list(seg ORDER BY tok_start)), ',') AS ids_csv
+    FROM f GROUP BY shard, seq_id
+    """
+
+
+@q("q_pack_token_ids", _pack_token_ids_sql())
+def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual training blocks a data writer ships: per (shard,
+    seq_id) the concatenated ``_PACK_BUDGET``-token id stream, docs
+    straddling boundaries split across neighboring blocks."""
+    docs = table(spark, sf_dir, "documents")
+    with_ids = docs.select(
+        "doc_id",
+        F.transform(
+            TX.tokens(F.lower("text")),
+            lambda t: (
+                F.conv(
+                    F.substring(F.md5(F.concat(t, F.lit(":tok"))), 1, 4), 16, 10
+                ).cast("int")
+                % _TOKID_MOD
+            ),
+        ).alias("ids"),
+    )
+    return TO.pack_token_ids(
+        with_ids, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )

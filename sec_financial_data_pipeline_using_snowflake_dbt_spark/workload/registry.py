@@ -51,6 +51,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # every pytest run at sf0.001, and F4 decimal math stays in-window
     # via q_pricing_summary / q_stats_agg.
     "q_greatest_least",
+    # r7: parked for q_pack_token_ids' window slot (the writer-side
+    # block packer — the new operator earns the hard signal first);
+    # the window-frames battery re-earned its green row in r6 after
+    # the r2-r6 park, stays oracle-verified every pytest run, and
+    # running-window surfaces stay in-window via q_pack_token_ids'
+    # own per-shard cumulative sums and q_line_dedup's windows.
+    "q_window_frames",
     # q_text_quality (in-window q_quality_filter computes a SUPERSET of
     # the same Gopher-style signals over the same docs),
     "q_text_quality",

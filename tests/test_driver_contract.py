@@ -51,10 +51,10 @@ def test_oracle_queries_inside_driver_window():
         # r6 rotation (VERDICT r5 #4): the longest-parked
         # oracle-bearing batteries re-earn a driver-recorded green row
         # (q_greatest_least re-parked in r7 for q_bpe_encode_ids' slot
-        # after its r6 green row)
+        # and q_window_frames for q_pack_token_ids', each after its r6
+        # green row)
         "q_stats_agg",
         "q_date_arith",
-        "q_window_frames",
         "q_string_funcs",
         # r6 new operators take the hard signal first (q_array_ops'
         # r5 pin rotated out in exchange — array slicing/explode stays
@@ -116,6 +116,9 @@ def test_oracle_queries_inside_driver_window():
         # ids) earns the hard signal (q_greatest_least parked in
         # exchange after its fresh r6 green row)
         "q_bpe_encode_ids",
+        # r7: the writer-side block packer (q_window_frames parked in
+        # exchange after its fresh r6 green row)
+        "q_pack_token_ids",
     ):
         assert k in window, k
 

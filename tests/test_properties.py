@@ -424,3 +424,89 @@ def test_bpe_vocab_first_id_wins_on_duplicate_symbol(spark):
     # spelled twice (steps 3 and 4) and keeps the step-3 id.
     assert vm["ab"] == 3 and vm["bc"] == 4 and vm["abc"] == 5
     assert 6 not in vm.values()
+
+
+@given(
+    docs_ids=st.lists(
+        st.lists(st.integers(0, 99), min_size=0, max_size=17),
+        min_size=1, max_size=10,
+    ),
+    budget=st.integers(min_value=1, max_value=7),
+    n_shards=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_pack_token_ids_matches_reference(spark, docs_ids, budget, n_shards):
+    """pack_token_ids == a sequential reference: per shard, concatenate
+    every doc's ids in the deterministic (md5 ord, id) order and chunk
+    the stream every ``budget`` tokens. Checks the BLOCK CONTENT (the
+    actual id stream), not just the counts the pack_sequences manifest
+    covers."""
+    import hashlib
+
+    rows = [(i, ids) for i, ids in enumerate(docs_ids)]
+    docs = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    got = {
+        (r.shard, r.seq_id): (r.n_tokens, r.ids_csv)
+        for r in TO.pack_token_ids(
+            docs, budget=budget, n_shards=n_shards
+        ).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    streams: dict[int, list[int]] = {}
+    order = sorted(
+        (r for r in rows if r[1]),
+        key=lambda r: (md5(f"{r[0]}:pack:ord"), r[0]),
+    )
+    for i, ids in order:
+        shard = int(md5(f"{i}:pack:shard")[:4], 16) % n_shards
+        streams.setdefault(shard, []).extend(ids)
+    expected = {}
+    for shard, stream in streams.items():
+        for s in range(0, (len(stream) + budget - 1) // budget):
+            blk = stream[s * budget : (s + 1) * budget]
+            expected[(shard, s)] = (len(blk), ",".join(map(str, blk)))
+    assert got == expected
+
+
+def test_pack_token_ids_over_bpe_ids(spark):
+    """The composition the operators exist for: bpe_encode_ids' csv
+    output feeds pack_token_ids unchanged (split back to array<int>),
+    and each shard's reassembled block stream equals the concatenation
+    of the per-doc id sequences in pack order — no ids lost, reordered,
+    or duplicated across block boundaries."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "wide wider widest",
+             "low new wide", "er est low"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    merges = [(r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=6).collect()]
+    enc = TO.bpe_encode_ids(docs, merges)
+    with_ids = enc.select(
+        "doc_id",
+        F.transform(F.split("ids_csv", ","), lambda x: x.cast("int")).alias("ids"),
+    )
+    blocks = TO.pack_token_ids(with_ids, budget=5, n_shards=2).collect()
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    doc_ids = {r.doc_id: [int(x) for x in r.ids_csv.split(",")] for r in enc.collect()}
+    streams: dict[int, list[int]] = {}
+    for i in sorted(doc_ids, key=lambda i: (md5(f"{i}:pack:ord"), i)):
+        shard = int(md5(f"{i}:pack:shard")[:4], 16) % 2
+        streams.setdefault(shard, []).extend(doc_ids[i])
+    for shard, stream in streams.items():
+        got = [
+            int(x)
+            for r in sorted((b for b in blocks if b.shard == shard),
+                            key=lambda b: b.seq_id)
+            for x in r.ids_csv.split(",")
+        ]
+        assert got == stream
