@@ -62,6 +62,7 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_dedup_semantic",
     "q_dedup_substrings",
+    "q_dedup_span_removal",
     "q_ann_topk",
     "q_ann_lsh",
     "q_ann_ivf",

@@ -1128,3 +1128,109 @@ def duplicated_ngram_spans(
             ).alias("covered_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """The removal pass ``duplicated_ngram_spans`` scores for (Lee et
+    al. 2022 ExactSubstr dedup): every length-``k`` token shingle that
+    occurs more than once corpus-wide keeps its FIRST occurrence (min
+    (id, start) in global order) and every other occurrence's span
+    [start, start+k-1] is cut from its document; surviving tokens
+    reassemble with single spaces. Returns (id, n_tokens, kept_tokens,
+    removed_tokens, removed_frac, cleaned_text). Docs shorter than
+    ``k`` tokens pass through unchanged; a doc that is a full duplicate
+    of an earlier doc loses its entire token stream.
+
+    Scale: the shingle table is the detector's (md5 16-byte keys, one
+    posexplode bounded by total token count); first-occurrence is a
+    map-side-combined ``min(struct(id, start))`` groupBy — NOT a
+    per-shingle window, so a corpus-wide boilerplate shingle (millions
+    of occurrences of one g) combines locally instead of sorting one
+    hot partition. Span union per doc is the textbook gaps-and-islands
+    pair of windows PARTITIONED BY DOC (bounded partitions), and the
+    final surgery is a per-row HOF filter over (token index ×
+    merged-interval list) — O(n_tokens × n_islands) per doc with no
+    shuffle; merged islands are disjoint so n_islands ≤ n_tokens/k.
+    """
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    base = _persist(
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+            "n_tokens", F.size(F.col("toks")).cast("long")
+        )
+    )
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(1), (F.col("n_tokens") - F.lit(k - 1)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "id",
+        F.explode(starts).alias("start"),
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")).alias(
+            "g"
+        ),
+    )
+    sh = _persist(sh)
+    firsts = sh.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("id", "start")).alias("first"),
+    ).filter(F.col("cnt") > 1)
+    cuts = (
+        sh.join(firsts, "g")
+        .filter(
+            ~(
+                (F.col("id") == F.col("first.id"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select("id", F.col("start").alias("s"), (F.col("start") + k - 1).alias("e"))
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = cuts.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_e, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ivs = islands.groupBy("id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    ).groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("ms", "me"))).alias("ivs")
+    )
+    joined = base.join(ivs, "id", "left").withColumn(
+        "ivs", F.coalesce("ivs", F.array().cast("array<struct<ms:int,me:int>>"))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (iv["ms"] <= i + 1) & (i + 1 <= iv["me"]),
+        ),
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.size(kept)).cast("long").alias("removed_tokens"),
+        # 0/0 on an empty doc is NULL in Spark but would be a CASE 0 in
+        # SQL — pin the defined value both engines agree on (ADVICE r6
+        # quality_filter lesson)
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("n_tokens") - F.size(kept)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                round_to,
+            )
+        )
+        .alias("removed_frac"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+    return out

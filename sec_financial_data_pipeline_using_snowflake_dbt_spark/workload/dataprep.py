@@ -1767,3 +1767,92 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.pack_token_ids(
         with_ids, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring REMOVAL (the pass Lee et al. 2022 actually run;
+# q_dedup_substrings scores the spans, this cuts them): corpus-wide
+# duplicated k-shingles keep their first occurrence (min (doc_id, start)
+# global order), every other occurrence's span is removed, survivors
+# reassemble. The oracle replays first-occurrence via ROW_NUMBER (the
+# skew-safe Spark min(struct) groupBy is order-equivalent), the span
+# union via the same gaps-and-islands windows, and the token surgery via
+# generate_series + list_filter over the merged-interval structs.
+# ---------------------------------------------------------------------------
+def _dedup_span_removal_sql(k: int = 8) -> str:
+    km1 = k - 1
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, start,
+             MD5(array_to_string(toks[start:start+{km1}], ' ')) AS g
+      FROM (SELECT doc_id, toks,
+                   UNNEST(generate_series(1, CAST(n_tokens AS INTEGER) - {km1}))
+                     AS start
+            FROM base WHERE n_tokens >= {k})
+    ),
+    ranked AS (
+      SELECT doc_id, start,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS cnt
+      FROM sh
+    ),
+    cuts AS (
+      SELECT doc_id, start AS s, start + {km1} AS e
+      FROM ranked WHERE cnt > 1 AND rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM cuts
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    docivs AS (
+      SELECT doc_id, list({{'ms': ms, 'me': me}} ORDER BY ms) AS ivs
+      FROM merged GROUP BY doc_id
+    ),
+    surg AS (
+      SELECT b.doc_id, b.n_tokens,
+             list_filter(
+               list_transform(
+                 generate_series(1, CAST(b.n_tokens AS INTEGER)),
+                 i -> CASE WHEN d.ivs IS NOT NULL AND len(list_filter(
+                             d.ivs, iv -> iv.ms <= i AND i <= iv.me)) > 0
+                           THEN NULL ELSE b.toks[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM base b LEFT JOIN docivs d USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(CAST(n_tokens - len(kept) AS DOUBLE) / n_tokens, 6)
+           END AS removed_frac,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join
+           -- is '' — pin the non-NULL spelling
+           COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM surg
+    """
+
+
+@q("q_dedup_span_removal", _dedup_span_removal_sql(8))
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal over the documents corpus — the cut
+    q_dedup_substrings' coverage stats predict."""
+    return DD.remove_duplicated_spans(table(spark, sf_dir, "documents"), k=8)

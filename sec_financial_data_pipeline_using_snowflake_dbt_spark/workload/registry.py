@@ -58,6 +58,14 @@ TAIL_QUERIES: tuple[str, ...] = (
     # running-window surfaces stay in-window via q_pack_token_ids'
     # own per-shard cumulative sums and q_line_dedup's windows.
     "q_window_frames",
+    # r7: parked for q_dedup_span_removal's window slot (the
+    # ExactSubstr removal pass — the new operator earns the hard
+    # signal first); the string-function battery re-earned its green
+    # row in r6 after the r2-r6 park, stays oracle-verified every
+    # pytest run, and the F1 string surface stays in-window via
+    # q_pii_scrub / q_c4-family regex+split chains and
+    # q_dedup_span_removal's own array_join/md5 surgery.
+    "q_string_funcs",
     # q_text_quality (in-window q_quality_filter computes a SUPERSET of
     # the same Gopher-style signals over the same docs),
     "q_text_quality",

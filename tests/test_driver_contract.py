@@ -55,7 +55,8 @@ def test_oracle_queries_inside_driver_window():
         # green row)
         "q_stats_agg",
         "q_date_arith",
-        "q_string_funcs",
+        # (q_string_funcs re-parked in r7 for q_dedup_span_removal's
+        # slot after its r6 green row)
         # r6 new operators take the hard signal first (q_array_ops'
         # r5 pin rotated out in exchange — array slicing/explode stays
         # in-window via q_chunk_docs, HOF folds via q_text_repetition)
@@ -119,6 +120,9 @@ def test_oracle_queries_inside_driver_window():
         # r7: the writer-side block packer (q_window_frames parked in
         # exchange after its fresh r6 green row)
         "q_pack_token_ids",
+        # r7: the ExactSubstr span-removal pass (q_string_funcs parked
+        # in exchange after its fresh r6 green row)
+        "q_dedup_span_removal",
     ):
         assert k in window, k
 

@@ -510,3 +510,42 @@ def test_pack_token_ids_over_bpe_ids(spark):
             for x in r.ids_csv.split(",")
         ]
         assert got == stream
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=25),
+                   min_size=1, max_size=8),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_remove_duplicated_spans_matches_reference(spark, texts, k):
+    """remove_duplicated_spans == a sequential reference: first
+    occurrence (min (id, start)) of each duplicated k-shingle survives,
+    every other occurrence's [start, start+k-1] span is cut, survivors
+    rejoin with single spaces. The tiny 'ab ' alphabet makes duplicated
+    and OVERLAPPING spans dense — the interval-union/gaps-and-islands
+    machinery gets exercised on every example."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.removed_tokens,
+                   r.removed_frac, r.cleaned_text)
+        for r in DD.remove_duplicated_spans(docs, k=k).collect()
+    }
+
+    toks = {i: [w for w in t.lower().split() if w] for i, t in rows}
+    occ: dict[tuple, list] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for s in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[s : s + k]), []).append((i, s))
+    cut: dict[int, set] = {i: set() for i in toks}
+    for sites in occ.values():
+        if len(sites) > 1:
+            for i, s in sorted(sites)[1:]:
+                cut[i].update(range(s, s + k))
+    for i, ts in toks.items():
+        kept = [w for p, w in enumerate(ts) if p not in cut[i]]
+        n = len(ts)
+        frac = round((n - len(kept)) / n, 6) if n else 0.0
+        assert got[i] == (n, len(kept), n - len(kept), frac, " ".join(kept)), i
