@@ -1529,8 +1529,25 @@ def _bpe_ctes(n_merges: int = 10) -> list[str]:
     return ctes
 
 
+def _materialize(ctes: list[str]) -> list[str]:
+    """Mark every CTE ``AS MATERIALIZED``: DuckDB inlines plain CTEs at
+    each reference, so the sequential BPE chains (w0..wN, m1..mN,
+    d0..dN — each referencing its predecessor, several referenced more
+    than once) re-execute their whole prefix per reference and turn a
+    sub-second chain into ~25 s of quadratic replay (measured: d10
+    COUNT(*) 28.2 s inlined vs 0.41 s materialized at sf0.01).
+    Materialization also shrinks the expression-executor footprint
+    (the vm.max_map_count dimension of NOTES_r7 §1)."""
+    import re as _re
+
+    return [
+        _re.sub(r"^(\s*)(\w+) AS \(", r"\1\2 AS MATERIALIZED (", c.strip(), count=1)
+        for c in ctes
+    ]
+
+
 def _bpe_sql(n_merges: int = 10) -> str:
-    ctes = _bpe_ctes(n_merges)
+    ctes = _materialize(_bpe_ctes(n_merges))
     body = ",\n    ".join(c.strip() for c in ctes)
     union = "\n    UNION ALL ".join(
         f"SELECT {r} AS step, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, "
@@ -1591,7 +1608,7 @@ def _bpe_doc_ctes(n_merges: int = 10) -> list[str]:
 
 def _bpe_encode_sql(n_merges: int = 10) -> str:
     sep = "chr(31)"
-    ctes = _bpe_doc_ctes(n_merges)
+    ctes = _materialize(_bpe_doc_ctes(n_merges))
     body = ",\n    ".join(c.strip() for c in ctes)
     return f"""
     WITH {body}
@@ -1622,13 +1639,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_encode_ids_sql(n_merges: int = 10) -> str:
     """Oracle for the id-emitting encoder: the shared train + doc merge
-    chain, then a deterministic vocabulary (sorted corpus alphabet gets
-    0..B-1; merge symbol of round r gets B+r-1, first id winning on
-    duplicate symbol strings — the MIN(id) GROUP BY) applied per symbol
-    via a DuckDB MAP; the per-doc id sequence is emitted as the same
-    comma-joined string Spark produces."""
+    chain (all MATERIALIZED — see ``_materialize``), then a
+    deterministic vocabulary (sorted corpus alphabet gets 0..B-1; merge
+    symbol of round r gets B+r-1, first id winning on duplicate symbol
+    strings — the MIN(id) GROUP BY) applied per symbol via an
+    index-enumerated symbol JOIN; the per-doc id sequence is emitted as
+    the same comma-joined string Spark produces."""
     sep = "chr(31)"
-    ctes = _bpe_doc_ctes(n_merges)
+    ctes = _materialize(_bpe_doc_ctes(n_merges))
     merge_union = "\n        UNION ALL ".join(
         f"SELECT s1 || s2 AS sym, {r} AS step FROM m{r}"
         for r in range(1, n_merges + 1)
@@ -1651,21 +1669,44 @@ def _bpe_encode_ids_sql(n_merges: int = 10) -> str:
         FROM ({merge_union}))
       GROUP BY sym)"""
     )
+    # symbol -> id via an equi-JOIN on an index-enumerated symbol table,
+    # NOT a per-element MAP extraction: a correlated `vm.m[s]` inside the
+    # nested lambdas rematerializes the map per element and turns a 500-doc
+    # lookup into ~57 s of wall; the join formulation is <1 s and
+    # order-exact via (wpos, spos) ordered aggregation.
     ctes.append(
-        "vm AS (SELECT map(list(sym ORDER BY sym), list(id ORDER BY sym)) AS m FROM vocab)"
+        f"""wtab AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, len(ws))) AS wpos,
+             UNNEST(ws) AS w
+      FROM d{n_merges})"""
     )
-    ids = (
-        f"flatten(list_transform(ws, w -> "
-        f"list_transform(string_split(w[2:len(w) - 1], {sep} || {sep}), "
-        f"s -> CAST(COALESCE(vm.m[s][1], -1) AS INT))))"
+    ctes.append(
+        f"""stab AS (
+      SELECT doc_id, wpos,
+             UNNEST(generate_series(1, len(ss))) AS spos,
+             UNNEST(ss) AS s
+      FROM (SELECT doc_id, wpos,
+                   string_split(w[2:len(w) - 1], {sep} || {sep}) AS ss
+            FROM wtab))"""
+    )
+    ctes.append(
+        """idtab AS (
+      SELECT t.doc_id, t.wpos, t.spos, CAST(COALESCE(v.id, -1) AS INT) AS id
+      FROM stab t LEFT JOIN vocab v ON v.sym = t.s)"""
     )
     body = ",\n    ".join(c.strip() for c in ctes)
     return f"""
     WITH {body}
-    SELECT doc_id,
-           CAST(len(ids) AS BIGINT) AS n_tokens,
-           array_to_string(ids, ',') AS ids_csv
-    FROM (SELECT doc_id, {ids} AS ids FROM d{n_merges} CROSS JOIN vm)
+    SELECT d.doc_id,
+           CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_tokens,
+           COALESCE(g.csv, '') AS ids_csv
+    FROM (SELECT DISTINCT doc_id FROM d{n_merges}) d
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS cnt,
+             array_to_string(list(id ORDER BY wpos, spos), ',') AS csv
+      FROM idtab GROUP BY doc_id
+    ) g USING (doc_id)
     """
 
 
