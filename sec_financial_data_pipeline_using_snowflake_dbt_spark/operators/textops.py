@@ -1207,10 +1207,54 @@ def bigram_logprob(
 _BPE_SEP = "\x1f"
 
 
+#: ``bpe_train(strategy="auto")`` trains driver-side when the word-
+#: frequency table fits comfortably on the driver (the PQ-codebook
+#: posture: training state is vocabulary-sized, O(1) in the corpus) and
+#: falls back to the distributed per-round schedule above it. 200k
+#: distinct words x ~100 bytes is ~20 MB — trivially collectable; real
+#: web corpora have 1e6-1e8 distinct "words" only before normalization,
+#: and the distributed arm exists precisely for those.
+MAX_DRIVER_WORDS = 200_000
+
+
+def _bpe_train_driver(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Sequential BPE over a collected (word, count) table — the same
+    greedy semantics and tie-break (count DESC, pair lexicographic ASC)
+    as the distributed rounds, byte-identical by the shared property
+    test. One pass per merge over the vocabulary dict."""
+    words: dict[str, list[str]] = {w: list(w) for w, _ in rows}
+    freq = {w: c for w, c in rows}
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (s1, s2), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, s1, s2, s1 + s2, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     ``n_merges`` merge rules over the corpus's word-frequency table.
@@ -1223,13 +1267,17 @@ def bpe_train(
     of adjacent pairs.
 
     Scale: BPE training runs over the WORD-FREQUENCY table, not the
-    corpus — one corpus-sized explode+groupBy builds it, then each
-    round is (a) a pair-count groupBy over the vocabulary (map-side
-    combined; vocabulary rows, not corpus rows), (b) a 1-row driver
-    collect of the argmax (the Lloyd-coordination pattern), and (c) a
-    narrow string replace applied to every word. The evolving word
-    table is re-persisted per round (constant lineage depth); at real
-    scale it is millions of rows — distributed, never collected.
+    corpus — one corpus-sized explode+groupBy builds it. When that
+    table fits on the driver (``MAX_DRIVER_WORDS``), training runs
+    there in one pass per merge (the PQ-codebook posture — per-round
+    Spark-job latency is pure overhead at vocabulary scale); above it,
+    each round is (a) a pair-count groupBy over the vocabulary
+    (map-side combined; vocabulary rows, not corpus rows), (b) a 1-row
+    driver collect of the argmax (the Lloyd-coordination pattern), and
+    (c) a narrow string replace applied to every word, re-persisted
+    per round (constant lineage depth) — distributed, never collected.
+    Both arms share the exact tie-break and greedy replace semantics;
+    arm agreement is property-tested.
 
     Cross-engine determinism: counts are exact integers; the merge
     application is a PLAIN substring replace on the SEP-delimited
@@ -1243,6 +1291,18 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown bpe train strategy: {strategy!r}")
+    if strategy != "distributed":
+        # one job: LIMIT max+1 tells us (a) whether the vocabulary fits
+        # and (b) if it does, hands us ALL of it — no separate count
+        probe = words.limit(MAX_DRIVER_WORDS + 1).collect()
+        if strategy == "driver" or len(probe) <= MAX_DRIVER_WORDS:
+            merges = _bpe_train_driver([(r.w, r.cnt) for r in probe], n_merges)
+            return spark.createDataFrame(
+                merges,
+                "step LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG",
+            )
     delim = F.concat_ws(
         "",
         F.transform(

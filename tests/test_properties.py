@@ -549,3 +549,24 @@ def test_remove_duplicated_spans_matches_reference(spark, texts, k):
         n = len(ts)
         frac = round((n - len(kept)) / n, 6) if n else 0.0
         assert got[i] == (n, len(kept), n - len(kept), frac, " ".join(kept)), i
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=20),
+                   min_size=1, max_size=8),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_bpe_train_arms_agree(spark, texts, n_merges):
+    """bpe_train's driver arm (collected word table, sequential) ==
+    the distributed per-round schedule, including tie-breaks and early
+    stop — the guarantee that lets auto-dispatch pick by vocabulary
+    size."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    drv = [tuple(r) for r in
+           TO.bpe_train(docs, n_merges=n_merges, strategy="driver").collect()]
+    dist = [tuple(r) for r in
+            TO.bpe_train(docs, n_merges=n_merges, strategy="distributed").collect()]
+    assert drv == dist
