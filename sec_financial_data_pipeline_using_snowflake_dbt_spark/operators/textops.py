@@ -1046,6 +1046,7 @@ def corpus_stats(
     text_col: str = "text",
     lang_col: str = "lang",
     round_to: int = 6,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Per-stratum corpus report card — the summary table a dataset
     release ships (per source: volume, token budget, language spread,
@@ -1058,6 +1059,17 @@ def corpus_stats(
     (AQE-decided); the only shuffle is the final stratum groupBy —
     strata are few, and COUNT(DISTINCT lang/hash) rides Spark's
     expand-based distinct aggregation with map-side partials.
+
+    ``approx_distinct=True`` swaps both COUNT(DISTINCT) aggregates for
+    ``approx_count_distinct`` (HyperLogLog++, default rsd 5%): exact
+    distinct rides Spark's EXPAND — the input duplicates once per
+    distinct aggregate, so this groupBy shuffles ~3x the projection
+    (grouping set per distinct column) — while HLL sketches are
+    fixed-size per (stratum, agg) and keep the shuffle at 1x. The
+    exact arm is the oracle-matched default (a hash-gated report must
+    be exact); the approx arm is the 100 TB path where the content-
+    hash column's distinct count is corpus-sized. Estimate-vs-exact
+    tolerance is pytest-pinned on the synthetic corpus.
     """
     qf = quality_filter(docs, id_col=id_col, text_col=text_col).select(
         F.col(id_col), F.col("passes")
@@ -1076,11 +1088,22 @@ def corpus_stats(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_toks").cast("long").alias("total_tokens"),
             F.round(F.avg("n_toks"), round_to).alias("mean_tokens"),
-            F.countDistinct("lang").cast("long").alias("n_langs"),
+            (
+                F.approx_count_distinct("lang")
+                if approx_distinct
+                else F.countDistinct("lang")
+            )
+            .cast("long")
+            .alias("n_langs"),
             F.round(F.avg("passes"), round_to).alias("pass_rate"),
             F.round(
                 F.lit(1.0)
-                - F.countDistinct("h").cast("double") / F.count(F.lit(1)),
+                - (
+                    F.approx_count_distinct("h")
+                    if approx_distinct
+                    else F.countDistinct("h")
+                ).cast("double")
+                / F.count(F.lit(1)),
                 round_to,
             ).alias("dup_rate"),
         )
@@ -1295,8 +1318,13 @@ def bpe_train(
         raise ValueError(f"unknown bpe train strategy: {strategy!r}")
     if strategy != "distributed":
         # one job: LIMIT max+1 tells us (a) whether the vocabulary fits
-        # and (b) if it does, hands us ALL of it — no separate count
+        # and (b) if it does, hands us ALL of it — no separate count.
+        # A forced strategy="driver" must NOT train on the truncated
+        # probe when the vocabulary overflows the limit — collect it
+        # all (the caller asked for driver-side; honor it honestly).
         probe = words.limit(MAX_DRIVER_WORDS + 1).collect()
+        if strategy == "driver" and len(probe) > MAX_DRIVER_WORDS:
+            probe = words.collect()
         if strategy == "driver" or len(probe) <= MAX_DRIVER_WORDS:
             merges = _bpe_train_driver([(r.w, r.cnt) for r in probe], n_merges)
             return spark.createDataFrame(
