@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: the scale properties the operator
+docstrings claim — zero-shuffle narrow maps, single-shuffle
+aggregations — pinned as executable assertions instead of prose. A
+refactor that silently introduces an Exchange (the unit of shuffle; at
+100 TB the difference between a map stage and a cluster-wide
+repartition) fails here long before a benchmark would catch it.
+
+Counts are taken from the pre-execution physical plan string; AQE only
+ever REMOVES or converts exchanges at runtime, never adds them, so the
+static count is an upper bound and exact-zero assertions are safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+    textops as TO,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _exchanges(df) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_narrow_text_ops_are_shuffle_free(spark):
+    """Every per-document text stage must stay a flat map: these run
+    over the full corpus at 100 TB and a single accidental shuffle
+    turns a scan into a cluster-wide repartition."""
+    docs = _docs(spark)
+    for op in (
+        TO.quality_filter,
+        TO.scrub_pii,
+        TO.chunk_documents,
+        TO.c4_line_clean,
+        TO.text_quality,
+        TO.language_id,
+        TO.fingerprints,
+    ):
+        n = _exchanges(op(docs))
+        assert n == 0, f"{op.__name__}: expected 0 Exchange, found {n}"
+
+
+def test_mixture_resample_is_shuffle_free(spark):
+    docs = _docs(spark)
+    n = _exchanges(TO.mixture_resample(docs, "source", {"web": 1.5, "book": 0.5}))
+    assert n == 0, f"mixture_resample: expected 0 Exchange, found {n}"
+
+
+def test_single_shuffle_aggregations(spark):
+    """pack_token_ids' (shard, seq_id) groupBy must REUSE the shard
+    hash-partitioning of the per-shard offset window (clustering on a
+    subset of the grouping keys satisfies the requirement) — one
+    Exchange total; a second one means the reuse regressed.
+    global_shuffle is one Exchange by construction (shard windows, no
+    global sort)."""
+    docs = _docs(spark)
+    with_ids = docs.select(
+        "doc_id",
+        F.transform(
+            TO.TX.tokens(F.lower("text")), lambda t: F.length(t).cast("int")
+        ).alias("ids"),
+    )
+    n = _exchanges(TO.pack_token_ids(with_ids, budget=64, n_shards=4))
+    assert n == 1, f"pack_token_ids: expected 1 Exchange, found {n}"
+    n = _exchanges(TO.global_shuffle(docs))
+    assert n == 1, f"global_shuffle: expected 1 Exchange, found {n}"
