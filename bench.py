@@ -63,6 +63,7 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_dedup_substrings",
     "q_dedup_span_removal",
+    "q_dedup_recall",
     "q_ann_topk",
     "q_ann_lsh",
     "q_ann_ivf",

@@ -1234,3 +1234,90 @@ def remove_duplicated_spans(
         F.array_join(kept, " ").alias("cleaned_text"),
     )
     return out
+
+
+def minhash_pair_recall(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Candidate-recall evaluation of the banded MinHash-LSH index —
+    the dedup twin of the ANN recall harness: ground truth = EXACT
+    shingle-set Jaccard pairs at ``threshold`` (the same ␟-joined
+    ``shingle_n``-word shingle space the MinHash signatures hash, so
+    both arms measure the same similarity), candidates = the
+    production ``minhash_lsh_pairs`` banding. Returns ONE row:
+    (n_truth, n_candidates, n_hits, recall, precision) — recall is the
+    number a dedup deployment must know before trusting the banded
+    index; precision measures band selectivity (sub-threshold pairs
+    the bands let through; with b bands of r rows the capture
+    probability is 1-(1-s^r)^b, so both metrics are tunable).
+
+    Scale: the truth arm is a postings self-join over distinct
+    shingles — quadratic in group size BY DESIGN (exact ground truth);
+    like ``q_ann_recall``'s brute-force arm, at corpus scale the
+    harness runs on a sample while the candidate arm is the production
+    path. Both metrics coalesce to 1.0 on empty denominators (no truth
+    pairs → nothing to miss; no candidates → nothing spurious).
+    """
+    sh = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    sh = _persist(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ovl"))
+    )
+    jac = F.round(
+        F.col("ovl").cast("double")
+        / (F.col("sa.sz") + F.col("sb.sz") - F.col("ovl")).cast("double"),
+        round_to,
+    )
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b")
+    )
+    cand = minhash_lsh_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    ).select(F.col("id_a"), F.col("id_b"))
+    truth = _persist(truth)
+    cand = _persist(cand)
+    hits = truth.join(cand, ["id_a", "id_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(
+            F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hits").cast("double") / F.col("n_truth")
+            ),
+            round_to,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_candidates") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hits").cast("double") / F.col("n_candidates")
+            ),
+            round_to,
+        ).alias("precision"),
+    )

@@ -1897,3 +1897,55 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span removal over the documents corpus — the cut
     q_dedup_substrings' coverage stats predict."""
     return DD.remove_duplicated_spans(table(spark, sf_dir, "documents"), k=8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate recall (the dedup twin of q_ann_recall): exact
+# shingle-Jaccard truth pairs at 0.8 vs the production banded candidates,
+# composed from the SAME shared nd_* CTEs q_dedup_minhash uses — plus a
+# truth arm over nd_sh, so both arms measure the same shingle space.
+# ---------------------------------------------------------------------------
+def _dedup_recall_sql(threshold: float = 0.8) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes("documents")},
+    dr_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM nd_sh GROUP BY doc_id),
+    dr_inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ovl
+      FROM nd_sh a JOIN nd_sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dr_truth AS (
+      SELECT id_a, id_b FROM dr_inter
+      JOIN dr_sizes sa ON id_a = sa.doc_id
+      JOIN dr_sizes sb ON id_b = sb.doc_id
+      WHERE ROUND(CAST(ovl AS DOUBLE) / CAST(sa.sz + sb.sz - ovl AS DOUBLE), 6)
+            >= {threshold}
+    ),
+    dr_hits AS (
+      SELECT t.id_a, t.id_b FROM dr_truth t JOIN nd_pairs p
+      ON t.id_a = p.id_a AND t.id_b = p.id_b
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM dr_truth) AS n_truth,
+             (SELECT COUNT(*) FROM nd_pairs) AS n_candidates,
+             (SELECT COUNT(*) FROM dr_hits) AS n_hits
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(CASE WHEN n_truth = 0 THEN 1.0
+                      ELSE CAST(n_hits AS DOUBLE) / n_truth END, 6) AS recall,
+           ROUND(CASE WHEN n_candidates = 0 THEN 1.0
+                      ELSE CAST(n_hits AS DOUBLE) / n_candidates END, 6)
+             AS precision
+    FROM m
+    """
+
+
+@q("q_dedup_recall", _dedup_recall_sql(0.8))
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall + precision of the banded MinHash index against
+    exact shingle-Jaccard ground truth — the measurement a dedup
+    deployment runs before trusting the bands."""
+    return DD.minhash_pair_recall(table(spark, sf_dir, "documents"), threshold=0.8)

@@ -66,6 +66,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_pii_scrub / q_c4-family regex+split chains and
     # q_dedup_span_removal's own array_join/md5 surgery.
     "q_string_funcs",
+    # r7: parked for q_dedup_recall's window slot (the MinHash
+    # candidate-recall harness — the new operator earns the hard
+    # signal first); the stats/stddev battery re-earned its green row
+    # in r6 after the r2-r6 park, stays oracle-verified every pytest
+    # run, and the aggregate-statistics surface stays in-window via
+    # q_percentiles (rotated back in this round) + q_pricing_summary.
+    "q_stats_agg",
     # q_text_quality (in-window q_quality_filter computes a SUPERSET of
     # the same Gopher-style signals over the same docs),
     "q_text_quality",

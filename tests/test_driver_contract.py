@@ -53,7 +53,8 @@ def test_oracle_queries_inside_driver_window():
         # (q_greatest_least re-parked in r7 for q_bpe_encode_ids' slot
         # and q_window_frames for q_pack_token_ids', each after its r6
         # green row)
-        "q_stats_agg",
+        # (q_stats_agg re-parked in r7 for q_dedup_recall's slot
+        # after its r6 green row)
         "q_date_arith",
         # (q_string_funcs re-parked in r7 for q_dedup_span_removal's
         # slot after its r6 green row)
@@ -123,6 +124,9 @@ def test_oracle_queries_inside_driver_window():
         # r7: the ExactSubstr span-removal pass (q_string_funcs parked
         # in exchange after its fresh r6 green row)
         "q_dedup_span_removal",
+        # r7: the MinHash candidate-recall harness (q_stats_agg parked
+        # in exchange after its fresh r6 green row)
+        "q_dedup_recall",
     ):
         assert k in window, k
 
