@@ -30,31 +30,14 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def train_reference(word_freq: Counter, n_merges: int) -> list[tuple[str, str]]:
-    """Sequential reference BPE (same semantics bpe_train is
-    property-tested against) — driver-side, fine at vocab scale."""
-    words = {w: list(w) for w in word_freq}
-    merges = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for w, syms in words.items():
-            f = word_freq[w]
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += f
-        if not pairs:
-            break
-        (s1, s2), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((s1, s2))
-        for w, syms in words.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
-                    out.append(s1 + s2)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            words[w] = out
-    return merges
+    """Driver-side training via the engine's own ``_bpe_train_driver``
+    (one implementation, not a bench-local copy that could desync)."""
+    return [
+        (s1, s2)
+        for _step, s1, s2, _merged, _cnt in TO._bpe_train_driver(
+            list(word_freq.items()), n_merges
+        )
+    ]
 
 
 def main() -> None:

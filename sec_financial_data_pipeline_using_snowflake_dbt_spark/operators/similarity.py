@@ -881,19 +881,26 @@ def ivfpq_topk(
     cent_map = {cell: cvec for cell, cvec in cents}
     sub = dim // m
     if residual:
-        # cells are 1-based consecutive ints: a literal array-of-arrays
-        # indexed by cell gives the broadcast centroid lookup with zero
-        # joins; the zip_with subtraction is the SAME double op the
-        # Python/LUT and oracle sides perform.
-        cent_arr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in cent_map[cell]])
-                for cell in sorted(cent_map)
-            ]
+        # centroid lookup is a literal map KEYED BY CELL ID, not a
+        # positionally-indexed array: Lloyd can empty a cell (duplicate
+        # init vectors, migration), and ivf_assign then returns a GAPPED
+        # non-consecutive cell set — positional indexing would subtract
+        # the wrong centroid (or NULL past the end) while the
+        # driver-side LUTs and the oracle key by cell correctly. Zero
+        # joins either way; the zip_with subtraction is the SAME double
+        # op the Python/LUT and oracle sides perform.
+        cent_lookup = F.map_from_arrays(
+            F.array(*[F.lit(int(cell)) for cell in sorted(cent_map)]),
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent_map[cell]])
+                    for cell in sorted(cent_map)
+                ]
+            ),
         )
         enc_vec = F.zip_with(
             F.col("v"),
-            F.element_at(cent_arr, F.col("cell").cast("int")),
+            F.element_at(cent_lookup, F.col("cell").cast("int")),
             lambda a, b: a - b,
         )
     else:
@@ -925,14 +932,20 @@ def ivfpq_topk(
         by_cell = sorted(
             (_sqdist_py(qv, cvec), cell) for cell, cvec in cents
         )
-        for _, cell in by_cell[:n_probe]:
-            qr = (
-                [x - c for x, c in zip(qv, cent_map[cell])] if residual else qv
-            )
+        if not residual:
+            # the LUT depends only on the query here — build it once,
+            # not once per probed cell
             lut = [
-                [_sqdist_py(qr[j * sub : (j + 1) * sub], c) for c in books[j]]
+                [_sqdist_py(qv[j * sub : (j + 1) * sub], c) for c in books[j]]
                 for j in range(m)
             ]
+        for _, cell in by_cell[:n_probe]:
+            if residual:
+                qr = [x - c for x, c in zip(qv, cent_map[cell])]
+                lut = [
+                    [_sqdist_py(qr[j * sub : (j + 1) * sub], c) for c in books[j]]
+                    for j in range(m)
+                ]
             probe_rows.append((qid, int(cell), lut))
     spark = corpus.sparkSession
     probes = F.broadcast(

@@ -1096,14 +1096,20 @@ def corpus_stats(
             .cast("long")
             .alias("n_langs"),
             F.round(F.avg("passes"), round_to).alias("pass_rate"),
+            # clamp at 0: the HLL estimate can overshoot COUNT(*) within
+            # its rsd, and a negative dup rate is impossible in a report
+            # card (the exact arm is bounded at 0 by construction)
             F.round(
-                F.lit(1.0)
-                - (
-                    F.approx_count_distinct("h")
-                    if approx_distinct
-                    else F.countDistinct("h")
-                ).cast("double")
-                / F.count(F.lit(1)),
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - (
+                        F.approx_count_distinct("h")
+                        if approx_distinct
+                        else F.countDistinct("h")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                ),
                 round_to,
             ).alias("dup_rate"),
         )
@@ -1489,6 +1495,45 @@ def bpe_encode_counts(
     )
 
 
+def _bpe_apply_ranked(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    merge_list: list[tuple[str, str]],
+) -> list[str]:
+    """One word through the rank-dict + MONOTONE-FLOOR greedy BPE —
+    the single implementation both ranked arms (counts and ids) share,
+    so the floor/tie-break discipline the oracle parity depends on can
+    never desync between them (the minhash-CTE lesson of r5). Per
+    round: lowest-rank adjacent pair at or above the floor, applied
+    greedily left-to-right non-overlapping; the floor then advances
+    past it (a later merge may resurrect an earlier rank's pair, which
+    the sequential replace chain can never revisit either)."""
+    syms = list(word)
+    floor = 0
+    while len(syms) > 1:
+        best = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]), -1)
+            if r >= floor and (best == -1 or r < best):
+                best = r
+        if best == -1:
+            break
+        s1, s2 = merge_list[best]
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
+                out.append(s1 + s2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        floor = best + 1
+    return syms
+
+
 def _bpe_encode_counts_ranked(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -1528,31 +1573,9 @@ def _bpe_encode_counts_ranked(
             hit = cache.get(word)
             if hit is not None:
                 return hit
-            syms = list(word)
-            floor = 0
-            while len(syms) > 1:
-                best = -1
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]), -1)
-                    if r >= floor and (best == -1 or r < best):
-                        best = r
-                if best == -1:
-                    break
-                s1, s2 = merge_list[best]
-                out: list[str] = []
-                i = 0
-                n = len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
-                        out.append(s1 + s2)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-                floor = best + 1
-            cache[word] = len(syms)
-            return len(syms)
+            n = len(_bpe_apply_ranked(word, ranks, merge_list))
+            cache[word] = n
+            return n
 
         for pdf in batches:
             n_words, n_chars, n_toks = [], [], []
@@ -1730,30 +1753,10 @@ def _bpe_encode_ids_ranked(
             hit = cache.get(word)
             if hit is not None:
                 return hit
-            syms = list(word)
-            floor = 0
-            while len(syms) > 1:
-                best = -1
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]), -1)
-                    if r >= floor and (best == -1 or r < best):
-                        best = r
-                if best == -1:
-                    break
-                s1, s2 = merge_list[best]
-                out: list[str] = []
-                i = 0
-                n = len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
-                        out.append(s1 + s2)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-                floor = best + 1
-            ids = [vmap.get(s, -1) for s in syms]
+            ids = [
+                vmap.get(s, -1)
+                for s in _bpe_apply_ranked(word, ranks, merge_list)
+            ]
             cache[word] = ids
             return ids
 
@@ -1817,14 +1820,21 @@ def pack_token_ids(
     sid = F.col(id_col).cast("string")
     h_sh = F.md5(F.concat_ws(":", sid, F.lit(f"{salt}:shard")))
     h_ord = F.md5(F.concat_ws(":", sid, F.lit(f"{salt}:ord")))
+    # NULL elements are dropped up front so offsets/counts always match
+    # the ids actually emitted (concat_ws silently skips NULLs): the
+    # docstring's split(ids_csv, ',') composition turns an EMPTY doc's
+    # '' into [''] whose int cast is [NULL] — without this filter that
+    # phantom 1-token doc would shift every later block boundary in its
+    # shard while contributing nothing to the stream.
+    clean = F.filter(F.col(ids_col), lambda x: x.isNotNull())
     base = docs.select(
         F.col(id_col),
         (F.conv(F.substring(h_sh, 1, 4), 16, 10).cast("int") % n_shards).alias(
             "shard"
         ),
         h_ord.alias("ord"),
-        F.col(ids_col).alias("_ids"),
-        F.size(ids_col).cast("long").alias("n_tokens"),
+        clean.alias("_ids"),
+        F.size(clean).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = Window.partitionBy("shard").orderBy("ord", id_col)
     base = base.withColumn("tok_end", F.sum("n_tokens").over(w)).withColumn(

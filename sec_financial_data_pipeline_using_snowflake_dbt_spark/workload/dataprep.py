@@ -811,10 +811,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _PACK_BUDGET = 512
 _PACK_SHARDS = 4
-_SQL_HEX4_HSH = " + ".join(
-    f"(STRPOS('{_HEX}', SUBSTR(hsh, {i}, 1)) - 1) * {16 ** (4 - i)}"
-    for i in range(1, 5)
-)
+def _sql_hex4(expr: str) -> str:
+    """First-4-hex-chars-to-int of any VARCHAR md5 expression — ONE
+    spelling of the STRPOS hex arithmetic that cross-engine shard/id
+    parity depends on; every oracle derives from this helper."""
+    return " + ".join(
+        f"(STRPOS('{_HEX}', SUBSTR({expr}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+
+
+_SQL_HEX4_HSH = _sql_hex4("hsh")
 def _pack_sql_from(src: str, id_col: str = "doc_id") -> str:
     """Pack-manifest SQL over any (id, text) source CTE/table —
     reused verbatim by q_pack_sequences (over ``documents``), by the
@@ -1733,15 +1740,6 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (same array<int> contract — pinned by test_pack_token_ids_over_bpe_ids).
 # ---------------------------------------------------------------------------
 _TOKID_MOD = 32000
-
-
-def _sql_hex4(expr: str) -> str:
-    """First-4-hex-chars-to-int of any VARCHAR md5 expression (the
-    inline form of ``_SQL_HEX4_HSH`` for lambda bodies)."""
-    return " + ".join(
-        f"(STRPOS('{_HEX}', SUBSTR({expr}, {i}, 1)) - 1) * {16 ** (4 - i)}"
-        for i in range(1, 5)
-    )
 
 
 def _pack_token_ids_sql() -> str:

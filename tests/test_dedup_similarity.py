@@ -1061,3 +1061,85 @@ def test_bpe_train_greedy_merge_semantics(spark):
     assert merges[1].merged == "aaaa"
     # round 3: remaining pairs: (a,b) from 'ab' = 1
     assert (merges[2].lhs, merges[2].rhs) == ("a", "b")
+
+
+def test_ivfpq_residual_survives_gapped_cells(spark):
+    """Regression (r7 review): Lloyd can EMPTY a cell (duplicate init
+    vectors collapse two centroids onto the same points), so ivf_assign
+    returns a gapped non-consecutive cell set. The residual centroid
+    lookup must key by CELL ID — a positionally-indexed literal array
+    subtracts the wrong centroid mid-gap and NULLs past the end,
+    silently corrupting every residual code in the gapped cells."""
+    import math
+
+    # two identical lowest-id vectors -> init centroids c1 == c2 ->
+    # one of them ends up empty after the first assign; remaining
+    # clusters keep higher cell ids -> gapped cell set
+    base = [
+        [0.0] * 8,
+        [0.0] * 8,                      # duplicate of vec 0
+        [10.0] * 8,
+        [10.0, 10.0, 10.0, 10.0, 9.0, 9.0, 9.0, 9.0],
+        [-10.0] * 8,
+        [-10.0, -10.0, -10.0, -10.0, -9.0, -9.0, -9.0, -9.0],
+    ]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+    _, cents = SIM.ivf_assign(corpus, dim=8, n_centroids=4, round_means=6)
+    cells = sorted(r.cell for r in cents.collect())
+    assert cells != list(range(1, len(cells) + 1)), (
+        "fixture no longer produces a gapped cell set; adjust vectors"
+    )
+
+    queries = corpus.filter(F.col("vec_id").isin(2, 4))
+    rows = SIM.ivfpq_topk(
+        corpus=corpus, queries=queries, dim=8, k=len(base),
+        n_centroids=4, n_probe=4, m=2, k_sub=2, n_train=6,
+        residual=True,
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.adc is not None and not math.isnan(r.adc), r
+        by_q.setdefault(r.query_id, []).append(r)
+    # full probe + k = corpus size: every OTHER vector must be scored
+    # for every query (self is excluded by design) — pre-fix, vectors
+    # in cells past the gap had NULL residuals and fell out
+    for qid, got in by_q.items():
+        assert {r.neighbor_id for r in got} == set(range(len(base))) - {qid}, qid
+
+
+def test_pack_token_ids_drops_null_ids(spark):
+    """Regression (r7 review): the docstring composition
+    split(ids_csv, ',') turns an EMPTY doc's '' into [NULL]; concat_ws
+    silently skips NULLs, so without the null filter the phantom
+    1-token doc shifts every later block boundary in its shard while
+    emitting nothing."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, []), (2, [None, 4]), (3, [5])],
+        "doc_id long, ids array<int>",
+    )
+    # empty-doc csv round-trip: '' -> [''] -> [NULL] after int cast
+    csvs = docs.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("ids", lambda i: i.cast("string"))).alias(
+            "ids_csv"
+        ),
+    )
+    round_tripped = csvs.select(
+        "doc_id",
+        F.transform(F.split("ids_csv", ","), lambda x: x.cast("int")).alias("ids"),
+    )
+    for src in (docs, round_tripped):
+        blocks = TO.pack_token_ids(src, budget=2, n_shards=1).collect()
+        total = sum(r.n_tokens for r in blocks)
+        emitted = sum(
+            len([x for x in r.ids_csv.split(",") if x]) for r in blocks
+        )
+        assert total == emitted == 5, (src, blocks)
+        for r in blocks:
+            assert "None" not in r.ids_csv and ",," not in r.ids_csv
