@@ -285,6 +285,15 @@ def minhash_lsh_pairs(
     sharing a band bucket — i.e. actual near-duplicates, which is the
     output itself.
     """
+    # bands > num_hashes would make every band signature md5('') for
+    # every doc (concat_ws of zero columns) — the full O(n²) candidate
+    # set LSH exists to avoid; a non-dividing bands silently ignores
+    # the trailing hashes and shifts the b/r capture curve. Fail loud.
+    if not (1 <= bands <= num_hashes) or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 1 <= bands <= num_hashes; "
+            f"got num_hashes={num_hashes}, bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     sig = _minhash_sig(docs, id_col, text_col, num_hashes, shingle_n)
     # band signature: md5 of the sorted 'seed=minhash' strings — kept
@@ -601,6 +610,30 @@ def embedding_neardup_pairs(
     )
 
 
+def _np_round_half_up(sims, round_to: int):
+    """Vectorized Spark-``F.round`` semantics (decimal HALF_UP) for a
+    numpy similarity matrix/array — np.round is half-to-even and the
+    two disagree exactly on decimal midpoints representable in binary
+    (ADVICE r6). Entries where the scale shift lands within float
+    error of an integer get the decimal-exact ``_round_half_up``
+    recomputation, the only region where the float formulation can
+    disagree with the decimal one."""
+    import numpy as np
+
+    scale = float(10**round_to)
+    shifted = np.abs(sims) * scale + 0.5
+    rounded = np.copysign(np.floor(shifted), sims) / scale
+    border = np.abs(shifted - np.rint(shifted)) < 1e-8
+    if border.any():
+        from .similarity import _round_half_up
+
+        it = np.argwhere(border)
+        for idx in it:
+            key = tuple(idx)
+            rounded[key] = _round_half_up(float(sims[key]), round_to)
+    return rounded
+
+
 def embedding_neardup_pairs_gemm(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -640,7 +673,10 @@ def embedding_neardup_pairs_gemm(
         normed = mat / norms
         sims = normed @ normed.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        cos = np.round(sims[iu, ju], round_to)
+        # Spark F.round semantics so the two arms stay row-identical
+        # on decimal midpoints (the _semantic_near_gemm ADVICE-r6 fix,
+        # now shared)
+        cos = _np_round_half_up(sims[iu, ju], round_to)
         keep = cos >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -905,19 +941,8 @@ def _semantic_near_gemm(
         norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
         normed = mat / norms
         sims = normed @ normed.T
-        # HALF_UP like Spark F.round (np.round is half-to-even):
-        # floor of the +0.5-shifted magnitude, sign restored; entries
-        # where the shift lands within float error of an integer get
-        # the decimal-exact treatment.
-        scale = float(10**round_to)
-        shifted = np.abs(sims) * scale + 0.5
-        rounded = np.copysign(np.floor(shifted), sims) / scale
-        border = np.abs(shifted - np.rint(shifted)) < 1e-8
-        if border.any():
-            from .similarity import _round_half_up
-
-            for i, j in np.argwhere(border):
-                rounded[i, j] = _round_half_up(float(sims[i, j]), round_to)
+        # Spark F.round semantics (shared _np_round_half_up helper)
+        rounded = _np_round_half_up(sims, round_to)
         hit = np.triu(rounded >= threshold, k=1)
         n_near = hit.sum(axis=0)
         witness_idx = hit.argmax(axis=0)  # first True row = lowest id
@@ -987,14 +1012,10 @@ def semantic_dedup(
     20k vectors x 80 cells the fold arms measure ~41 s vs ~2 s for
     gemm, same output (arm agreement pytest-enforced).
     """
-    from .similarity import GEMM_ASSIGN_MIN_TERMS, ivf_assign  # deferred:
+    from .similarity import _use_gemm, ivf_assign  # deferred:
     # mirrors similarity's own deferred import of dedup._persist
 
-    if strategy not in ("auto", "fold", "gemm"):
-        raise ValueError(f"unknown strategy {strategy!r}")
-    use_gemm = strategy == "gemm" or (
-        strategy == "auto" and n_cells * dim > GEMM_ASSIGN_MIN_TERMS
-    )
+    use_gemm = _use_gemm(strategy, n_cells * dim)
     assigned, _ = ivf_assign(
         emb,
         dim,
@@ -1005,7 +1026,12 @@ def semantic_dedup(
         round_means=round_means,
         assign_strategy="gemm" if use_gemm else "fold",
     )
-    e = _persist(assigned.withColumn("nrm", V.norm(F.col("v"))))
+    # nrm is only read by the fold arm's cosine — the GEMM kernel
+    # normalizes internally from v, so on the large-corpus path the
+    # persisted cache carries (and the persist computes) no norm fold
+    e = _persist(
+        assigned if use_gemm else assigned.withColumn("nrm", V.norm(F.col("v")))
+    )
     if use_gemm:
         # one GEMM per cell, and the count/min verdicts are REDUCED
         # INSIDE the kernel — the qualifying pairs are never
@@ -1044,6 +1070,39 @@ def semantic_dedup(
     )
 
 
+def _dup_shingle_table(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle construction for the ExactSubstr pair
+    (``duplicated_ngram_spans`` scores, ``remove_duplicated_spans``
+    cuts): returns (base, sh) where base = persisted (id, toks,
+    n_tokens) and sh = persisted (id, start, g) with g = md5 of the
+    k-token shingle at 1-based ``start``. ONE spelling of the
+    tokenize / >= k guard / sliced-md5 shingle — the two operators must
+    agree about which spans are duplicated, so the construction lives
+    here exactly once (the minhash-CTE lesson of r5)."""
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    base = _persist(
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+            "n_tokens", F.size(F.col("toks")).cast("long")
+        )
+    )
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(1), (F.col("n_tokens") - F.lit(k - 1)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = _persist(
+        base.select(
+            "id",
+            F.explode(starts).alias("start"),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")
+            ).alias("g"),
+        )
+    )
+    return base, sh
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     k: int = 8,
@@ -1073,28 +1132,7 @@ def duplicated_ngram_spans(
     boilerplate — is exactly what AQE skew split handles); the span
     union is a per-doc LEAD window + one groupBy, no driver state.
     """
-    toks = TX.tokens(F.lower(F.col(text_col)))
-    base = _persist(
-        docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
-            "n_tokens", F.size(F.col("toks")).cast("long")
-        )
-    )
-    starts = F.when(
-        F.col("n_tokens") >= k,
-        F.sequence(F.lit(1), (F.col("n_tokens") - F.lit(k - 1)).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
-    sh = base.select(
-        "id",
-        F.explode(starts).alias("start"),
-        F.col("toks"),
-    ).select(
-        "id",
-        "start",
-        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")).alias(
-            "g"
-        ),
-    )
-    sh = _persist(sh)
+    base, sh = _dup_shingle_table(docs, k, id_col, text_col)
     dup = sh.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") > 1
     )
@@ -1121,11 +1159,20 @@ def duplicated_ngram_spans(
             F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
                 "covered_tokens"
             ),
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0).cast("long")).cast("double")
-                / F.col("n_tokens").cast("double"),
-                round_to,
-            ).alias("covered_frac"),
+            # 0/0 on a zero-token doc is NULL in Spark; pin the defined
+            # value both engines agree on (the remove_duplicated_spans /
+            # ADVICE-r6 quality_filter lesson)
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("covered_tokens", F.lit(0).cast("long")).cast(
+                        "double"
+                    )
+                    / F.col("n_tokens").cast("double"),
+                    round_to,
+                )
+            )
+            .alias("covered_frac"),
         )
     )
 
@@ -1158,24 +1205,7 @@ def remove_duplicated_spans(
     merged-interval list) — O(n_tokens × n_islands) per doc with no
     shuffle; merged islands are disjoint so n_islands ≤ n_tokens/k.
     """
-    toks = TX.tokens(F.lower(F.col(text_col)))
-    base = _persist(
-        docs.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
-            "n_tokens", F.size(F.col("toks")).cast("long")
-        )
-    )
-    starts = F.when(
-        F.col("n_tokens") >= k,
-        F.sequence(F.lit(1), (F.col("n_tokens") - F.lit(k - 1)).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
-    sh = base.select(
-        "id",
-        F.explode(starts).alias("start"),
-        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")).alias(
-            "g"
-        ),
-    )
-    sh = _persist(sh)
+    base, sh = _dup_shingle_table(docs, k, id_col, text_col)
     firsts = sh.groupBy("g").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("id", "start")).alias("first"),

@@ -65,6 +65,9 @@ def brute_force_topk(
     scored = (
         c.join(qside, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
+        # a zero-norm vector makes the cosine NULL (non-ANSI x/0.0);
+        # such rows are unrankable and must not pad the top-k
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -139,6 +142,7 @@ def lsh_topk(
         cb.join(qb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
+        .filter(F.col("cos").isNotNull())  # zero-norm guard (see brute force)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -185,6 +189,19 @@ MIN_ROWS_FOR_COLUMN_MEAN = 50_000
 #: the oracle configs' sizes (8 x 64 = 512) so every oracle-bearing
 #: query stays on the bit-exact fold by default.
 GEMM_ASSIGN_MIN_TERMS = 2048
+
+
+def _use_gemm(strategy: str, n_terms: int) -> bool:
+    """ONE spelling of the fold-vs-gemm dispatch (validation included)
+    shared by ivf_assign, ivf_topk, and dedup.semantic_dedup — three
+    hand-copies of the threshold compare could otherwise drift and
+    route the corpus assign and the probe selection through different
+    arms within a single call."""
+    if strategy not in ("auto", "fold", "gemm"):
+        raise ValueError(f"unknown assign_strategy {strategy!r}")
+    return strategy == "gemm" or (
+        strategy == "auto" and n_terms > GEMM_ASSIGN_MIN_TERMS
+    )
 
 
 def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -247,7 +264,11 @@ def _gemm_assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataF
                 {"id": pdf["id"], "v": pdf["v"], "cell": cell_ids[idx].astype("int32")}
             )
 
-    return vecs.mapInPandas(part, "id long, v array<double>, cell int")
+    # id dtype follows the INPUT (the fold arm is id-type-agnostic; a
+    # hardcoded long here would make a scale-up past the auto threshold
+    # break string/decimal ids that worked on the fold arm)
+    id_t = vecs.schema["id"].dataType.simpleString()
+    return vecs.mapInPandas(part, f"id {id_t}, v array<double>, cell int")
 
 
 def _gemm_probes(
@@ -289,8 +310,9 @@ def _gemm_probes(
                 }
             )
 
+    qid_t = q.schema["query_id"].dataType.simpleString()
     return q.mapInPandas(
-        part, "query_id long, qv array<double>, qn double, cell int"
+        part, f"query_id {qid_t}, qv array<double>, qn double, cell int"
     )
 
 
@@ -391,11 +413,7 @@ def ivf_assign(
     ]
     spark = corpus.sparkSession
 
-    if assign_strategy not in ("auto", "fold", "gemm"):
-        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
-    use_gemm = assign_strategy == "gemm" or (
-        assign_strategy == "auto" and n_centroids * dim > GEMM_ASSIGN_MIN_TERMS
-    )
+    use_gemm = _use_gemm(assign_strategy, n_centroids * dim)
 
     def assign(vecs: DataFrame) -> DataFrame:
         # large centroid sets: per-element lambda cost of the fold is the
@@ -527,11 +545,7 @@ def ivf_topk(
         corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col,
         round_means=round_means, assign_strategy=assign_strategy,
     )
-    if assign_strategy not in ("auto", "fold", "gemm"):
-        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
-    use_gemm = assign_strategy == "gemm" or (
-        assign_strategy == "auto" and n_centroids * dim > GEMM_ASSIGN_MIN_TERMS
-    )
+    use_gemm = _use_gemm(assign_strategy, n_centroids * dim)
     # centroids is literal-backed (n_centroids local rows) — this collect
     # runs no cluster job
     cents = [(r.cell, list(r.cvec)) for r in centroids.collect()]
@@ -581,6 +595,7 @@ def ivf_topk(
         members.join(probes, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, round_to).alias("cos"))
+        .filter(F.col("cos").isNotNull())  # zero-norm guard (see brute force)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -793,7 +808,7 @@ def pq_topk(
         lut_rows.append((qid, lut))
     luts = F.broadcast(
         spark.createDataFrame(
-            lut_rows, "query_id INT, lut ARRAY<ARRAY<DOUBLE>>"
+            lut_rows, "query_id BIGINT, lut ARRAY<ARRAY<DOUBLE>>"
         )
     )
     adc = None
@@ -950,7 +965,7 @@ def ivfpq_topk(
     spark = corpus.sparkSession
     probes = F.broadcast(
         spark.createDataFrame(
-            probe_rows, "query_id INT, cell INT, lut ARRAY<ARRAY<DOUBLE>>"
+            probe_rows, "query_id BIGINT, cell INT, lut ARRAY<ARRAY<DOUBLE>>"
         )
     )
     adc = None

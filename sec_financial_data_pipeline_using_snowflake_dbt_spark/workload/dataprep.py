@@ -1351,8 +1351,10 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id, b.n_tokens,
            COALESCE(a.n_dup_starts, 0) AS n_dup_starts,
            COALESCE(a.covered_tokens, 0) AS covered_tokens,
-           ROUND(CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
-                 / CAST(b.n_tokens AS DOUBLE), 6) AS covered_frac
+           CASE WHEN b.n_tokens = 0 THEN 0.0
+                ELSE ROUND(CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+                           / CAST(b.n_tokens AS DOUBLE), 6)
+           END AS covered_frac
     FROM base b LEFT JOIN agg a USING (doc_id)
     """,
 )
