@@ -83,6 +83,8 @@ HEADLINE = [
     "q_bigram_logprob",
     "q_quality_filter",
     "q_bm25",
+    "q_hybrid_rrf",
+    "q_perplexity_buckets",
     "q_c4_clean",
     "q_line_dedup",
     "q_pii_scrub",

@@ -923,6 +923,74 @@ def bm25_topk(
     )
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    arm_k: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009 — the Elasticsearch/OpenSearch/Vespa hybrid default):
+    fuse a lexical BM25 arm over ``docs`` with a dense cosine arm over
+    ``emb`` (the embedding row whose ``vec_id`` equals the query id is
+    that query's vector), scoring each candidate
+
+        rrf(q, d) = 1/(k_rrf + lex_rank) + 1/(k_rrf + dense_rank)
+
+    with a term contributed only by arms that retrieved d in their
+    top-``arm_k``. RRF needs only RANKS, never score calibration, which
+    is exactly why it is the production fusion default — BM25 logs and
+    cosines live on incomparable scales.
+
+    Returns (query_id, doc_id, lex_rank, dense_rank, rrf, rank) with
+    rank <= ``k`` per query by (rounded rrf DESC, doc_id ASC);
+    lex_rank/dense_rank are NULL for the arm that missed the doc.
+
+    Scale: all corpus-sized work happens inside the two arms, each
+    already scale-shaped (bm25_topk semi-joins the broadcast query-term
+    set before its tf shuffle; brute_force_topk broadcasts the query
+    batch so the corpus never shuffles — swap in ivf_topk upstream for
+    billion-vector corpora, the fusion is rank-source-agnostic). The
+    fusion itself touches at most 2*arm_k rows per query: a full-outer
+    equi-join plus one per-query rank window over <= 2*arm_k rows.
+
+    Cross-engine determinism: both arms already rank on rounded scores
+    with id tie-breaks; 1.0/(k_rrf + rank) is exact-integer division
+    into double, the two terms add in the written (lex + dense) order,
+    and the fused score rounds to 6 before the final rank.
+    """
+    from .similarity import brute_force_topk
+
+    lex = bm25_topk(
+        docs, queries, k=arm_k, id_col=id_col, text_col=text_col
+    ).select("query_id", id_col, F.col("rank").alias("lex_rank"))
+    qvecs = emb.filter(F.col(vec_id_col).isin([qid for qid, _ in queries]))
+    dense = brute_force_topk(
+        qvecs, emb, k=arm_k, id_col=vec_id_col, vec_col=vec_col
+    ).select(
+        "query_id", F.col("neighbor_id").alias(id_col), F.col("rank").alias("dense_rank")
+    )
+    fused = lex.join(dense, ["query_id", id_col], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("dense_rank")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "lex_rank", "dense_rank", "rrf", "rank")
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     target: DataFrame,
@@ -1225,6 +1293,83 @@ def bigram_logprob(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
         )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    lam: float = 0.7,
+    hist_round: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    score every document with the corpus bigram LM
+    (``bigram_logprob``), then split the corpus into ``n_buckets``
+    equal-population quality tiers by ascending mean negative
+    log-likelihood — bucket 1 ('head') is the most corpus-typical
+    text, the last ('tail') the least; CCNet trains on head+middle.
+    avg_nll is a monotone transform of perplexity (ppl = e^avg_nll),
+    so the tiers are exactly CCNet's perplexity tertiles without ever
+    evaluating EXP — whose last-ulp behavior differs across engines —
+    in the hash-compared output.
+
+    Returns per doc (id, n_bigrams, avg_nll, q_nll, bucket, label)
+    where q_nll is avg_nll quantized to ``hist_round`` decimals (the
+    histogram key the tiers are computed on), bucket is 1..n_buckets,
+    and label is head/middle/tail. Single-token and empty docs drop
+    (no bigram positions — inherited from the scorer).
+
+    Scale — how equal-population tiers avoid a global sort: an NTILE
+    over the corpus would global-sort into one partition. Instead the
+    quantized scores groupBy into a HISTOGRAM whose cardinality is
+    bounded by the score range times 10^hist_round (thousands of rows
+    at any corpus size), the cumulative count runs as a window over
+    that bounded histogram, each value's bucket is the pure-integer
+    ceil-division (cum*n_buckets + N - 1) div N, and the value->bucket
+    map broadcast-joins back to the per-doc scores. Value-tied docs
+    share a tier by construction, so tier populations are equal up to
+    quantization ties.
+
+    Cross-engine determinism: avg_nll = 0.0 - rounded avg_logprob
+    (written as a subtraction so a zero score yields +0.0, never
+    -0.0); counts and the bucket rule are exact integers.
+    """
+    lp = bigram_logprob(docs, lam=lam, id_col=id_col, text_col=text_col, round_to=round_to)
+    scored = lp.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.lit(0.0) - F.col("avg_logprob"), round_to).alias("avg_nll"),
+        F.round(F.lit(0.0) - F.col("avg_logprob"), hist_round).alias("q_nll"),
+    )
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    hist = scored.groupBy("q_nll").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # single-partition window, but over the bounded histogram — the
+    # vocabulary-sized-table posture, not a corpus sort
+    cumw = (
+        Window.orderBy("q_nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = (
+        hist.withColumn("cum", F.sum("cnt").over(cumw))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "q_nll",
+            F.expr(f"CAST((cum * {int(n_buckets)} + n_total - 1) DIV n_total AS BIGINT)").alias(
+                "bucket"
+            ),
+        )
+    )
+    label = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scored.join(F.broadcast(buckets), "q_nll")
+        .select(id_col, "n_bigrams", "avg_nll", "q_nll", "bucket", label.alias("label"))
     )
 
 

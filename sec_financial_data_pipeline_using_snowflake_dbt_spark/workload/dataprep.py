@@ -1157,10 +1157,12 @@ _BM25_QUERIES = [
 _SQL_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 
 
-@q(
-    "q_bm25",
-    f"""
-    WITH qtab(query_id, qtext) AS (VALUES {_SQL_BM25_VALUES}),
+def _bm25_ctes(k: int) -> str:
+    """The BM25 retrieval CTE chain ending in ``bm(query_id, doc_id,
+    n_terms, score, rank)`` with rank <= ``k`` — one spelling shared by
+    the q_bm25 oracle and q_hybrid_rrf's lexical arm (the minhash
+    shared-CTE discipline)."""
+    return f"""qtab(query_id, qtext) AS (VALUES {_SQL_BM25_VALUES}),
     qterms AS (
       SELECT CAST(query_id AS BIGINT) AS query_id,
              UNNEST(list_distinct(list_filter(
@@ -1180,7 +1182,7 @@ _SQL_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
       GROUP BY doc_id, term
     ),
     dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-    scored AS (
+    bm_scored AS (
       SELECT qt.query_id, tf.doc_id,
              LN(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
                * (CAST(tf.tf AS DOUBLE) * 2.2)
@@ -1192,20 +1194,85 @@ _SQL_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
       JOIN dl USING (doc_id)
       CROSS JOIN stats s
     ),
-    agg AS (
+    bm_agg AS (
       SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
              ROUND(SUM(ts), 6) AS score
-      FROM scored GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, n_terms, score, CAST(rk AS BIGINT) AS rank
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, doc_id) AS rk
-          FROM agg)
-    WHERE rk <= 10
+      FROM bm_scored GROUP BY query_id, doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, n_terms, score, CAST(rk AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rk
+            FROM bm_agg)
+      WHERE rk <= {k}
+    )"""
+
+
+@q(
+    "q_bm25",
+    f"""
+    WITH {_bm25_ctes(10)}
+    SELECT query_id, doc_id, n_terms, score, rank FROM bm
     """,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bm25_topk(table(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+# the BM25 lexical arm fused with the dense cosine arm (embedding row
+# vec_id == query_id is that query's vector) on ranks alone —
+# 1/(60+rank) per contributing arm, the Elasticsearch hybrid default.
+# ---------------------------------------------------------------------------
+_RRF_QIDS = ", ".join(str(i) for i, _ in _BM25_QUERIES)
+
+
+@q(
+    "q_hybrid_rrf",
+    f"""
+    WITH {_bm25_ctes(20)},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dn AS (
+      SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank
+      FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY ROUND(LIST_COSINE_SIMILARITY(q.v, c.v), 3) DESC,
+                              c.vec_id) AS rk
+            FROM e q JOIN e c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id IN ({_RRF_QIDS}))
+      WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+             COALESCE(b.doc_id, d.neighbor_id) AS doc_id,
+             b.rank AS lex_rank, d.rank AS dense_rank
+      FROM bm b FULL OUTER JOIN dn d
+        ON b.query_id = d.query_id AND b.doc_id = d.neighbor_id
+    ),
+    rrf_scored AS (
+      SELECT query_id, doc_id, lex_rank, dense_rank,
+             ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                   + COALESCE(1.0 / (60 + dense_rank), 0.0), 6) AS rrf
+      FROM fused
+    )
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rk
+          FROM rrf_scored)
+    WHERE rk <= 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.hybrid_rrf_topk(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        _BM25_QUERIES,
+        k=10,
+        arm_k=20,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1444,10 +1511,11 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_unigram_logprob (lam*bigram MLE + (1-lam)*unigram MLE, LN'd and
 # averaged per doc).
 # ---------------------------------------------------------------------------
-@q(
-    "q_bigram_logprob",
-    f"""
-    WITH s AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+def _bigram_lp_ctes() -> str:
+    """The interpolated-bigram-LM CTE chain ending in ``blp(doc_id,
+    n_bigrams, avg_logprob)`` — one spelling shared by the
+    q_bigram_logprob oracle and q_perplexity_buckets' scoring stage."""
+    return f"""s AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
     pos AS (
       SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       FROM (SELECT doc_id, toks,
@@ -1461,25 +1529,73 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT UNNEST({SQL_TOKENS}) AS token FROM documents)
       GROUP BY token
     ),
-    tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS total FROM uni)
-    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(LN(
-             0.7 * (CAST(bc.cb AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
-             -- (1.0 - 0.7) folds to the same IEEE double Python's
-             -- 1.0 - lam produces (0.30000000000000004), NOT 0.3 —
-             -- keeps the interpolation bit-identical across engines
-             + (1.0 - 0.7) * (CAST(uni.cu AS DOUBLE) / tot.total)
-           )), 6) AS avg_logprob
-    FROM pos p
-    JOIN bc USING (w1, w2)
-    JOIN ctx USING (w1)
-    JOIN uni ON p.w2 = uni.tok
-    CROSS JOIN tot
-    GROUP BY p.doc_id
+    tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS total FROM uni),
+    blp AS (
+      SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(LN(
+               0.7 * (CAST(bc.cb AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+               -- (1.0 - 0.7) folds to the same IEEE double Python's
+               -- 1.0 - lam produces (0.30000000000000004), NOT 0.3 —
+               -- keeps the interpolation bit-identical across engines
+               + (1.0 - 0.7) * (CAST(uni.cu AS DOUBLE) / tot.total)
+             )), 6) AS avg_logprob
+      FROM pos p
+      JOIN bc USING (w1, w2)
+      JOIN ctx USING (w1)
+      JOIN uni ON p.w2 = uni.tok
+      CROSS JOIN tot
+      GROUP BY p.doc_id
+    )"""
+
+
+@q(
+    "q_bigram_logprob",
+    f"""
+    WITH {_bigram_lp_ctes()}
+    SELECT doc_id, n_bigrams, avg_logprob FROM blp
     """,
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bigram_logprob(table(spark, sf_dir, "documents"), lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): equal-
+# population quality tiers by ascending bigram-LM mean NLL, computed
+# on the bounded quantized-score histogram (never a corpus NTILE sort).
+# ---------------------------------------------------------------------------
+@q(
+    "q_perplexity_buckets",
+    f"""
+    WITH {_bigram_lp_ctes()},
+    sc AS (
+      SELECT doc_id, n_bigrams,
+             ROUND(0.0 - avg_logprob, 6) AS avg_nll,
+             ROUND(0.0 - avg_logprob, 3) AS q_nll
+      FROM blp
+    ),
+    ptot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sc),
+    hist AS (SELECT q_nll, CAST(COUNT(*) AS BIGINT) AS cnt FROM sc GROUP BY q_nll),
+    cum AS (
+      SELECT q_nll,
+             SUM(cnt) OVER (ORDER BY q_nll
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM hist
+    ),
+    bk AS (
+      SELECT q_nll, CAST((cum * 3 + n_total - 1) // n_total AS BIGINT) AS bucket
+      FROM cum CROSS JOIN ptot
+    )
+    SELECT sc.doc_id, sc.n_bigrams, sc.avg_nll, sc.q_nll, bk.bucket,
+           CASE WHEN bk.bucket = 1 THEN 'head'
+                WHEN bk.bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS label
+    FROM sc JOIN bk USING (q_nll)
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.perplexity_buckets(table(spark, sf_dir, "documents"), n_buckets=3, lam=0.7)
 
 
 # ---------------------------------------------------------------------------

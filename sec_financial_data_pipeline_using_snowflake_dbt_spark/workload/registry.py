@@ -104,6 +104,22 @@ TAIL_QUERIES: tuple[str, ...] = (
     # (operators/facts.py:72), golden-tested. q_broadcast_star was
     # green in every window r1-r6.
     "q_broadcast_star",
+    # r7: parked for q_hybrid_rrf's window slot (the RRF hybrid-
+    # retrieval fusion earns the hard signal first, per policy).
+    # q_hybrid_rrf's oracle CONTAINS the entire BM25 chain — the
+    # shared _bm25_ctes() spelling at the larger arm cut (k=20 ⊃
+    # k=10) — so the BM25 scorer itself stays inside the driver
+    # signal through its successor. q_bm25 earned its green row in
+    # r6; pytest-oracle every run.
+    "q_bm25",
+    # r7: parked for q_perplexity_buckets' window slot (the CCNet
+    # perplexity-tier operator earns the hard signal first, per
+    # policy). q_perplexity_buckets' oracle CONTAINS the entire
+    # bigram-LM chain (shared _bigram_lp_ctes() spelling), so the
+    # scorer stays inside the driver signal through its successor.
+    # q_bigram_logprob earned its green row in r6; pytest-oracle
+    # every run.
+    "q_bigram_logprob",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

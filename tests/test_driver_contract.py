@@ -72,10 +72,11 @@ def test_oracle_queries_inside_driver_window():
         # stage (q_anti_join parked in exchange — left-anti stays
         # exercised by test_checks' fk_orphans pytest)
         "q_quality_filter",
-        # r6 continuation: BM25 retrieval (q_join_agg parked in
-        # exchange — composite-key joins stay in-window via
-        # q_sec_fact_bs, SUM rollups via q_pricing_summary)
-        "q_bm25",
+        # r7: RRF hybrid retrieval (q_bm25 parked in exchange after
+        # its r6 green row — q_hybrid_rrf's oracle contains the whole
+        # shared _bm25_ctes() chain, so BM25 stays in the hard signal
+        # through its successor)
+        "q_hybrid_rrf",
         # r6 continuation: SemDeDup (q_fact_star_shape parked in
         # exchange — the constant-filter star build stays in-window
         # via q_sec_fact_bs + q_broadcast_star)
@@ -105,7 +106,12 @@ def test_oracle_queries_inside_driver_window():
         # q_pack_sequences parked in exchange, rationale in
         # registry.py)
         "q_line_dedup",
-        "q_bigram_logprob",
+        # r7: CCNet perplexity tiers (q_bigram_logprob parked in
+        # exchange after its r6 green row — q_perplexity_buckets'
+        # oracle contains the whole shared _bigram_lp_ctes() chain,
+        # so the bigram LM stays in the hard signal through its
+        # successor)
+        "q_perplexity_buckets",
         # r6 continuation: distributed BPE trainer
         # (q_stratified_sample parked in exchange — the md5-threshold
         # construct stays in-window via q_data_mixture/q_corpus_split)

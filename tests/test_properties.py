@@ -570,3 +570,143 @@ def test_bpe_train_arms_agree(spark, texts, n_merges):
     dist = [tuple(r) for r in
             TO.bpe_train(docs, n_merges=n_merges, strategy="distributed").collect()]
     assert drv == dist
+
+
+def _r6(x: float, places: int = 6) -> float:
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    return _round_half_up(x, places)
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=24),
+                   min_size=1, max_size=10),
+    n_buckets=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_perplexity_buckets_matches_reference(spark, texts, n_buckets):
+    """perplexity_buckets == a sequential reference: pure-Python
+    interpolated bigram LM, HALF_UP rounding, and the histogram
+    ceil-division tier rule — including the drop of sub-bigram docs
+    and value-tied docs sharing a tier."""
+    import math
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll, r.q_nll, r.bucket, r.label)
+        for r in TO.perplexity_buckets(docs, n_buckets=n_buckets).collect()
+    }
+
+    toks = {
+        i: [t for t in re.split(r"\s+", t0.lower()) if t]
+        for i, t0 in enumerate(texts)
+    }
+    uni = Counter(t for ts in toks.values() for t in ts)
+    total = sum(uni.values())
+    bc = Counter(p for ts in toks.values() for p in zip(ts, ts[1:]))
+    ctx = Counter()
+    for (a, _), c in bc.items():
+        ctx[a] += c
+    scored = {}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue  # sub-bigram docs drop
+        lp = _r6(
+            sum(
+                math.log(
+                    0.7 * (bc[p] / ctx[p[0]])
+                    + (1.0 - 0.7) * (uni[p[1]] / total)
+                )
+                for p in pairs
+            )
+            / len(pairs)
+        )
+        scored[i] = (len(pairs), _r6(0.0 - lp), _r6(0.0 - lp, 3))
+    n_total = len(scored)
+    hist = Counter(v[2] for v in scored.values())
+    cum, bucket_of = 0, {}
+    for q in sorted(hist):
+        cum += hist[q]
+        bucket_of[q] = (cum * n_buckets + n_total - 1) // n_total
+    want = {}
+    for i, (nb, nll, q) in scored.items():
+        b = bucket_of[q]
+        lbl = "head" if b == 1 else ("tail" if b == n_buckets else "middle")
+        want[i] = (nb, nll, q, b, lbl)
+    assert got == want
+
+
+def test_hybrid_rrf_matches_arm_fusion(spark):
+    """hybrid_rrf_topk == fusing its two arms' collected rank lists in
+    plain Python — full-outer semantics (single-arm docs score one
+    term), the 1/(k_rrf+rank) sum, round-6, and the (rrf DESC, doc_id)
+    tie-break."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        similarity as SIM,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join table scan"),
+            (1, "sort merge join"),
+            (2, "window agg group"),
+            (3, "hash hash hash join"),
+            (4, "totally unrelated words"),
+            (5, "table table scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = [
+        (0, [1.0, 0.0, 0.2]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.1]),
+        (3, [0.1, 0.9, 0.0]),
+        (4, [0.5, 0.5, 0.5]),
+        (5, [0.0, 0.1, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = [(1, "hash join"), (2, "group agg")]
+
+    k, arm_k, k_rrf = 4, 3, 60
+    got = [
+        tuple(r)
+        for r in TO.hybrid_rrf_topk(docs, emb, queries, k=k, arm_k=arm_k)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in TO.bm25_topk(docs, queries, k=arm_k).collect()
+    }
+    qv = emb.filter(F.col("vec_id").isin([q for q, _ in queries]))
+    dense = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in SIM.brute_force_topk(qv, emb, k=arm_k).collect()
+    }
+    want = []
+    for qid in {q for q, _ in queries}:
+        cands = {d for (q2, d) in list(lex) + list(dense) if q2 == qid}
+        fused = []
+        for d in cands:
+            lr, dr = lex.get((qid, d)), dense.get((qid, d))
+            rrf = _r6(
+                (1.0 / (k_rrf + lr) if lr is not None else 0.0)
+                + (1.0 / (k_rrf + dr) if dr is not None else 0.0)
+            )
+            fused.append((rrf, d, lr, dr))
+        fused.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (rrf, d, lr, dr) in enumerate(fused[:k], start=1):
+            want.append((qid, d, lr, dr, rrf, rank))
+    want.sort(key=lambda t: (t[0], t[5]))
+    assert got == want
+    # both single-arm and both-arm docs must actually occur in the
+    # fixture, or the full-outer surface went untested
+    assert any(lr is None or dr is None for (_, _, lr, dr, _, _) in got)
+    assert any(lr is not None and dr is not None for (_, _, lr, dr, _, _) in got)
