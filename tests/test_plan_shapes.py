@@ -70,3 +70,32 @@ def test_single_shuffle_aggregations(spark):
     assert n == 1, f"pack_token_ids: expected 1 Exchange, found {n}"
     n = _exchanges(TO.global_shuffle(docs))
     assert n == 1, f"global_shuffle: expected 1 Exchange, found {n}"
+
+
+def test_perplexity_buckets_plan_shape(spark):
+    """perplexity_buckets' docstring claims: the tiers come from a
+    window over the BOUNDED histogram (exactly one Window in the whole
+    plan — the bigram chain has none) and the value->bucket map
+    broadcast-joins back to the per-doc scores (never a shuffle of the
+    corpus against the map)."""
+    plan = (
+        TO.perplexity_buckets(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_plan_has_no_cartesian(spark):
+    """hybrid_rrf_topk must never plan a cartesian: the dense arm's
+    non-equi self-join broadcasts the (tiny) query batch, BM25
+    broadcasts its scalar stats, and the fusion is an equi-join — a
+    CartesianProduct anywhere means a broadcast gate regressed."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = TO.hybrid_rrf_topk(
+        _docs(spark), emb, [(1, "hash join"), (2, "group agg")], k=4, arm_k=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
