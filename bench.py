@@ -93,6 +93,7 @@ HEADLINE = [
     "q_pack_token_ids",
     "q_chunk_docs",
     "q_data_mixture",
+    "q_temperature_mix",
     "q_dsir_select",
     "q_global_shuffle",
     "q_corpus_stats",

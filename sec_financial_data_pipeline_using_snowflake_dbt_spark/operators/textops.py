@@ -692,6 +692,74 @@ def mixture_resample(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling toward balance — the
+    multilingual-sampling family (mT5/XLM-R style p^alpha damping):
+    derive each stratum's repetition weight from its own corpus share,
+
+        w_i = (n_max / n_i) ** alpha
+
+    so alpha=0 leaves the natural mixture, alpha=1 fully balances
+    strata to the largest, and intermediate alpha upweights rare
+    strata with temperature damping. The derived weights feed the
+    deterministic ``mixture_resample`` machinery (floor(w) copies +
+    one more with probability frac(w) by the id-hash uniform), so the
+    realized mixture is reproducible across runs/engines/layouts.
+
+    Returns (id, stratum, w, copy) — ``w`` carried per row so the
+    derivation itself is oracle-checked, not just its application.
+
+    Scale: the stratum histogram is ONE map-side-combined groupBy
+    collected to the driver — strata are languages/sources/domains
+    (tens to thousands), so this is the PQ-codebook/BPE-driver-arm
+    posture: coordination state is strata-sized, O(1) in the corpus.
+    The resample itself is mixture_resample's zero-shuffle narrow map.
+
+    Cross-engine determinism: counts are exact integers; at the
+    default alpha=0.5 the weight is SQRT(nmax/n) — one correctly-
+    rounded division of exact integers followed by IEEE-754 SQRT
+    (correctly rounded BY SPEC, unlike EXP/POWER), so both engines
+    produce the identical double before the 6-dp HALF_UP round. Other
+    alphas use pow() and carry the documented last-ulp parity risk —
+    keep oracle configs on 0.5.
+    """
+    import math
+
+    from .similarity import _round_half_up
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return mixture_resample(
+            docs, strata_col, {}, id_col=id_col, salt=salt, resolution=resolution
+        ).withColumn("w", F.lit(0.0)).select(id_col, strata_col, "w", "copy")
+    n_max = max(counts.values())
+    weights = {
+        s: _round_half_up(
+            math.sqrt(n_max / n) if alpha == 0.5 else (n_max / n) ** alpha, 6
+        )
+        for s, n in counts.items()
+    }
+    mixed = mixture_resample(
+        docs, strata_col, weights, id_col=id_col, salt=salt, resolution=resolution
+    )
+    wlit = F.lit(0.0)
+    for s, w in sorted(weights.items()):
+        wlit = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(wlit)
+    return mixed.select(id_col, strata_col, wlit.alias("w"), "copy")
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

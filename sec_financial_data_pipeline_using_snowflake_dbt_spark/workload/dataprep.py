@@ -1068,6 +1068,52 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture (mT5/XLM-R p^alpha family): per-language
+# repetition weights DERIVED from the corpus histogram, w = sqrt(n_max/n)
+# at alpha=0.5 — SQRT is correctly rounded by IEEE-754 spec (unlike
+# EXP/POWER), so the derivation is bit-identical across engines before
+# the 6-dp round. The resample machinery is q_data_mixture's, with the
+# weight table joined instead of literal.
+# ---------------------------------------------------------------------------
+@q(
+    "q_temperature_mix",
+    f"""
+    WITH hist AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    mx AS (SELECT MAX(n) AS nmax FROM hist),
+    wt AS (
+      SELECT lang,
+             ROUND(SQRT(CAST(mx.nmax AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS w
+      FROM hist CROSS JOIN mx
+    ),
+    thr AS (
+      SELECT lang, w,
+             CAST(FLOOR(w) AS BIGINT) AS whole,
+             CAST(ROUND((w - FLOOR(w)) * 1000000, 0) AS BIGINT) AS frac
+      FROM wt
+    ),
+    hashed AS (
+      SELECT doc_id, lang, MD5(CAST(doc_id AS VARCHAR) || ':' || 'mix') AS h
+      FROM documents
+    ),
+    nrows AS (
+      SELECT doc_id, hashed.lang, t.w,
+             t.whole + (CASE WHEN ({_SQL_HEX8}) % 1000000 < t.frac
+                             THEN 1 ELSE 0 END) AS n
+      FROM hashed JOIN thr t USING (lang)
+    )
+    SELECT doc_id, lang, w, CAST(UNNEST(generate_series(1, n)) AS BIGINT) AS copy
+    FROM nrows WHERE n >= 1
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.temperature_mixture(
+        table(spark, sf_dir, "documents"), "lang", alpha=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
 # LM quality filter: per-doc mean unigram log-probability under the
 # corpus's own unigram distribution (the self-contained analogue of
 # CCNet's KenLM document scoring).

@@ -120,6 +120,15 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_bigram_logprob earned its green row in r6; pytest-oracle
     # every run.
     "q_bigram_logprob",
+    # r7: parked for q_temperature_mix's window slot (the derived-
+    # weight temperature mixture earns the hard signal first, per
+    # policy). q_temperature_mix runs the IDENTICAL md5-threshold
+    # resample machinery (floor(w) copies + Bernoulli(frac(w)) by the
+    # same hex8 uniform) with the weight table derived-and-joined
+    # instead of literal, and q_training_mix keeps mixture_resample
+    # itself in-window. q_data_mixture was green r6; pytest-oracle
+    # every run.
+    "q_data_mixture",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

@@ -65,7 +65,12 @@ def test_oracle_queries_inside_driver_window():
         "q_tfidf",
         "q_stream_join",
         "q_ann_pq",
-        "q_data_mixture",
+        # r7: temperature-scaled mixture with derived weights
+        # (q_data_mixture parked in exchange after its r6 green row —
+        # the identical md5-threshold resample machinery runs inside
+        # q_temperature_mix and q_training_mix keeps mixture_resample
+        # in-window)
+        "q_temperature_mix",
         "q_unigram_logprob",
         "q_ann_ivfpq",
         # r6 continuation: the Gopher-style composite filter decision

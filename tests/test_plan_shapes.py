@@ -99,3 +99,11 @@ def test_hybrid_rrf_plan_has_no_cartesian(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_mixture_resample_is_shuffle_free(spark):
+    """After the strata-sized histogram collect (a separate bounded
+    job — the PQ-codebook posture), the resample itself must stay
+    mixture_resample's zero-shuffle narrow map."""
+    n = _exchanges(TO.temperature_mixture(_docs(spark), "lang", alpha=0.5))
+    assert n == 0, f"temperature_mixture: expected 0 Exchange, found {n}"

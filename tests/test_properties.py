@@ -710,3 +710,50 @@ def test_hybrid_rrf_matches_arm_fusion(spark):
     # fixture, or the full-outer surface went untested
     assert any(lr is None or dr is None for (_, _, lr, dr, _, _) in got)
     assert any(lr is not None and dr is not None for (_, _, lr, dr, _, _) in got)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=0, max_size=30, unique_by=lambda t: t[0],
+    ),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_temperature_mixture_matches_reference(spark, rows, alpha):
+    """temperature_mixture == a sequential reference: the
+    (n_max/n)^alpha weight derivation (sqrt at 0.5), 6-dp HALF_UP,
+    and mixture_resample's floor+Bernoulli copy rule replayed on the
+    same md5-hex uniform."""
+    import hashlib
+    import math
+
+    docs = spark.createDataFrame(
+        rows or [(999_999, "a")], "doc_id long, lang string"
+    )
+    data = rows or [(999_999, "a")]
+    got = sorted(
+        tuple(r)
+        for r in TO.temperature_mixture(docs, "lang", alpha=alpha).collect()
+    )
+
+    counts = Counter(s for _, s in data)
+    n_max = max(counts.values())
+    weights = {
+        s: _r6(math.sqrt(n_max / n) if alpha == 0.5 else (n_max / n) ** alpha)
+        for s, n in counts.items()
+    }
+    want = []
+    for i, s in data:
+        w = weights[s]
+        whole = int(w)
+        frac = int(round((w - whole) * 1_000_000))
+        h = hashlib.md5(f"{i}:mix".encode()).hexdigest()
+        u = int(h[:8], 16) % 1_000_000
+        n = whole + (1 if u < frac else 0)
+        for c in range(1, n + 1):
+            want.append((i, s, w, c))
+    assert got == sorted(want)
+    # alpha=0 must be the identity mixture (w == 1.0 for every stratum)
+    if alpha == 0.0:
+        assert all(w == 1.0 for (_, _, w, _) in got)
