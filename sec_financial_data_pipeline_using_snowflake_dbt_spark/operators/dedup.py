@@ -902,6 +902,56 @@ def keep_canonical(
     )
 
 
+def keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware sibling of ``keep_canonical``: per near-dup
+    cluster keep the member with the HIGHEST ``score_col`` (ties →
+    lowest id) instead of the arbitrary min-id member — the standard
+    production policy ("keep the longest / highest-quality duplicate")
+    when near-dup members genuinely differ, e.g. a page and its
+    truncated syndication copy.
+
+    ``clusters`` is ``dedup_clusters`` output (id, cluster_id);
+    documents absent from ``clusters`` are kept (singleton semantics
+    match keep_canonical). Returns the kept ``docs`` rows unchanged.
+
+    Scale: winner selection is a map-side-combined min-of-struct
+    groupBy on cluster_id — NOT a per-cluster rank window, for the
+    same reason remove_duplicated_spans picks first occurrences with
+    min-combining: a corpus-wide boilerplate cluster with millions of
+    members would sort one hot window partition, while min-combining
+    reduces it map-side. The score negates exactly (0 - x) so
+    min(struct(-score, id)) realizes (max score, min id).
+    """
+    scored = docs.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+    ).join(clusters.select("id", "cluster_id"), "id")
+    winners = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.lit(0) - F.col("__score")).alias("ns"),
+                    F.col("id").alias("kid"),
+                )
+            ).alias("w")
+        )
+        .select(F.col("w.kid").alias("id"))
+    )
+    missing = docs.select(F.col(id_col).alias("id")).join(
+        clusters.select("id"), "id", "left_anti"
+    )
+    return docs.join(
+        winners.unionByName(missing).withColumnRenamed("id", id_col),
+        id_col,
+        "left_semi",
+    )
+
+
 def _semantic_near_gemm(
     cells: DataFrame, threshold: float, round_to: int
 ) -> DataFrame:

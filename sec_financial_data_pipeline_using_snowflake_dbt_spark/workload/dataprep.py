@@ -470,6 +470,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware canonical selection: per near-dup cluster keep the
+# LONGEST member (ties → lowest id) instead of the arbitrary min-id —
+# the production "keep the best duplicate" policy, realized with a
+# skew-immune min-of-struct groupBy (never a per-cluster rank window).
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_neardup_canon_sql_from("documents")},
+    kb_cl AS (SELECT id AS doc_id, MIN(node) AS cluster_id
+              FROM nd_reach GROUP BY id),
+    kb_scored AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM kb_cl c JOIN documents d USING (doc_id)
+    ),
+    kb_mx AS (SELECT cluster_id, MAX(n_chars) AS mc
+              FROM kb_scored GROUP BY cluster_id),
+    kb_best AS (
+      SELECT s.cluster_id, MIN(s.doc_id) AS keep_id
+      FROM kb_scored s
+      JOIN kb_mx ON s.cluster_id = kb_mx.cluster_id AND s.n_chars = kb_mx.mc
+      GROUP BY s.cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, CAST(s.n_chars AS BIGINT) AS score
+    FROM kb_scored s JOIN kb_best b ON s.doc_id = b.keep_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3)
+    clusters = DD.dedup_clusters(pairs, nodes=docs.select("doc_id"))
+    kept = DD.keep_best(docs, clusters, "n_chars")
+    return kept.join(
+        clusters.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id"
+    ).select("doc_id", "cluster_id", F.col("n_chars").alias("score"))
+
+
+# ---------------------------------------------------------------------------
 # Repetition statistics (gopher-style quality rules): top-unigram /
 # top-bigram fractions and duplicated-bigram fraction per document. The
 # Spark side computes occurrence counts as runs of the SORTED token

@@ -129,6 +129,15 @@ TAIL_QUERIES: tuple[str, ...] = (
     # itself in-window. q_data_mixture was green r6; pytest-oracle
     # every run.
     "q_data_mixture",
+    # r7: parked for q_dedup_keep_best's window slot (the quality-
+    # aware canonical selector earns the hard signal first, per
+    # policy). q_dedup_keep_best's oracle CONTAINS the entire
+    # pairs -> recursive-components chain (shared
+    # _neardup_canon_sql_from), so the connected-components
+    # machinery stays inside the driver signal through its successor
+    # (and in the bench HEADLINE). q_dedup_clusters was green in
+    # every window r3-r6; pytest-oracle every run.
+    "q_dedup_clusters",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

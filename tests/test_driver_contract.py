@@ -71,6 +71,11 @@ def test_oracle_queries_inside_driver_window():
         # q_temperature_mix and q_training_mix keeps mixture_resample
         # in-window)
         "q_temperature_mix",
+        # r7: quality-aware canonical selection (q_dedup_clusters
+        # parked in exchange after green rows r3-r6 — the full
+        # pairs -> recursive-components chain runs inside
+        # q_dedup_keep_best's oracle via _neardup_canon_sql_from)
+        "q_dedup_keep_best",
         "q_unigram_logprob",
         "q_ann_ivfpq",
         # r6 continuation: the Gopher-style composite filter decision

@@ -757,3 +757,47 @@ def test_temperature_mixture_matches_reference(spark, rows, alpha):
     # alpha=0 must be the identity mixture (w == 1.0 for every stratum)
     if alpha == 0.0:
         assert all(w == 1.0 for (_, _, w, _) in got)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 5)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0, max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_keep_best_matches_reference(spark, rows, edges):
+    """keep_best == per-component argmax(score, tie -> min id) computed
+    sequentially over dedup_clusters' own output — including docs
+    absent from the cluster map (kept) and whole-cluster ties."""
+    ids = {i for i, _ in rows}
+    edges = [(a, b) for a, b in edges if a != b and a in ids and b in ids]
+    docs = spark.createDataFrame(rows, "doc_id long, score long")
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    # cluster only a subset of nodes so the absent-doc path is exercised
+    member_ids = sorted({x for e in edges for x in e})
+    nodes = (
+        spark.createDataFrame([(i,) for i in member_ids], "doc_id long")
+        if member_ids
+        else spark.createDataFrame([], "doc_id long")
+    )
+    clusters = DD.dedup_clusters(pairs, nodes=nodes)
+    got = sorted(r.doc_id for r in DD.keep_best(docs, clusters, "score").collect())
+
+    comp = {r.id: r.cluster_id for r in clusters.collect()}
+    score = dict(rows)
+    by_cluster = {}
+    for i, c in comp.items():
+        by_cluster.setdefault(c, []).append(i)
+    want = set(ids - set(comp))  # unclustered docs always keep
+    for members in by_cluster.values():
+        best = min(members, key=lambda i: (-score[i], i))
+        want.add(best)
+    assert got == sorted(want)
