@@ -95,6 +95,7 @@ HEADLINE = [
     "q_chunk_docs",
     "q_data_mixture",
     "q_temperature_mix",
+    "q_budget_select",
     "q_dsir_select",
     "q_global_shuffle",
     "q_corpus_stats",

@@ -1441,6 +1441,67 @@ def perplexity_buckets(
     )
 
 
+def budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    hist_round: int = 3,
+    include_straddle: bool = True,
+) -> DataFrame:
+    """Token-budget corpus selection — "take the best N tokens": keep
+    the highest-``score_col`` documents until their token counts fill
+    ``token_budget`` (the assemble-a-1B-token-subset step after any
+    scorer: LM logprob, DSIR ratio, a quality model).
+
+    Scale — the same bounded-histogram trick as ``perplexity_buckets``:
+    ranking the corpus and cutting at a running token sum would be a
+    global sort + unpartitioned window; instead scores quantize to
+    ``hist_round`` decimals, per-value token sums groupBy into a
+    BOUNDED histogram, the cumulative sum runs score-DESCENDING over
+    that histogram, and the selected score values broadcast-join back.
+    Selection is all-or-nothing per quantized score value:
+    ``include_straddle=True`` (default) keeps the budget-straddling
+    value whole (overshoot bounded by one bucket's tokens),
+    ``False`` stops short of it. Rows with NULL score are excluded
+    (unrankable — the brute_force_topk convention).
+
+    Returns the selected rows as (id, tokens, q_score); exact-integer
+    token arithmetic end to end, so both engines agree bit-for-bit
+    given equal scores.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    base = scored.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.round(F.col(score_col), hist_round).alias("q_score"),
+    ).filter(F.col("q_score").isNotNull())
+    hist = base.groupBy("q_score").agg(
+        F.sum(tokens_col).cast("long").alias("bt")
+    )
+    # score-descending window over the bounded histogram — the
+    # vocabulary-sized-table posture, not a corpus sort
+    cumw = (
+        Window.orderBy(F.col("q_score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        F.col("cum") - F.col("bt") < F.lit(int(token_budget))
+        if include_straddle
+        else F.col("cum") <= F.lit(int(token_budget))
+    )
+    sel = (
+        hist.withColumn("cum", F.sum("bt").over(cumw))
+        .filter(cut)
+        .select("q_score")
+    )
+    return base.join(F.broadcast(sel), "q_score").select(
+        id_col, tokens_col, "q_score"
+    )
+
+
 #: Symbol delimiter for BPE training: every symbol is stored as
 #: SEP+symbol+SEP inside the word string, so a plain (non-regex)
 #: replace of SEP+a+SEP+SEP+b+SEP can only match at symbol boundaries,

@@ -1156,25 +1156,74 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus's own unigram distribution (the self-contained analogue of
 # CCNet's KenLM document scoring).
 # ---------------------------------------------------------------------------
-@q(
-    "q_unigram_logprob",
-    f"""
-    WITH tok AS (
+def _unigram_lp_ctes() -> str:
+    """The unigram-LM CTE chain ending in ``ulp(doc_id, n_tokens,
+    avg_logprob)`` — one spelling shared by the q_unigram_logprob
+    oracle and q_budget_select's scoring stage."""
+    return f"""tok AS (
       SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents
     ),
     counts AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
     ),
-    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(LN(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 6)
-             AS avg_logprob
-    FROM tok JOIN counts USING (token)
-    GROUP BY doc_id
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+    ulp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(LN(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 6)
+               AS avg_logprob
+      FROM tok JOIN counts USING (token)
+      GROUP BY doc_id
+    )"""
+
+
+@q(
+    "q_unigram_logprob",
+    f"""
+    WITH {_unigram_lp_ctes()}
+    SELECT doc_id, n_tokens, avg_logprob FROM ulp
     """,
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: keep the most corpus-typical docs (by
+# unigram LM score) until 12k tokens are filled — the "assemble the
+# best N-token subset" step, computed on the bounded quantized-score
+# histogram (score-descending cum sum + broadcast-back), never a
+# global rank-and-running-sum over the corpus.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 12_000
+
+
+@q(
+    "q_budget_select",
+    f"""
+    WITH {_unigram_lp_ctes()},
+    bs AS (
+      SELECT doc_id, n_tokens, ROUND(avg_logprob, 3) AS q_score FROM ulp
+    ),
+    bh AS (
+      SELECT q_score, CAST(SUM(n_tokens) AS BIGINT) AS bt
+      FROM bs GROUP BY q_score
+    ),
+    bc AS (
+      SELECT q_score, bt,
+             SUM(bt) OVER (ORDER BY q_score DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM bh
+    ),
+    sel AS (SELECT q_score FROM bc WHERE cum - bt < {_BUDGET_TOKENS})
+    SELECT doc_id, n_tokens, q_score FROM bs JOIN sel USING (q_score)
+    """,
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ulp = TO.unigram_logprob(table(spark, sf_dir, "documents"))
+    return TO.budget_select(
+        ulp, _BUDGET_TOKENS, score_col="avg_logprob", tokens_col="n_tokens"
+    )
 
 
 # ---------------------------------------------------------------------------

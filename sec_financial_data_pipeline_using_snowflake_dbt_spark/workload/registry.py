@@ -138,6 +138,14 @@ TAIL_QUERIES: tuple[str, ...] = (
     # (and in the bench HEADLINE). q_dedup_clusters was green in
     # every window r3-r6; pytest-oracle every run.
     "q_dedup_clusters",
+    # r7: parked for q_budget_select's window slot (the token-budget
+    # corpus selector earns the hard signal first, per policy).
+    # q_budget_select's oracle CONTAINS the entire unigram-LM chain
+    # (shared _unigram_lp_ctes() spelling), so the scorer stays
+    # inside the driver signal through its successor. The histogram
+    # cut machinery is also in-window via q_perplexity_buckets.
+    # q_unigram_logprob was green r6; pytest-oracle every run.
+    "q_unigram_logprob",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

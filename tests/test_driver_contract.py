@@ -76,7 +76,11 @@ def test_oracle_queries_inside_driver_window():
         # pairs -> recursive-components chain runs inside
         # q_dedup_keep_best's oracle via _neardup_canon_sql_from)
         "q_dedup_keep_best",
-        "q_unigram_logprob",
+        # r7: token-budget corpus selection (q_unigram_logprob parked
+        # in exchange after its r6 green row — the whole unigram-LM
+        # chain runs inside q_budget_select's oracle via the shared
+        # _unigram_lp_ctes spelling)
+        "q_budget_select",
         "q_ann_ivfpq",
         # r6 continuation: the Gopher-style composite filter decision
         # stage (q_anti_join parked in exchange — left-anti stays

@@ -107,3 +107,22 @@ def test_temperature_mixture_resample_is_shuffle_free(spark):
     mixture_resample's zero-shuffle narrow map."""
     n = _exchanges(TO.temperature_mixture(_docs(spark), "lang", alpha=0.5))
     assert n == 0, f"temperature_mixture: expected 0 Exchange, found {n}"
+
+
+def test_budget_select_plan_shape(spark):
+    """budget_select's docstring claims the bounded-histogram shape:
+    one Window (the score-descending cum over the histogram) and a
+    broadcast join back — never a corpus-wide rank window."""
+    scored = _docs(spark).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_tokens"),
+        (F.length("text") * -0.001).alias("score"),
+    )
+    plan = (
+        TO.budget_select(scored, 1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert "BroadcastHashJoin" in plan

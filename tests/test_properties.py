@@ -801,3 +801,46 @@ def test_keep_best_matches_reference(spark, rows, edges):
         best = min(members, key=lambda i: (-score[i], i))
         want.add(best)
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 40),          # doc id
+            st.integers(-30, 0),         # score x10 (dense ties)
+            st.integers(0, 50),          # tokens
+        ),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([0, 10, 60, 100_000]),
+    straddle=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_budget_select_matches_reference(spark, rows, budget, straddle):
+    """budget_select == a sequential reference: quantize, walk score
+    values descending accumulating token sums, keep values whose
+    bucket starts (straddle) / ends (no straddle) inside the budget —
+    all-or-nothing per value, zero-token docs ride their value."""
+    docs = spark.createDataFrame(
+        [(i, s / 10.0, t) for i, s, t in rows],
+        "doc_id long, score double, n_tokens long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in TO.budget_select(
+            docs, budget, include_straddle=straddle
+        ).collect()
+    )
+
+    qrows = [(i, t, _r6(s / 10.0, 3)) for i, s, t in rows]
+    hist = {}
+    for _, t, q in qrows:
+        hist[q] = hist.get(q, 0) + t
+    cum, keep = 0, set()
+    for q in sorted(hist, reverse=True):
+        start = cum
+        cum += hist[q]
+        if (start < budget) if straddle else (cum <= budget):
+            keep.add(q)
+    want = sorted((i, t, q) for i, t, q in qrows if q in keep)
+    assert got == want
