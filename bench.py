@@ -90,6 +90,7 @@ HEADLINE = [
     "q_line_dedup",
     "q_pii_scrub",
     "q_decontaminate",
+    "q_contamination_report",
     "q_pack_sequences",
     "q_pack_token_ids",
     "q_chunk_docs",

@@ -485,6 +485,96 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Auditing sibling of ``decontaminate``: instead of a 0/1 flag,
+    report HOW contaminated each corpus document is and BY WHICH
+    evaluation item — what a data audit actually publishes (the
+    GPT-3/Llama appendices report overlap fractions and the
+    benchmarks responsible, not just drop counts):
+
+      (id, n_shingles, n_hits, overlap_frac, top_eval_id,
+       top_eval_hits)
+
+    n_hits = distinct doc n-grams present anywhere in the eval set,
+    overlap_frac = n_hits/n_shingles (0 for sub-n-gram docs),
+    top_eval = the eval doc sharing the most n-grams (ties → lowest
+    eval id), NULL for clean docs.
+
+    Scale: same shape as decontaminate — the eval side is
+    definitionally small, so its (eval_id, ngram) set joins the
+    map-side corpus shingles (AQE broadcasts while it measures
+    small); only contaminated (doc, eval, ngram) triples reach the
+    aggregates. Attribution is a map-side-combined min-of-struct
+    groupBy (the keep_best discipline), never a per-doc rank window.
+    """
+    eid = eval_id_col or id_col
+
+    def shingled(df: DataFrame, idc: str, out: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out),
+            F.explode(TX.word_shingles(F.col(text_col), n)).alias("ngram"),
+        )
+
+    from .dedup import _spread
+
+    ev = shingled(eval_docs, eid, "eval_id").distinct()
+    joined = shingled(_spread(corpus), id_col, "cid").join(ev, "ngram")
+    tot = joined.groupBy("cid").agg(
+        F.count_distinct(F.col("ngram")).cast("long").alias("n_hits")
+    )
+    top = (
+        joined.groupBy("cid", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .groupBy("cid")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.lit(0) - F.col("hits")).alias("nh"),
+                    F.col("eval_id").alias("eid"),
+                )
+            ).alias("w")
+        )
+        .select(
+            "cid",
+            F.col("w.eid").alias("top_eval_id"),
+            (F.lit(0) - F.col("w.nh")).cast("long").alias("top_eval_hits"),
+        )
+    )
+    base = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.size(TX.word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
+    )
+    nh = F.coalesce("n_hits", F.lit(0)).cast("long")
+    return (
+        base.join(tot, "cid", "left")
+        .join(top, "cid", "left")
+        .select(
+            F.col("cid").alias(id_col),
+            "n_shingles",
+            nh.alias("n_hits"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    nh.cast("double") / F.col("n_shingles").cast("double"),
+                    round_to,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+            "top_eval_id",
+            "top_eval_hits",
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

@@ -810,8 +810,9 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents table surface as true cross-document contamination.
 # ---------------------------------------------------------------------------
 _DECON_N = 5
-_DECON_SQL = f"""
-    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+#: Shared shingle CTEs (``tk``/``sh``) — one spelling for the
+#: q_decontaminate and q_contamination_report oracles.
+_DECON_CTES = f"""tk AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
         CASE WHEN len(toks) >= {_DECON_N}
@@ -819,7 +820,9 @@ _DECON_SQL = f"""
                                  i -> array_to_string(toks[i:i+{_DECON_N - 1}], '␟'))
              ELSE [] END)) AS ngram
       FROM tk
-    ),
+    )"""
+_DECON_SQL = f"""
+    WITH {_DECON_CTES},
     ev AS (SELECT DISTINCT ngram FROM sh WHERE doc_id % 47 = 0),
     hits AS (
       SELECT s.doc_id, COUNT(*) AS n_hits
@@ -839,6 +842,69 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.decontaminate(
         docs, docs.filter(F.col("doc_id") % 47 == 0), n=_DECON_N
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination AUDIT report: per-doc overlap fraction + which eval
+# item is responsible (most shared n-grams, ties -> lowest eval id) —
+# what the GPT-3/Llama-style data appendices publish, not just the
+# drop flag. Same eval set as q_decontaminate; attribution is a
+# skew-immune min-of-struct groupBy, never a per-doc rank window.
+# ---------------------------------------------------------------------------
+@q(
+    "q_contamination_report",
+    f"""
+    WITH {_DECON_CTES},
+    evp AS (SELECT doc_id AS eval_id, ngram FROM sh
+            WHERE doc_id % 47 = 0 AND doc_id < 2000),
+    j AS (SELECT s.doc_id, s.ngram, e.eval_id FROM sh s JOIN evp e USING (ngram)),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_hits
+      FROM j GROUP BY doc_id
+    ),
+    pp AS (
+      SELECT doc_id, eval_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM j GROUP BY doc_id, eval_id
+    ),
+    top AS (
+      SELECT doc_id, eval_id AS top_eval_id, hits AS top_eval_hits
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY hits DESC, eval_id) AS rk
+            FROM pp)
+      WHERE rk = 1
+    ),
+    ns AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(
+               CASE WHEN len(toks) >= {_DECON_N}
+                    THEN list_transform(
+                      generate_series(1, len(toks) - {_DECON_N} + 1),
+                      i -> array_to_string(toks[i:i+{_DECON_N - 1}], '␟'))
+                    ELSE [] END)) AS BIGINT) AS n_shingles
+      FROM tk
+    )
+    SELECT d.doc_id, ns.n_shingles,
+           CAST(COALESCE(tot.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN ns.n_shingles > 0
+                THEN ROUND(CAST(COALESCE(tot.n_hits, 0) AS DOUBLE)
+                           / CAST(ns.n_shingles AS DOUBLE), 6)
+                ELSE 0.0 END AS overlap_frac,
+           top.top_eval_id, top.top_eval_hits
+    FROM documents d
+    JOIN ns USING (doc_id)
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN top USING (doc_id)
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eval ids capped < 2000: a real benchmark is FIXED-size — an eval
+    # set that grows with the corpus (q_decontaminate's every-47th
+    # convention) makes the audit's (doc, eval, ngram) triple table
+    # grow quadratically on template-heavy corpora. Identical to the
+    # uncapped set at the driver's sf0.001/sf0.01 (ids 0..499).
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter((F.col("doc_id") % 47 == 0) & (F.col("doc_id") < 2000))
+    return TO.contamination_report(docs, ev, n=_DECON_N)
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,14 @@ TAIL_QUERIES: tuple[str, ...] = (
     # cut machinery is also in-window via q_perplexity_buckets.
     # q_unigram_logprob was green r6; pytest-oracle every run.
     "q_unigram_logprob",
+    # r7: parked for q_contamination_report's window slot (the
+    # contamination AUDIT report earns the hard signal first, per
+    # policy). q_contamination_report's oracle CONTAINS the shared
+    # shingle CTEs (_DECON_CTES) and its n_hits column IS
+    # decontaminate's n_hits per doc — the flag query is a strict
+    # projection of the successor. q_decontaminate was green in
+    # every window r4-r6; pytest-oracle every run.
+    "q_decontaminate",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

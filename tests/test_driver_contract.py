@@ -46,7 +46,11 @@ def test_oracle_queries_inside_driver_window():
         # parked in exchange for q_line_dedup / q_bigram_logprob (their
         # pins moved with them — the line stage and the pack chain stay
         # in-window through the successors).
-        "q_decontaminate",
+        # r7: q_decontaminate parked in exchange after green rows
+        # r4-r6 — its n_hits/flag output is a strict projection of
+        # the successor's audit report, whose oracle contains the
+        # shared _DECON_CTES shingle chain
+        "q_contamination_report",
         "q_corpus_pipeline",
         # r6 rotation (VERDICT r5 #4): the longest-parked
         # oracle-bearing batteries re-earn a driver-recorded green row

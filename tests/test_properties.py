@@ -844,3 +844,49 @@ def test_budget_select_matches_reference(spark, rows, budget, straddle):
             keep.add(q)
     want = sorted((i, t, q) for i, t, q in qrows if q in keep)
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                   min_size=1, max_size=12),
+    n=st.integers(min_value=1, max_value=3),
+    step=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_contamination_report_matches_reference(spark, texts, n, step):
+    """contamination_report == a sequential reference over random
+    corpora: distinct-shingle hit counts, 0/0-guarded overlap
+    fraction, and (max shared shingles, min eval id) attribution —
+    eval set = every ``step``-th doc, so self-hits and multi-eval
+    ties are dense."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ev = docs.filter(F.col("doc_id") % step == 0)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.overlap_frac,
+                   r.top_eval_id, r.top_eval_hits)
+        for r in TO.contamination_report(docs, ev, n=n).collect()
+    }
+
+    def shingles(t):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        return {"␟".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    eval_ids = [i for i in sh if i % step == 0]
+    ev_all = set().union(*(sh[e] for e in eval_ids)) if eval_ids else set()
+    want = {}
+    for i, s in sh.items():
+        hits = s & ev_all
+        per_eval = {e: len(s & sh[e]) for e in eval_ids if s & sh[e]}
+        if per_eval:
+            top = min(per_eval, key=lambda e: (-per_eval[e], e))
+            top_id, top_hits = top, per_eval[top]
+        else:
+            top_id, top_hits = None, None
+        frac = _r6(len(hits) / len(s)) if s else 0.0
+        want[i] = (len(s), len(hits), frac, top_id, top_hits)
+    assert got == want
