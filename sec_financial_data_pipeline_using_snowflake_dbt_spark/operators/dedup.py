@@ -925,7 +925,11 @@ def keep_best(
     min-combining: a corpus-wide boilerplate cluster with millions of
     members would sort one hot window partition, while min-combining
     reduces it map-side. The score negates exactly (0 - x) so
-    min(struct(-score, id)) realizes (max score, min id).
+    min(struct(-score, id)) realizes (max score, min id). A NULL
+    score ranks WORST (struct ordering would otherwise sort the NULL
+    field first and hand the win to the unscored member): it
+    coalesces to +Infinity after negation, so an all-NULL cluster
+    still keeps its min-id member rather than dropping whole.
     """
     scored = docs.select(
         F.col(id_col).alias("id"), F.col(score_col).alias("__score")
@@ -935,7 +939,10 @@ def keep_best(
         .agg(
             F.min(
                 F.struct(
-                    (F.lit(0) - F.col("__score")).alias("ns"),
+                    F.coalesce(
+                        (F.lit(0) - F.col("__score")).cast("double"),
+                        F.lit(float("inf")),
+                    ).alias("ns"),
                     F.col("id").alias("kid"),
                 )
             ).alias("w")

@@ -829,6 +829,10 @@ def temperature_mixture(
     counts = {
         r[0]: r[1]
         for r in docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        # a NULL stratum can't take a weight (mixture_resample's CASE
+        # literals never match NULL, and None breaks the sorted()
+        # weight fold) — such rows drop, the absent-strata semantics
+        if r[0] is not None
     }
     if not counts:
         return mixture_resample(
@@ -1495,6 +1499,8 @@ def perplexity_buckets(
     (written as a subtraction so a zero score yields +0.0, never
     -0.0); counts and the bucket rule are exact integers.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     lp = bigram_logprob(docs, lam=lam, id_col=id_col, text_col=text_col, round_to=round_to)
     scored = lp.select(
         id_col,

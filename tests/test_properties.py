@@ -890,3 +890,30 @@ def test_contamination_report_matches_reference(spark, texts, n, step):
         frac = _r6(len(hits) / len(s)) if s else 0.0
         want[i] = (len(s), len(hits), frac, top_id, top_hits)
     assert got == want
+
+
+def test_keep_best_null_scores_rank_worst(spark):
+    """A NULL-score member must never beat a scored member (struct
+    ordering would otherwise sort the NULL field first), and an
+    all-NULL cluster keeps its min-id member instead of vanishing."""
+    docs = spark.createDataFrame(
+        [(1, 5), (2, None), (3, None), (4, None)],
+        "doc_id long, score int",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
+    clusters = DD.dedup_clusters(pairs, nodes=nodes)
+    kept = sorted(r.doc_id for r in DD.keep_best(docs, clusters, "score").collect())
+    # cluster {1,2}: scored doc 1 beats NULL doc 2; cluster {3,4}:
+    # all-NULL -> min id 3
+    assert kept == [1, 3]
+
+
+def test_temperature_mixture_null_stratum_drops(spark):
+    """Rows with a NULL stratum drop (the absent-strata semantics)
+    instead of crashing the driver-side weight fold."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "doc_id long, lang string"
+    )
+    got = sorted(r.doc_id for r in TO.temperature_mixture(docs, "lang").collect())
+    assert got == [1, 3]
