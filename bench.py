@@ -76,6 +76,7 @@ HEADLINE = [
     "q_text_repetition",
     "q_fingerprint",
     "q_vocab_topk",
+    "q_oov_rate",
     "q_bpe_train",
     "q_bpe_encode",
     "q_bpe_encode_ids",

@@ -673,6 +673,64 @@ def vocab_top_terms(
     )
 
 
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document for a frequency-cut
+    vocabulary — the tokenizer/vocab-design metric: fix the vocabulary
+    to the ``vocab_size`` most frequent corpus tokens (ties → token
+    asc, the vocab_top_terms cut) and report how much of each document
+    falls outside it. High-OOV docs are the ones a word-level model
+    would shred into <unk>; the corpus-level aggregate drives the
+    vocab-size-vs-coverage decision the coverage curve
+    (``vocab_top_terms``) summarizes globally.
+
+    Returns (id, n_tokens, n_oov, oov_frac) for EVERY input doc
+    (0-token docs report 0.0 — the quality_filter NULL-guard lesson).
+
+    Scale: corpus counts are one map-side-combined shuffle; the top-V
+    cut is orderBy+limit (TakeOrdered tree reduction, never a global
+    sort); the V-row vocabulary BROADCASTS into a left-anti join
+    against the exploded tokens, so only OOV (doc, token) rows reach
+    the per-doc count; the final join back to per-doc token counts is
+    id-equi and AQE-decided.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    tok = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), "token").limit(vocab_size).select("token")
+    )
+    oov = (
+        tok.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(TX.tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    nv = F.coalesce("n_oov", F.lit(0)).cast("long")
+    return base.join(oov, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        nv.alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(nv.cast("double") / F.col("n_tokens").cast("double"), round_to),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_frac"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

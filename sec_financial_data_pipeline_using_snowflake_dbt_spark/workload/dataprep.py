@@ -1087,6 +1087,50 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-document OOV rate for a frequency-cut vocabulary (V=16 of the
+# corpus's 31 distinct tokens — a mid-vocabulary cut so the OOV
+# distribution is non-trivial): the tokenizer/vocab-design metric.
+# Vocabulary = q_vocab_topk's (freq DESC, token) cut; OOV tokens are
+# counted by a broadcast anti-join, never a corpus-side NOT IN scan.
+# ---------------------------------------------------------------------------
+_OOV_V = 16
+
+
+@q(
+    "q_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    vocab AS (
+      SELECT token FROM counts ORDER BY cnt DESC, token LIMIT {_OOV_V}
+    ),
+    ov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov
+      FROM tok WHERE token NOT IN (SELECT token FROM vocab)
+      GROUP BY doc_id
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+           CASE WHEN d.n_tokens > 0
+                THEN ROUND(CAST(COALESCE(o.n_oov, 0) AS DOUBLE)
+                           / CAST(d.n_tokens AS DOUBLE), 6)
+                ELSE 0.0 END AS oov_frac
+    FROM dl d LEFT JOIN ov o USING (doc_id)
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.oov_rate(table(spark, sf_dir, "documents"), vocab_size=_OOV_V)
+
+
+# ---------------------------------------------------------------------------
 # Per-document TF-IDF top terms (scikit-learn smoothing:
 # tf * (ln((N+1)/(df+1)) + 1)) — keyword extraction / quality signal.
 # ---------------------------------------------------------------------------

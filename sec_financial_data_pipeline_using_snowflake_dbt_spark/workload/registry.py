@@ -154,6 +154,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # projection of the successor. q_decontaminate was green in
     # every window r4-r6; pytest-oracle every run.
     "q_decontaminate",
+    # r7: parked for q_oov_rate's window slot (the OOV-rate vocab
+    # metric earns the hard signal first, per policy). q_oov_rate's
+    # oracle CONTAINS the token-count + (freq DESC, token) top-V cut
+    # machinery (the q_vocab_topk core); the coverage-curve cumsum
+    # stays exercised by q_pack_token_ids' per-shard window cumsums
+    # and the pytest oracle every run. q_vocab_topk was green r6.
+    "q_vocab_topk",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

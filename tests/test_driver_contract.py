@@ -65,7 +65,11 @@ def test_oracle_queries_inside_driver_window():
         # r6 new operators take the hard signal first (q_array_ops'
         # r5 pin rotated out in exchange — array slicing/explode stays
         # in-window via q_chunk_docs, HOF folds via q_text_repetition)
-        "q_vocab_topk",
+        # r7: per-doc OOV rate (q_vocab_topk parked in exchange after
+        # green rows r6 — the token-count + top-V frequency-cut core
+        # runs inside q_oov_rate's oracle; the coverage cumsum stays
+        # via q_pack_token_ids' windows + pytest)
+        "q_oov_rate",
         "q_tfidf",
         "q_stream_join",
         "q_ann_pq",

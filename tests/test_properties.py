@@ -917,3 +917,35 @@ def test_temperature_mixture_null_stratum_drops(spark):
     )
     got = sorted(r.doc_id for r in TO.temperature_mixture(docs, "lang").collect())
     assert got == [1, 3]
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc ", min_size=0, max_size=25),
+                   min_size=1, max_size=12),
+    v=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_oov_rate_matches_reference(spark, texts, v):
+    """oov_rate == a sequential reference: (freq DESC, token ASC)
+    vocabulary cut — including ties spanning the cut boundary — and
+    per-doc OOV counting with the 0-token guard."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_frac)
+        for r in TO.oov_rate(docs, vocab_size=v).collect()
+    }
+
+    toks = {i: [w for w in re.split(r"\s+", t.lower()) if w]
+            for i, t in enumerate(texts)}
+    freq = Counter(w for ts in toks.values() for w in ts)
+    vocab = set(sorted(freq, key=lambda t: (-freq[t], t))[:v])
+    want = {}
+    for i, ts in toks.items():
+        n_oov = sum(1 for w in ts if w not in vocab)
+        frac = _r6(n_oov / len(ts)) if ts else 0.0
+        want[i] = (len(ts), n_oov, frac)
+    assert got == want
