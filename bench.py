@@ -56,6 +56,7 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_verify",
     "q_dedup_clusters",
     "q_dedup_keep_best",
     "q_dedup_simhash",

@@ -470,6 +470,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Candidate-pair verification: exact shingle Jaccard for each banded
+# MinHash candidate (the production precision fix after LSH —
+# candidates -> verify -> clusters). Intersections are computed for
+# candidate pairs ONLY — never the quadratic shingle self-join of the
+# recall harness's truth arm.
+# ---------------------------------------------------------------------------
+@q(
+    "q_dedup_verify",
+    f"""
+    WITH {_minhash_pairs_ctes("documents")},
+    vs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM nd_sh GROUP BY doc_id),
+    vi AS (
+      SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS ovl
+      FROM nd_pairs p
+      JOIN nd_sh a ON a.doc_id = p.id_a
+      JOIN nd_sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(vi.ovl, 0) AS BIGINT) AS ovl,
+           CASE WHEN (COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                      - COALESCE(vi.ovl, 0)) > 0
+                THEN ROUND(CAST(COALESCE(vi.ovl, 0) AS DOUBLE)
+                           / (COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                              - COALESCE(vi.ovl, 0)), 6)
+                ELSE 0.0 END AS jaccard,
+           CAST(CASE WHEN (CASE WHEN (COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                                      - COALESCE(vi.ovl, 0)) > 0
+                                THEN ROUND(CAST(COALESCE(vi.ovl, 0) AS DOUBLE)
+                                           / (COALESCE(sa.sz, 0)
+                                              + COALESCE(sb.sz, 0)
+                                              - COALESCE(vi.ovl, 0)), 6)
+                                ELSE 0.0 END) >= 0.8
+                     THEN 1 ELSE 0 END AS INT) AS verified
+    FROM nd_pairs p
+    LEFT JOIN vi USING (id_a, id_b)
+    LEFT JOIN vs sa ON sa.doc_id = p.id_a
+    LEFT JOIN vs sb ON sb.doc_id = p.id_b
+    """,
+)
+def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3)
+    return DD.verify_pairs(docs, pairs, threshold=0.8, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
 # Quality-aware canonical selection: per near-dup cluster keep the
 # LONGEST member (ties → lowest id) instead of the arbitrary min-id —
 # the production "keep the best duplicate" policy, realized with a

@@ -161,6 +161,16 @@ TAIL_QUERIES: tuple[str, ...] = (
     # stays exercised by q_pack_token_ids' per-shard window cumsums
     # and the pytest oracle every run. q_vocab_topk was green r6.
     "q_vocab_topk",
+    # r7: parked for q_dedup_verify's window slot (the candidate-pair
+    # verification stage earns the hard signal first, per policy).
+    # q_dedup_verify's oracle CONTAINS the entire banded chain
+    # (shared _minhash_pairs_ctes — also inside q_dedup_recall and
+    # q_dedup_keep_best, both in-window) and its input IS nd_pairs,
+    # so the candidate surface stays driver-checked three ways; it
+    # also puts EXACT per-pair Jaccard in-window, strengthening the
+    # q_dedup_jaccard park rationale. q_dedup_minhash was green in
+    # every window r1-r6 (and stays in the bench HEADLINE).
+    "q_dedup_minhash",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

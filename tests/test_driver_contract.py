@@ -118,8 +118,13 @@ def test_oracle_queries_inside_driver_window():
         "q_corpus_stats",
         # r6 continuation: repeated-substring detection
         # (q_dedup_jaccard parked in exchange — Jaccard semantics stay
-        # in-window via q_dedup_minhash's banded estimator)
+        # in-window via q_dedup_verify's EXACT per-pair Jaccard and
+        # q_dedup_recall's truth arm; q_dedup_minhash itself parked
+        # r7 for q_dedup_verify's slot after green rows r1-r6, its
+        # banded chain contained in three in-window oracles)
         "q_dedup_substrings",
+        # r7: candidate-pair verification (see above)
+        "q_dedup_verify",
         # r6 continuation: end-to-end mixture->pack assembly
         # (q_dedup_simhash parked in exchange — q_dedup_simhash64 is
         # the same operator at the large-corpus width)

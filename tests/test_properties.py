@@ -949,3 +949,48 @@ def test_oov_rate_matches_reference(spark, texts, v):
         frac = _r6(n_oov / len(ts)) if ts else 0.0
         want[i] = (len(ts), n_oov, frac)
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=25),
+                   min_size=1, max_size=10),
+    extra_pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=5
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_verify_pairs_matches_reference(spark, texts, extra_pairs, n):
+    """verify_pairs == exact shingle Jaccard computed sequentially for
+    ARBITRARY input pairs — including pairs whose sides share nothing
+    (ovl 0), sub-n-gram docs (empty shingle sets, 0/0 -> 0.0), and
+    the >= threshold verdict on the rounded value."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    prs = sorted(
+        {(min(a, b), max(a, b)) for a, b in extra_pairs
+         if a != b and a < len(texts) and b < len(texts)}
+    )
+    if not prs:
+        prs = [(0, 0)]  # degenerate but schema-valid self-pair
+    pairs = spark.createDataFrame(prs, "id_a long, id_b long")
+    got = sorted(
+        tuple(r)
+        for r in DD.verify_pairs(docs, pairs, threshold=0.5, shingle_n=n).collect()
+    )
+
+    def sh(t):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        return {"␟".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    s = {i: sh(t) for i, t in enumerate(texts)}
+    want = []
+    for a, b in prs:
+        ovl = len(s[a] & s[b])
+        denom = len(s[a]) + len(s[b]) - ovl
+        jac = _r6(ovl / denom) if denom > 0 else 0.0
+        want.append((a, b, ovl, jac, int(jac >= 0.5)))
+    assert got == sorted(want)
