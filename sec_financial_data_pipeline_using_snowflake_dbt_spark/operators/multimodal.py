@@ -358,7 +358,11 @@ def _decode_image(payload: bytes, use_real_codecs: bool = False) -> dict[str, An
 
 
 IMAGE_FEATURE_SCHEMA = (
-    "asset_id string, format string, width int, height int, "
+    # width/height/timescale are LONG: PNG dims and mvhd timescale are
+    # uint32 on the wire, and a hostile 4-billion-pixel header must
+    # produce a (absurd but reportable) row, not an Arrow int32
+    # overflow that kills the task
+    "asset_id string, format string, width long, height long, "
     "mean_luma double, n_bytes long"
 )
 
@@ -495,7 +499,7 @@ def sample_video_frames(
 
 
 VIDEO_FEATURE_SCHEMA = (
-    "asset_id string, format string, timescale int, "
+    "asset_id string, format string, timescale long, "
     "duration_seconds double, n_bytes long"
 )
 

@@ -425,3 +425,32 @@ def test_decode_audio_features_pcm_stats(spark, tmp_path_factory):
     assets = MM.pack_assets(spark.read.format("binaryFile").load(str(d)))
     row = MM.decode_audio_features(assets).collect()[0]
     assert row.mean_amplitude == 0.5 and row.rms == 0.5
+
+
+def test_hostile_uint32_dimensions_survive(spark):
+    """A crafted PNG IHDR with ~4-billion-pixel dimensions (and an mp4
+    mvhd with a >int32 timescale) must come back as absurd-but-present
+    rows — uint32 wire values overflow an int32 Arrow column and would
+    otherwise kill the whole task."""
+    import struct as st
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        multimodal as MM,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(
+        ">IIBBBBB", 0xFFFFFFF0, 0xFFFFFFF1, 8, 2, 0, 0, 0
+    )
+    mvhd = st.pack(">B3x", 0) + st.pack(">IIII", 0, 0, 0xFFFFFFF2, 600)
+    mp4 = (
+        st.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00"
+        + st.pack(">I", 8 + 8 + len(mvhd)) + b"moov"
+        + st.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    )
+    assets = spark.createDataFrame(
+        [("a", png), ("b", mp4)], "asset_id string, payload binary"
+    )
+    img = MM.decode_image_features(assets).collect()
+    assert len(img) == 1 and img[0].width == 0xFFFFFFF0
+    vid = MM.decode_video_features(assets).collect()
+    assert len(vid) == 1 and vid[0].timescale == 0xFFFFFFF2
