@@ -154,17 +154,19 @@ def stratified_sample_hash(
 
 def _barrier(df: DataFrame, *cols) -> DataFrame:
     """Barrier projection: select ``cols`` plus a dropped
-    ``monotonically_increasing_id`` so CollapseProject cannot re-inline
-    the stage into its consumers. Catalyst's subexpression elimination
+    nondeterministic column so CollapseProject cannot re-inline the
+    stage into its consumers. Catalyst's subexpression elimination
     SKIPS lambda-bearing expressions (LambdaVariable can't be hoisted),
     so without a barrier every output column referencing a staged array
     HOF re-evaluates it per reference (measured 4.6x slower on
-    repetition_stats at sf1 — the r6 lesson). Trade-off: caller
-    predicates don't push below the barrier, so only stage columns that
-    every consumer computes anyway."""
-    return df.select(
-        *cols, F.monotonically_increasing_id().alias("__bar")
-    ).drop("__bar")
+    repetition_stats at sf1 — the r6 lesson). The blocker is
+    ``spark_partition_id()`` — nondeterministic for the optimizer
+    (same two-Project staged plan as monotonically_increasing_id,
+    verified) but, unlike it, SUPPORTED on streaming DataFrames, so
+    the barrier-staged operators run unchanged on readStream sources.
+    Trade-off: caller predicates don't push below the barrier, so only
+    stage columns that every consumer computes anyway."""
+    return df.select(*cols, F.spark_partition_id().alias("__bar")).drop("__bar")
 
 
 def _run_stats(arr):

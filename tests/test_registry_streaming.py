@@ -292,3 +292,45 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path_factory):
     )
     q2.awaitTermination()
     assert spark.table("stream_dedup_wm").count() == batch_hashes
+
+
+def test_narrow_corpus_ops_run_on_streams(spark):
+    """The narrow corpus operators (quality filter, PII scrub, C4 line
+    clean, chunking) are stateless flat maps, so the SAME operator
+    code must run unchanged on a readStream source and produce
+    batch-identical rows in one availableNow pass — the property that
+    makes the cleaning stages deployable as a streaming ingest
+    pipeline with no separate implementation."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs_schema = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+    )
+    batch_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    for i, op in enumerate(
+        (TO.quality_filter, TO.scrub_pii, TO.c4_line_clean, TO.chunk_documents)
+    ):
+        name = f"stream_narrow_{i}"
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table(name)
+        want = op(batch_docs)
+        assert streamed.schema == want.schema, op.__name__
+        assert (
+            streamed.exceptAll(want).count() == 0
+            and want.exceptAll(streamed).count() == 0
+        ), op.__name__
