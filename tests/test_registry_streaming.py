@@ -315,7 +315,15 @@ def test_narrow_corpus_ops_run_on_streams(spark):
     batch_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
 
     for i, op in enumerate(
-        (TO.quality_filter, TO.scrub_pii, TO.c4_line_clean, TO.chunk_documents)
+        (
+            TO.quality_filter,
+            TO.scrub_pii,
+            TO.c4_line_clean,
+            TO.chunk_documents,
+            TO.text_quality,
+            TO.language_id,
+            TO.fingerprints,
+        )
     ):
         name = f"stream_narrow_{i}"
         q = (
