@@ -72,8 +72,15 @@ def filtered_read(
     reference paginates unordered SELECTs (app.py:198), which reshuffles
     between pages; we default to sorting by every projected column."""
     out = df.filter(build_predicate(filters or []))
-    sort_cols = sort or df.columns
-    out = out.orderBy(*sort_cols)
+    # default sort: every ORDERABLE projected column — a map-bearing
+    # column in the default key would fail at plan time (the same
+    # _orderable guard ResultCache.fetch applies); an explicit caller
+    # sort is passed through untouched and may still raise.
+    sort_cols = sort or [
+        f.name for f in df.schema.fields if _orderable(f.dataType)
+    ]
+    if sort_cols:
+        out = out.orderBy(*sort_cols)
     if offset:
         out = out.offset(offset)
     return out.limit(limit)
@@ -236,22 +243,33 @@ class ResultCache:
     the reference's normalized-SQL-text key, app.py:151,303)."""
 
     ttl_seconds: float = 3600.0
-    _store: dict[int, dict[int, _Entry]] = field(default_factory=dict)
+    _store: dict[Any, dict[int, _Entry]] = field(default_factory=dict)
     hits: int = 0
     misses: int = 0
 
     @staticmethod
-    def key_for(df: DataFrame) -> int:
+    def key_for(df: DataFrame):
         # hash the OPTIMIZED plan: trivially-different spellings (extra
         # projections, reordered filters) collapse to one key;
         # df.semanticHash() hashes the analyzed plan and would not.
+        # semanticHash alone is 32-bit — birthday math puts a cross-plan
+        # collision (one query silently served another's rows) at ~1% by
+        # ten thousand distinct cached plans, so the key also carries an
+        # md5 of the CANONICALIZED plan string (canonicalization
+        # normalizes expr ids, so equivalent spellings still collapse).
         # Spark Connect DataFrames carry no _jdf — fall back to the
         # analyzed-plan hash there (weaker dedup of equivalent plans,
         # still a correct cache key).
+        import hashlib
+
         try:
-            return df._jdf.queryExecution().optimizedPlan().semanticHash()
+            plan = df._jdf.queryExecution().optimizedPlan()
         except AttributeError:
-            return df.semanticHash()
+            return ("connect", df.semanticHash())
+        return (
+            plan.semanticHash(),
+            hashlib.md5(plan.canonicalized().toString().encode()).hexdigest(),
+        )
 
     def fetch(self, df: DataFrame, limit: int = 5000):
         """Collect (bounded) through the cache; returns list[Row].

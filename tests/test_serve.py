@@ -199,3 +199,26 @@ def test_filter_widget_probe_keeps_null_category(spark):
     assert w["status"]["kind"] == "categorical"
     assert "None" in w["status"]["values"]
     assert set(w["status"]["values"]) == {"A", "B", "None"}
+
+
+def test_filtered_read_map_column_default_sort(spark):
+    """A map-typed column must not break filtered_read's DEFAULT
+    deterministic sort (maps aren't orderable; the default key now
+    skips them like ResultCache.fetch does)."""
+    df = spark.createDataFrame(
+        [(2, {"k": "b"}), (1, {"k": "a"})],
+        "id int, m map<string,string>",
+    )
+    rows = serve.filtered_read(df, limit=10).collect()
+    assert [r.id for r in rows] == [1, 2]
+
+
+def test_result_cache_key_distinguishes_plans(spark):
+    """The cache key must separate genuinely different plans while
+    still collapsing equivalent spellings (the canonicalized-plan arm
+    of the key)."""
+    a = spark.range(10).filter("id > 3")
+    a2 = spark.range(10).filter("id > 3").select("id")  # equivalent spelling
+    b = spark.range(10).filter("id > 4")
+    assert serve.ResultCache.key_for(a) == serve.ResultCache.key_for(a2)
+    assert serve.ResultCache.key_for(a) != serve.ResultCache.key_for(b)
