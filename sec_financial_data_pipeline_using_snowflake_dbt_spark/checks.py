@@ -54,7 +54,10 @@ def relationships(
     non_null = child
     for ck in keys:
         non_null = non_null.filter(F.col(ck).isNotNull())
-    return non_null.join(F.broadcast(parent.select(*keys.values()).distinct()), cond, "left_anti")
+    # no broadcast hint: the parent key set is usually small but a
+    # dimension CAN be huge (the house rule — never bake a broadcast
+    # on a side that can grow; AQE broadcasts from measured sizes)
+    return non_null.join(parent.select(*keys.values()).distinct(), cond, "left_anti")
 
 
 def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
