@@ -62,7 +62,31 @@ def read_tsv(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     lines = reader.text(path)
+    return parse_tsv_lines(
+        lines,
+        schema,
+        date_format=date_format,
+        timestamp_format=timestamp_format,
+        on_error_continue=on_error_continue,
+        corrupt_record_col=corrupt_record_col,
+        sep=sep,
+    )
 
+
+def parse_tsv_lines(
+    lines: DataFrame,
+    schema: T.StructType,
+    date_format: str = "yyyyMMdd",
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+    on_error_continue: bool = True,
+    corrupt_record_col: str | None = None,
+    sep: str = "\t",
+) -> DataFrame:
+    """The COPY-semantics parse over a ``value``-column line source —
+    pure Column work, so it runs identically on a BATCH text scan
+    (``read_tsv``) and a STREAMING one (``stream_sec_quarter``): one
+    spelling is what makes "batch and stream are semantics-identical"
+    true by construction rather than by parallel maintenance."""
     # strip trailing CR (CRLF files)
     line = F.regexp_replace(F.col("value"), "\r$", "")
     # NULL_IF=('NULL','null'): Snowflake applies it per FIELD after quote

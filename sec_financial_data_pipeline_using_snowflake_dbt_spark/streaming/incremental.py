@@ -72,37 +72,17 @@ def stream_sec_quarter(
     restarts (checkpointed), the scale path for "a new quarter landed".
     """
     from ..schemas import SEC_SCHEMAS
-    from ..sources.tsv import NULL_LITERALS, _CORRUPT
+    from ..sources.tsv import parse_tsv_lines
 
     schema = SEC_SCHEMAS[table]
     lines = (
         spark.readStream.option("pathGlobFilter", f"*{table}.txt")
         .text(landing_dir)
     )
-    line = F.regexp_replace(F.col("value"), "\r$", "")
-    null_alt = "|".join(lit for lit in NULL_LITERALS if lit)
-    line = F.regexp_replace(line, f"(?<=^|\t)(?:{null_alt})(?=\t|$)", "")
-    header_line = "\t".join(f.name for f in schema.fields)
-    parse_schema = T.StructType(
-        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
-    )
-    opts = {
-        "sep": "\t",
-        "quote": '"',
-        "escape": '"',
-        "dateFormat": "yyyyMMdd",
-        "timestampFormat": "yyyy-MM-dd HH:mm:ss",
-        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss",
-        "nullValue": "",
-        "mode": "PERMISSIVE",
-        "columnNameOfCorruptRecord": _CORRUPT,
-    }
-    parsed = (
-        lines.filter(F.lower(line) != header_line.lower())
-        .select(F.from_csv(line, parse_schema.simpleString(), opts).alias("_r"))
-        .filter(F.col(f"_r.{_CORRUPT}").isNull())
-        .select(*[F.col(f"_r.{f.name}").alias(f.name) for f in schema.fields])
-    )
+    # the SAME parse expression the batch reader uses (shared helper —
+    # a hand-copied streaming parse once lacked the quote-gated NULL_IF
+    # rewrite, silently diverging from batch on quoted lines)
+    parsed = parse_tsv_lines(lines, schema)
     q = (
         parsed.writeStream.format("parquet")
         .option("path", out_path)
