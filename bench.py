@@ -57,6 +57,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_verify",
+    "q_dedup_delta",
     "q_dedup_clusters",
     "q_dedup_keep_best",
     "q_dedup_simhash",

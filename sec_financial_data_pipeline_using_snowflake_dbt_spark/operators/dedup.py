@@ -285,6 +285,29 @@ def minhash_lsh_pairs(
     sharing a band bucket — i.e. actual near-duplicates, which is the
     output itself.
     """
+    band_sig = _band_table(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    if cache_signatures:
+        band_sig = _persist(band_sig)
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _band_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, sig) banded-signature table — one spelling shared by
+    the whole-corpus and delta candidate joins."""
     # bands > num_hashes would make every band signature md5('') for
     # every doc (concat_ws of zero columns) — the full O(n²) candidate
     # set LSH exists to avoid; a non-dividing bands silently ignores
@@ -310,7 +333,7 @@ def minhash_lsh_pairs(
         )
         band_cols.append(F.md5(joined).alias(f"sig{b}"))
     sigs = sig.select("id", *band_cols)
-    band_sig = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -321,14 +344,49 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def minhash_lsh_pairs_delta(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    cache_signatures: bool = True,
+) -> DataFrame:
+    """Delta dedup — the production recurrence: candidate near-dup
+    pairs for a NEW batch (a fresh crawl) against an EXISTING corpus,
+    plus within the new batch itself, WITHOUT ever materializing
+    existing×existing candidates. Equals
+    ``minhash_lsh_pairs(new ∪ existing)`` minus the both-existing
+    pairs — but computed so the dominant cost class never exists: the
+    band join's left side is the NEW band table only, so candidate
+    work is proportional to |new| × bucket occupancy, not
+    |corpus|².
+
+    Ids must be disjoint between the two inputs (a shared id would be
+    silently self-pair-filtered). Returns distinct (id_a, id_b),
+    id_a < id_b; each pair touches ≥ 1 new doc by construction.
+
+    Scale: the existing side still pays one signature build per run —
+    in a real recurrence persist its band table once and reuse it
+    across deltas (it is append-only: new batches' bands union on).
+    """
+    nb = _band_table(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    eb = _band_table(existing, id_col, text_col, num_hashes, bands, shingle_n)
     if cache_signatures:
-        band_sig = _persist(band_sig)
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
+        nb, eb = _persist(nb), _persist(eb)
+    allb = nb.unionByName(eb)
+    a, b = nb.alias("a"), allb.alias("b")
     return (
         a.join(b, ["band", "sig"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -470,6 +470,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Delta dedup: candidates for the NEW batch (doc_id >= 400) against
+# the EXISTING corpus plus within the batch — never materializing
+# existing x existing. The oracle is the whole-corpus banded chain
+# with the both-existing pairs removed (the operator computes the
+# same set with the new band table as the join's left side).
+# ---------------------------------------------------------------------------
+_DELTA_SPLIT_ID = 400
+
+
+@q(
+    "q_dedup_delta",
+    f"""
+    WITH {_minhash_pairs_ctes("documents")}
+    SELECT id_a, id_b FROM nd_pairs
+    WHERE NOT (id_a < {_DELTA_SPLIT_ID} AND id_b < {_DELTA_SPLIT_ID})
+    """,
+)
+def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs_delta(
+        docs.filter(F.col("doc_id") >= _DELTA_SPLIT_ID),
+        docs.filter(F.col("doc_id") < _DELTA_SPLIT_ID),
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Candidate-pair verification: exact shingle Jaccard for each banded
 # MinHash candidate (the production precision fix after LSH —
 # candidates -> verify -> clusters). Intersections are computed for

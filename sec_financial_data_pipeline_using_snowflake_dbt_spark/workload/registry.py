@@ -171,6 +171,16 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_dedup_jaccard park rationale. q_dedup_minhash was green in
     # every window r1-r6 (and stays in the bench HEADLINE).
     "q_dedup_minhash",
+    # r7: parked for q_dedup_delta's window slot (the delta-dedup
+    # candidate join — new batch vs existing corpus — earns the hard
+    # signal first, per policy). The banded-signature surface stays
+    # in-window FOUR ways (q_dedup_delta/q_dedup_verify/
+    # q_dedup_recall/q_dedup_keep_best all contain the shared
+    # _minhash_pairs_ctes chain); the SimHash operator itself stays
+    # oracle-verified every pytest run at both widths (q_dedup_simhash
+    # and q_dedup_simhash64 rows in test_workload_oracle) and in the
+    # bench HEADLINE. q_dedup_simhash64 was green r6.
+    "q_dedup_simhash64",
     # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
     # q_window_frames / q_string_funcs return to the window (parked since
     # r2 — the longest-stale hard signal); parked in exchange are five

@@ -125,9 +125,14 @@ def test_oracle_queries_inside_driver_window():
         "q_dedup_substrings",
         # r7: candidate-pair verification (see above)
         "q_dedup_verify",
+        # r7: delta dedup — new batch vs existing corpus
+        # (q_dedup_simhash64 parked in exchange after its r6 green
+        # row; both SimHash widths stay oracle-verified every pytest
+        # run and in the bench HEADLINE)
+        "q_dedup_delta",
         # r6 continuation: end-to-end mixture->pack assembly
-        # (q_dedup_simhash parked in exchange — q_dedup_simhash64 is
-        # the same operator at the large-corpus width)
+        # (q_dedup_simhash parked in exchange — the SimHash operator
+        # stays pytest-oracled at both widths)
         "q_training_mix",
         # r6 continuation: line dedup + bigram LM (q_c4_clean /
         # q_pack_sequences parked in exchange, rationale in

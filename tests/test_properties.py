@@ -994,3 +994,37 @@ def test_verify_pairs_matches_reference(spark, texts, extra_pairs, n):
         jac = _r6(ovl / denom) if denom > 0 else 0.0
         want.append((a, b, ovl, jac, int(jac >= 0.5)))
     assert got == sorted(want)
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=25),
+                   min_size=1, max_size=12),
+    split=st.integers(min_value=0, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_minhash_delta_equals_filtered_whole_corpus(spark, texts, split):
+    """minhash_lsh_pairs_delta(new, existing) == the whole-corpus
+    banded candidates minus both-existing pairs — for every split
+    point, including all-new and all-existing batches."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    split = min(split, len(texts))
+    new = docs.filter(F.col("doc_id") >= split)
+    old = docs.filter(F.col("doc_id") < split)
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs_delta(
+            new, old, num_hashes=4, bands=2, shingle_n=1
+        ).collect()
+    )
+    DD.release_dedup_caches()
+    whole = sorted(
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(
+            docs, num_hashes=4, bands=2, shingle_n=1
+        ).collect()
+        if not (r.id_a < split and r.id_b < split)
+    )
+    DD.release_dedup_caches()
+    assert got == whole
