@@ -21,8 +21,13 @@ from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
     textops as TO,
 )
 
+import os
+
 _SETTINGS = dict(
-    max_examples=12,
+    # default 12 generous examples per property (Spark jobs are the
+    # cost); SPARK_GRAFT_HYP_EXAMPLES raises it for deep-fuzz passes
+    # (r7 ran the battery at 75 before round close)
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
