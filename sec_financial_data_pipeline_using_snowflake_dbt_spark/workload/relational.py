@@ -48,8 +48,16 @@ def q(name: str, sql: str | None):
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity)                                   AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({SQL_REVENUE}) AS DOUBLE)                AS sum_disc_price,
-           CAST(SUM({SQL_CHARGE}) AS DOUBLE)                 AS sum_charge,
+           -- the 4/6-dp sums ROUND to money cents on the DECIMAL (the
+           -- facts-build ROUND(SUM,2) convention; decimal CAST-downscale
+           -- rounding itself differs across engines) BEFORE the double
+           -- cast: past an unscaled 2^53 the decimal->double
+           -- conversion is no longer exact and the ENGINES round
+           -- differently (DuckDB converts int128->double then scales,
+           -- Java BigDecimal converts correctly-rounded in one step) —
+           -- observed as a 1-ulp sum_charge split at sf1 (NOTES_r7 §39)
+           CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE)     AS sum_disc_price,
+           CAST(ROUND(SUM({SQL_CHARGE}), 2) AS DOUBLE)      AS sum_charge,
            ROUND(SUM(l_quantity) / COUNT(*), 4)              AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)      AS avg_disc,
@@ -85,8 +93,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             as_dbl(F.sum(ep)).alias("sum_base_price"),
-            as_dbl(F.sum(rev)).alias("sum_disc_price"),
-            as_dbl(F.sum(chg)).alias("sum_charge"),
+            # downscale to cents before the double cast (see the oracle
+            # comment: 1-ulp engine split past unscaled 2^53)
+            as_dbl(F.round(F.sum(rev), 2)).alias("sum_disc_price"),
+            as_dbl(F.round(F.sum(chg), 2)).alias("sum_charge"),
             F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
             F.round(as_dbl(F.sum(ep)) / n, 4).alias("avg_price"),
             F.round(as_dbl(F.sum(dc)) / n, 4).alias("avg_disc"),
