@@ -180,7 +180,9 @@ def q_filter_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+           -- cents-ROUND before the double cast (the q_pricing_summary
+           -- 2^53 lesson, NOTES_r7 §39)
+           CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -194,7 +196,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            as_dbl(F.sum(revenue_expr())).alias("revenue"),
+            as_dbl(F.round(F.sum(revenue_expr()), 2)).alias("revenue"),
         )
     )
 
@@ -208,7 +210,9 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT r_name, n_name,
            COUNT(*) AS n_items,
-           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+           -- cents-ROUND before the double cast (the q_pricing_summary
+           -- 2^53 lesson, NOTES_r7 §39)
+           CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -229,7 +233,7 @@ def q_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            as_dbl(F.sum(revenue_expr())).alias("revenue"),
+            as_dbl(F.round(F.sum(revenue_expr()), 2)).alias("revenue"),
         )
     )
 
