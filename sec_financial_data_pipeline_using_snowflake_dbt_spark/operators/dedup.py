@@ -141,6 +141,147 @@ def exact_dedup(
     )
 
 
+#: Above this filter size the bloom bitmap is no longer baked as a
+#: literal array (a 2^20-bit filter is 16k longs ≈ 128 KB of plan —
+#: fine; a 10^10-bit one is not) and the probe switches to the
+#: position-table join arm.
+BLOOM_LITERAL_MAX_BITS = 1 << 20
+
+
+def bloom_positions(h: F.Column, m_bits: int, k: int) -> F.Column:
+    """``array<long>`` of the ``k`` Bloom bit positions for a content
+    hash: position_i = int(md5(h || ':' || i)[:15 hex]) % m_bits. All
+    md5-derived, so Spark and the SQL oracle compute identical bits
+    (the portable-hashing idiom of q_corpus_split / q_pack_token_ids);
+    15 hex digits < 2^60 stays exact in a BIGINT in both engines."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", h, F.lit(str(i)))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    m_bits: int = 2048,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Bloom-filter ingest dedup: flag each NEW document whose content
+    hash is *possibly* already in the EXISTING corpus — the O(m)-memory
+    recurrence complement to ``minhash_lsh_pairs_delta`` for EXACT
+    dedup (the Dolma/CCNet posture: a fixed-size filter over billions
+    of seen documents, rebuilt or appended per crawl).
+
+    Returns one row per new document: (doc_id, n_hit, maybe_dup,
+    exact_dup, false_positive) with BIGINT 0/1 flags — ``maybe_dup`` is
+    the filter's answer (all ``k`` positions set), ``exact_dup`` the
+    ground truth (hash present in existing), ``false_positive`` their
+    disagreement, so the operator measures its own FP rate (the
+    q_ann_recall harness posture; FP expectation is the textbook
+    (1 - e^(-kn/m))^k).
+
+    Scale shape — the whole point of a Bloom filter is that the
+    membership structure is O(m_bits), independent of corpus size:
+
+    - build: existing hashes → k positions each → DISTINCT, output
+      bounded by m_bits regardless of corpus rows (one map-side-
+      combinable shuffle);
+    - probe, ``strategy='literal'``: the distinct positions collect
+      into an m_bits/64-word bitmap baked as a literal long array, and
+      the per-doc check is a pure Column fold (element_at + getbit) —
+      ZERO joins and zero shuffles over the new batch;
+    - probe, ``strategy='join'``: exploded new positions equi-join the
+      distinct position table (≤ m_bits rows — AQE broadcasts it from
+      its measured size; no baked hint) + one groupBy(doc) count.
+      'auto' takes the literal arm up to BLOOM_LITERAL_MAX_BITS.
+
+    Both arms are bit-identical (property-tested): n_hit counts hash
+    functions (array slots), not distinct positions, so a doc whose k
+    hashes collide on one set bit still reports k hits in both arms.
+
+    ``exact_dup`` joins the distinct existing-hash set — corpus-sized,
+    the one non-O(m) piece, carried so the operator can REPORT its FP
+    rate; production ingest that trusts the filter drops this join and
+    keeps the O(m) probe only (documented boundary, not a default).
+    """
+    if strategy not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if m_bits < 64 or k < 1:
+        raise ValueError("need m_bits >= 64 and k >= 1")
+    use_literal = strategy == "literal" or (
+        strategy == "auto" and m_bits <= BLOOM_LITERAL_MAX_BITS
+    )
+    nh = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h")
+    ).withColumn("pos", bloom_positions(F.col("h"), m_bits, k))
+    eh = existing.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    epos = (
+        eh.select(F.explode(bloom_positions(F.col("h"), m_bits, k)).alias("p"))
+        .distinct()
+    )
+
+    if use_literal:
+        # one bounded job: <= m_bits longs back to the driver, packed
+        # into an m_bits/64-word bitmap literal (the PQ-codebook /
+        # centroid-literal posture)
+        n_words = (m_bits + 63) // 64
+        words = [0] * n_words
+        for r in epos.collect():
+            p = int(r.p)
+            words[p >> 6] |= 1 << (p & 63)
+        # two's-complement: a word with bit 63 set must bake as the
+        # equivalent NEGATIVE long (getbit reads the binary pattern)
+        bm = F.array(
+            *[
+                F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+                for w in words
+            ]
+        )
+        hit = lambda p: F.getbit(  # noqa: E731
+            F.element_at(bm, (p / 64).cast("int") + 1), (p % 64).cast("int")
+        )
+        counted = nh.select(
+            "id",
+            "h",
+            F.aggregate(
+                F.col("pos"), F.lit(0).cast("long"), lambda acc, p: acc + hit(p)
+            ).alias("n_hit"),
+        )
+    else:
+        # positional explode keeps colliding hash slots as separate rows
+        # so n_hit matches the literal arm's per-slot count
+        probe = nh.select("id", F.posexplode("pos").alias("slot", "p"))
+        counted = (
+            probe.join(epos.withColumn("_hit", F.lit(1)), "p", "left")
+            .groupBy("id")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nh"))
+            .join(nh.select("id", "h"), "id")
+            .select("id", "h", F.col("_nh").cast("long").alias("n_hit"))
+        )
+
+    truth = eh.select(F.col("h").alias("_eh"), F.lit(1).alias("_seen"))
+    out = counted.join(truth, counted.h == F.col("_eh"), "left")
+    maybe = (F.col("n_hit") == k).cast("long")
+    exact = F.coalesce(F.col("_seen").cast("long"), F.lit(0).cast("long"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_hit"),
+        maybe.alias("maybe_dup"),
+        exact.alias("exact_dup"),
+        (maybe * (F.lit(1) - exact)).cast("long").alias("false_positive"),
+    )
+
+
 def token_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -605,6 +605,95 @@ def ivf_topk(
     )
 
 
+def cluster_sample(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    per_cell: int = 5,
+    mode: str = "prototypes",
+    n_iters: int = 2,
+    round_means: int | None = 6,
+    round_to: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """Cluster-balanced corpus selection: k-means the embeddings, then
+    keep ``per_cell`` members per cluster — ``mode='prototypes'`` keeps
+    the members NEAREST their centroid (the most representative
+    examples, the prototypicality curation step of the SemDeDup /
+    DataComp pipelines), ``mode='spread'`` keeps the FARTHEST (maximum
+    within-cluster diversity / hard-example mining). Returns one row
+    per kept vector: (vec_id, cell BIGINT, dist, rank) with ``dist``
+    the L2 distance to the centroid rounded to ``round_to`` and
+    ``rank`` 1-based within the cell.
+
+    Scale shape: the quantizer is the deterministic ``ivf_assign``
+    (lowest-id init, fixed rounds, rounded means — zero-shuffle literal
+    fold per iteration); the centroid join is against the bounded
+    n_cells-row table (broadcast by construction). The per-cell top-B
+    deliberately avoids a ``Window.partitionBy(cell)`` — with few cells
+    over a huge corpus a rank window sorts corpus/n_cells rows in ONE
+    hot partition. Instead the classic two-phase top-k: a local top-B
+    per (cell, input-partition) group — each group is confined to a
+    single map partition, so the shuffle is uniform regardless of cell
+    skew — then a global top-B per cell over the ≤ B×P survivors. Both
+    phases are sort_array-over-collect_list on bounded groups; ties
+    break (dist asc, id asc) via struct ordering, matching the oracle's
+    ROW_NUMBER.
+
+    Cross-engine determinism: ranking compares the squared-L2 fold
+    (bit-identical evaluation order both engines — ``_sqdist``
+    docstring); the oracle ranks on DuckDB's ``list_distance`` (the
+    sqrt), argmin/order-equivalent since sqrt is monotone. The emitted
+    ``dist`` is ROUND(sqrt, round_to) in both.
+    """
+    if mode not in ("prototypes", "spread"):
+        raise ValueError(f"mode must be 'prototypes' or 'spread', got {mode!r}")
+    if per_cell < 1:
+        raise ValueError("per_cell must be >= 1")
+    spark = corpus.sparkSession
+    assignments, centroids = ivf_assign(
+        corpus, dim, n_centroids=n_cells, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col, round_means=round_means,
+        assign_strategy=assign_strategy,
+    )
+    # centroids is literal-backed (n_cells local rows); broadcast is
+    # bounded by construction, like the probe tables
+    d2 = _sqdist(F.col("v"), F.col("cvec"))
+    # 'spread' negates the sort key instead of reversing the sort, so
+    # one struct ordering serves both modes with the id asc tie-break
+    keyed = (
+        assignments.join(F.broadcast(centroids), "cell")
+        .select(
+            "cell",
+            F.struct(
+                (d2 if mode == "prototypes" else -d2).alias("key"),
+                F.col("id").alias("id"),
+            ).alias("s"),
+        )
+    )
+    local = (
+        keyed.withColumn("_pid", F.spark_partition_id())
+        .groupBy("cell", "_pid")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, per_cell).alias("top"))
+    )
+    final = (
+        local.select("cell", F.explode("top").alias("s"))
+        .groupBy("cell")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, per_cell).alias("top"))
+    )
+    return (
+        final.select("cell", F.posexplode("top").alias("pos", "s"))
+        .select(
+            F.col("s.id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.round(F.sqrt(F.abs(F.col("s.key"))), round_to).alias("dist"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the codes-in-memory ANN scale path.
 # ---------------------------------------------------------------------------

@@ -675,6 +675,116 @@ def vocab_top_terms(
     )
 
 
+#: Weight quantization scale for hashed_linear_score: integer weights in
+#: [-WEIGHT_SCALE, WEIGHT_SCALE] divided by WEIGHT_SCALE, so per-token
+#: weights are exact 2^-16 multiples and document sums stay EXACT in
+#: BIGINT — the logit is one integer-to-double division per doc, immune
+#: to float summation order across partitions and engines.
+WEIGHT_SCALE = 1 << 16
+
+
+def _hash_bucket(col: F.Column, dim: int) -> F.Column:
+    """md5-derived feature bucket in [0, dim) — the portable hashing
+    trick (q_dsir_select precedent): both engines parse the same 8 hex
+    digits of the same md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    dim: int = 4096,
+    weights: DataFrame | None = None,
+    bias: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """fastText-style linear classifier INFERENCE over hashed
+    bag-of-words features — the quality/domain classifier stage of the
+    CCNet / DCLM pipelines: logit(doc) = bias + Σ_tokens w[h(token) %
+    dim], label = logit > 0. Training happens offline; at corpus scale
+    the pipeline only ever runs the scoring pass, which is what this
+    operator distributes.
+
+    Returns (id, n_tokens, logit, label) for every doc; ``logit`` is
+    ROUND((bias_int + Σ w_int) / WEIGHT_SCALE, round_to) and ``label``
+    a BIGINT 0/1 on the INTEGER sum's sign — weights are quantized to
+    integer multiples of 2^-16 (the fixed-point posture real serving
+    systems use), so the per-doc sum is exact BIGINT arithmetic and no
+    float-summation-order or transcendental parity question exists
+    between engines (the IEEE-primitives house rule; the sigmoid is
+    monotone in the logit, so thresholding the logit IS thresholding
+    the probability).
+
+    ``weights=None`` derives a deterministic pseudo-model — w_int(b) =
+    md5-uniform over [-WEIGHT_SCALE, WEIGHT_SCALE] — which keeps the
+    operator self-contained for the oracle; scale shape: the whole
+    scoring pass is ONE narrow Column fold per doc (tokenize → bucket →
+    weight → integer sum), zero shuffles, zero joins. With a trained
+    ``weights`` DataFrame ((bucket BIGINT, w_int BIGINT), one row per
+    non-zero bucket) the pass becomes explode → broadcast-join the
+    dim-bounded weight table → per-doc sum: one map-side-combinable
+    shuffle; missing buckets weigh 0. Both arms agree exactly when the
+    table holds the derived weights (pytest-pinned).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = TX.tokens(F.lower(F.col(text_col)))
+
+    def w_int(tok: F.Column) -> F.Column:
+        b = _hash_bucket(tok, dim)
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), b.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return u % (2 * WEIGHT_SCALE + 1) - WEIGHT_SCALE
+
+    if weights is None:
+        scaled = docs.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (
+                F.lit(int(bias)).cast("long")
+                + F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
+                )
+            ).alias("ls"),
+        )
+    else:
+        tok = docs.select(
+            F.col(id_col), F.explode(toks).alias("token")
+        ).select(F.col(id_col), _hash_bucket(F.col("token"), dim).alias("bucket"))
+        wt = weights.select(
+            F.col("bucket"), F.col("w_int").cast("long").alias("_w")
+        )
+        sums = (
+            tok.join(F.broadcast(wt), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0))).alias("_s"))
+        )
+        scaled = (
+            docs.select(
+                F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+            )
+            .join(sums, id_col, "left")
+            .select(
+                F.col(id_col),
+                "n_tokens",
+                (
+                    F.lit(int(bias)).cast("long")
+                    + F.coalesce(F.col("_s"), F.lit(0))
+                ).cast("long").alias("ls"),
+            )
+        )
+    return scaled.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("ls") / F.lit(float(WEIGHT_SCALE)), round_to).alias("logit"),
+        (F.col("ls") > 0).cast("long").alias("label"),
+    )
+
+
 def oov_rate(
     docs: DataFrame,
     vocab_size: int,

@@ -499,6 +499,71 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter ingest dedup: the O(m)-memory exact-dedup recurrence
+# (Dolma posture). Positions are md5-derived, so both engines compute
+# the identical bit set; the oracle replays build + probe as the
+# position-table formulation (semantics-equal to the Spark literal
+# bitmap arm, which is mechanism, not semantics). n_hit counts hash
+# SLOTS, not distinct positions — the LEFT JOIN + COUNT matches the
+# per-slot fold.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 2048
+_BLOOM_K = 3
+
+
+def _sql_hex15(expr: str) -> str:
+    """First 15 hex digits of an md5 VARCHAR as an exact BIGINT (< 2^60)."""
+    return " + ".join(
+        f"(STRPOS('{_HEX}', SUBSTR({expr}, {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+
+
+def _bloom_sql(m_bits: int = _BLOOM_M, k: int = _BLOOM_K, split: int = 400) -> str:
+    return f"""
+    WITH slots AS (SELECT UNNEST(generate_series(0, {k - 1})) AS i),
+    newd AS (SELECT doc_id, MD5(text) AS h FROM documents
+             WHERE doc_id >= {split}),
+    ex AS (SELECT DISTINCT MD5(text) AS h FROM documents
+           WHERE doc_id < {split}),
+    newp AS (
+      SELECT doc_id, MD5(h || ':' || CAST(i AS VARCHAR)) AS hp
+      FROM newd CROSS JOIN slots
+    ),
+    newpos AS (SELECT doc_id, ({_sql_hex15("hp")}) % {m_bits} AS pos FROM newp),
+    exp_ AS (
+      SELECT MD5(h || ':' || CAST(i AS VARCHAR)) AS hp FROM ex CROSS JOIN slots
+    ),
+    expos AS (SELECT DISTINCT ({_sql_hex15("hp")}) % {m_bits} AS pos FROM exp_),
+    hits AS (
+      SELECT n.doc_id, CAST(COUNT(b.pos) AS BIGINT) AS n_hit
+      FROM newpos n LEFT JOIN expos b USING (pos)
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id, h.n_hit,
+           CAST(CASE WHEN h.n_hit = {k} THEN 1 ELSE 0 END AS BIGINT)
+             AS maybe_dup,
+           CAST(CASE WHEN d.h IN (SELECT h FROM ex) THEN 1 ELSE 0 END
+                AS BIGINT) AS exact_dup,
+           CAST(CASE WHEN h.n_hit = {k}
+                      AND d.h NOT IN (SELECT h FROM ex)
+                     THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+    FROM newd d JOIN hits h USING (doc_id)
+    """
+
+
+@q("q_bloom_dedup", _bloom_sql())
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return DD.bloom_dedup(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        m_bits=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Candidate-pair verification: exact shingle Jaccard for each banded
 # MinHash candidate (the production precision fix after LSH —
 # candidates -> verify -> clusters). Intersections are computed for
@@ -1205,6 +1270,62 @@ _OOV_V = 16
 )
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.oov_rate(table(spark, sf_dir, "documents"), vocab_size=_OOV_V)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear classifier inference (fastText/CCNet/DCLM quality-
+# classifier posture): logit = bias + sum of integer weights over hashed
+# bag-of-words buckets. Weights are exact 2^-16 multiples summed in
+# BIGINT, so no float-order or transcendental parity question exists —
+# both engines rank/label on the identical integer sum.
+# ---------------------------------------------------------------------------
+_CLS_DIM = 4096
+_CLS_SCALE = 1 << 16
+
+
+def _sql_hex8(expr: str) -> str:
+    """First 8 hex digits of an md5 VARCHAR as an exact BIGINT."""
+    return " + ".join(
+        f"(STRPOS('{_HEX}', SUBSTR({expr}, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+
+
+@q(
+    "q_hashed_classifier",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, ({_sql_hex8("MD5(token)")}) % {_CLS_DIM} AS bucket
+      FROM tok
+    ),
+    wh AS (
+      SELECT doc_id, MD5('w:' || CAST(bucket AS VARCHAR)) AS hw FROM bk
+    ),
+    wi AS (
+      SELECT doc_id,
+             ({_sql_hex8("hw")}) % {2 * _CLS_SCALE + 1} - {_CLS_SCALE} AS w
+      FROM wh
+    ),
+    s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS ls FROM wi GROUP BY doc_id),
+    dl AS (
+      SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_tokens,
+           ROUND(CAST(COALESCE(s.ls, 0) AS DOUBLE) / {float(_CLS_SCALE)}, 6)
+             AS logit,
+           CAST(CASE WHEN COALESCE(s.ls, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS label
+    FROM dl d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.hashed_linear_score(
+        table(spark, sf_dir, "documents"), dim=_CLS_DIM
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -732,6 +732,53 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster-balanced selection: k-means cells + per-cell nearest-to-centroid
+# keep (the SemDeDup/DataComp prototypicality curation step). The oracle
+# replays the shared Lloyd unroll, joins each member to its centroid and
+# ranks by list_distance — order-equivalent to Spark's squared-L2 fold
+# (sqrt is monotone), with the (dist asc, id asc) tie-break both engines
+# share. The Spark side is the skew-immune two-phase top-B (no per-cell
+# rank window); the oracle's ROW_NUMBER is rank-equivalent at oracle scale.
+# ---------------------------------------------------------------------------
+def _cluster_sample_sql(
+    dim: int = 64,
+    n_cells: int = 8,
+    per_cell: int = 5,
+    n_iters: int = 2,
+    round_means: int = 6,
+    round_to: int = 6,
+    mode: str = "prototypes",
+) -> str:
+    ctes, final_assign = _lloyd_chain_ctes(dim, n_cells, n_iters, round_means)
+    cents = f"c{n_iters}"
+    ctes.append(
+        f"""dists AS (
+      SELECT a.vec_id, a.cell, list_distance(a.v, c.cvec) AS dist
+      FROM {final_assign} a JOIN {cents} c USING (cell)
+    )"""
+    )
+    order = "ASC" if mode == "prototypes" else "DESC"
+    body = ",\n    ".join(c.strip() for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           ROUND(dist, {round_to}) AS dist, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                       ORDER BY dist {order}, vec_id ASC) AS rk
+          FROM dists)
+    WHERE rk <= {per_cell}
+    """
+
+
+@q("q_cluster_sample", _cluster_sample_sql())
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cluster_sample(
+        table(spark, sf_dir, "embeddings"), dim=64, n_cells=8, per_cell=5,
+        mode="prototypes", n_iters=2, round_means=6,
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN recall evaluation: recall@k of the IVF approximate search against
 # the exact brute-force top-k — the measurement harness every ANN
 # deployment runs before trusting an index. Both sides are

@@ -340,6 +340,26 @@ TAIL_QUERIES: tuple[str, ...] = (
     # hex-prefix bucketing), q_data_mixture, and q_training_mix's pack
     # shards. q_corpus_split was green in every window r1-r5.
     "q_corpus_split",
+    # r7 (late batch): parked for q_bloom_dedup's window slot — the new
+    # operator earns the hard signal first, and its oracle CONTAINS the
+    # exact-dedup surface (md5 content hashes + the exact-dup ground
+    # truth it measures false positives against). q_dedup_exact has
+    # been green in every round since r1 and stays pytest-oracled.
+    "q_dedup_exact",
+    # r7 (late batch): parked for q_cluster_sample's window slot — the
+    # successor query shares the IDENTICAL _lloyd_chain_ctes unroll the
+    # semantic-dedup oracle replays (the containment-rotation pattern),
+    # and the Lloyd chain stays in-window three more ways (q_ann_ivf,
+    # q_ann_ivfpq, q_ann_ivfpq_res). The within-cell cosine-pair
+    # surface stays pytest-oracled every run (q_dedup_embedding's
+    # oracle runs the same rounded-cosine compare). Green r6.
+    "q_dedup_semantic",
+    # r7 (late batch): parked for q_hashed_classifier's window slot —
+    # the tf/df aggregation surface stays in-window via q_hybrid_rrf,
+    # whose oracle embeds the full BM25 chain (tf groupBy + idf), and
+    # the md5 token-bucket surface via q_dsir_select and
+    # q_hashed_classifier itself. Green r6; pytest-oracled every run.
+    "q_tfidf",
 )
 
 _ALL_QUERIES: dict[str, object] = {

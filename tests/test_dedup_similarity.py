@@ -1143,3 +1143,177 @@ def test_pack_token_ids_drops_null_ids(spark):
         assert total == emitted == 5, (src, blocks)
         for r in blocks:
             assert "None" not in r.ids_csv and ",," not in r.ids_csv
+
+
+# ---------------------------------------------------------------------------
+# cluster_sample (r7 late batch)
+# ---------------------------------------------------------------------------
+def test_cluster_sample_matches_window_rank_formulation(spark, emb):
+    """The skew-immune two-phase top-B must select exactly what a plain
+    per-cell rank window would — same rows, same ranks, both modes."""
+    from pyspark.sql import Window
+
+    for mode in ("prototypes", "spread"):
+        got = SIM.cluster_sample(
+            emb, dim=64, n_cells=4, per_cell=7, mode=mode, round_means=6
+        )
+        assignments, centroids = SIM.ivf_assign(
+            emb, 64, n_centroids=4, round_means=6
+        )
+        d2 = SIM._sqdist(F.col("v"), F.col("cvec"))
+        scored = assignments.join(F.broadcast(centroids), "cell").select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            d2.alias("d2"),
+        )
+        order = (
+            [F.col("d2").asc(), F.col("vec_id").asc()]
+            if mode == "prototypes"
+            else [F.col("d2").desc(), F.col("vec_id").asc()]
+        )
+        w = Window.partitionBy("cell").orderBy(*order)
+        ref = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 7)
+            .select(
+                "vec_id",
+                "cell",
+                F.round(F.sqrt("d2"), 6).alias("dist"),
+                "rank",
+            )
+        )
+        assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_cluster_sample_bounds_and_modes(spark, emb):
+    proto = SIM.cluster_sample(emb, dim=64, n_cells=4, per_cell=3).collect()
+    spread = SIM.cluster_sample(
+        emb, dim=64, n_cells=4, per_cell=3, mode="spread"
+    ).collect()
+    for rows in (proto, spread):
+        per_cell: dict[int, int] = {}
+        for r in rows:
+            per_cell[r.cell] = per_cell.get(r.cell, 0) + 1
+            assert 1 <= r.rank <= 3 and r.dist >= 0.0
+        assert all(v <= 3 for v in per_cell.values())
+    # prototypes pick closer members than spread, cell by cell
+    pmax = {r.cell: max(x.dist for x in proto if x.cell == r.cell) for r in proto}
+    smin = {
+        r.cell: min(x.dist for x in spread if x.cell == r.cell) for r in spread
+    }
+    assert all(pmax[c] <= smin[c] for c in pmax if c in smin)
+    with pytest.raises(ValueError):
+        SIM.cluster_sample(emb, dim=64, mode="nope")
+    with pytest.raises(ValueError):
+        SIM.cluster_sample(emb, dim=64, per_cell=0)
+
+
+# ---------------------------------------------------------------------------
+# bloom_dedup (r7 late batch)
+# ---------------------------------------------------------------------------
+def test_bloom_dedup_no_false_negatives_and_arm_agreement(spark):
+    """The Bloom guarantee: an exact duplicate can NEVER be missed
+    (maybe_dup must be 1 wherever exact_dup is 1); false positives may
+    exist and are flagged. Literal-bitmap and join arms bit-agree."""
+    rows = [(i, f"doc body {i % 7}") for i in range(40)]  # heavy dup load
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new, existing = docs.filter("doc_id >= 20"), docs.filter("doc_id < 20")
+    lit_arm = DD.bloom_dedup(new, existing, m_bits=256, k=4, strategy="literal")
+    join_arm = DD.bloom_dedup(new, existing, m_bits=256, k=4, strategy="join")
+    got = lit_arm.collect()
+    assert len(got) == 20
+    for r in got:
+        assert not (r.exact_dup == 1 and r.maybe_dup == 0), r  # no false negs
+        assert r.false_positive == (1 if r.maybe_dup and not r.exact_dup else 0)
+        assert 0 <= r.n_hit <= 4
+    # every new doc's text repeats one of the existing 7 templates here,
+    # so everything is an exact dup and must be flagged
+    assert all(r.exact_dup == 1 and r.maybe_dup == 1 for r in got)
+    assert lit_arm.exceptAll(join_arm).count() == 0
+    assert join_arm.exceptAll(lit_arm).count() == 0
+
+
+def test_bloom_dedup_counts_hash_slots_not_positions(spark):
+    """n_hit counts hash functions: with m_bits tiny enough to force
+    position collisions within one doc's k hashes, both arms still
+    report identical per-slot counts (the semantics the oracle's
+    exploded LEFT JOIN replays)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    new, existing = docs.filter("doc_id >= 2"), docs.filter("doc_id < 2")
+    a = DD.bloom_dedup(new, existing, m_bits=64, k=8, strategy="literal")
+    b = DD.bloom_dedup(new, existing, m_bits=64, k=8, strategy="join")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    byid = {r.doc_id: r for r in a.collect()}
+    assert byid[3].exact_dup == 1 and byid[3].maybe_dup == 1
+    with pytest.raises(ValueError):
+        DD.bloom_dedup(new, existing, m_bits=32)
+    with pytest.raises(ValueError):
+        DD.bloom_dedup(new, existing, strategy="bitmapish")
+
+
+# ---------------------------------------------------------------------------
+# hashed_linear_score (r7 late batch)
+# ---------------------------------------------------------------------------
+def test_hashed_linear_score_weights_table_arm_matches_derived(spark):
+    """Scoring with an explicit weights table holding the derived
+    weights must bit-match the self-contained fold arm; buckets absent
+    from the table weigh 0."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "JUMPS Over the DOG"), (2, "")],
+        "doc_id long, text string",
+    )
+    dim = 128
+    b = spark.range(dim).select(F.col("id").alias("bucket"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w:"), F.col("bucket").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    wt = b.select(
+        "bucket",
+        (u % (2 * TO.WEIGHT_SCALE + 1) - TO.WEIGHT_SCALE).alias("w_int"),
+    )
+    derived = TO.hashed_linear_score(docs, dim=dim)
+    tabled = TO.hashed_linear_score(docs, dim=dim, weights=wt)
+    assert derived.exceptAll(tabled).count() == 0
+    assert tabled.exceptAll(derived).count() == 0
+    # dropping every weight row zeroes all logits (missing bucket -> 0)
+    empty_w = wt.filter(F.lit(False))
+    zeroed = TO.hashed_linear_score(docs, dim=dim, weights=empty_w).collect()
+    assert all(r.logit == 0.0 and r.label == 0 for r in zeroed)
+
+
+def test_hashed_linear_score_empty_doc_and_bias(spark):
+    """Zero-token docs score exactly bias/SCALE (never NULL — the
+    quality_filter empty-doc lesson); a bias shifts every logit by the
+    same exact 2^-16 multiple and flips labels at the threshold."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one token")], "doc_id long, text string"
+    )
+    base = {r.doc_id: r for r in TO.hashed_linear_score(docs, dim=64).collect()}
+    assert base[0].logit == 0.0 and base[0].label == 0 and base[0].n_tokens == 0
+    assert base[1].logit == 0.0 and base[1].label == 0 and base[1].n_tokens == 0
+    shifted = {
+        r.doc_id: r
+        for r in TO.hashed_linear_score(
+            docs, dim=64, bias=TO.WEIGHT_SCALE
+        ).collect()
+    }
+    for i in (0, 1, 2):
+        assert shifted[i].logit == pytest.approx(base[i].logit + 1.0)
+    assert shifted[0].label == 1  # bias alone crosses the threshold
+    with pytest.raises(ValueError):
+        TO.hashed_linear_score(docs, dim=0)

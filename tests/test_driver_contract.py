@@ -70,7 +70,12 @@ def test_oracle_queries_inside_driver_window():
         # runs inside q_oov_rate's oracle; the coverage cumsum stays
         # via q_pack_token_ids' windows + pytest)
         "q_oov_rate",
-        "q_tfidf",
+        # r7 late batch: hashed-linear classifier inference (q_tfidf
+        # parked in exchange after its r6 green row — the tf/df
+        # aggregation surface stays in-window via q_hybrid_rrf's
+        # embedded BM25 chain, md5 token-bucketing via q_dsir_select
+        # and q_hashed_classifier itself)
+        "q_hashed_classifier",
         "q_stream_join",
         "q_ann_pq",
         # r7: temperature-scaled mixture with derived weights
@@ -99,10 +104,17 @@ def test_oracle_queries_inside_driver_window():
         # shared _bm25_ctes() chain, so BM25 stays in the hard signal
         # through its successor)
         "q_hybrid_rrf",
-        # r6 continuation: SemDeDup (q_fact_star_shape parked in
-        # exchange — the constant-filter star build stays in-window
-        # via q_sec_fact_bs + q_broadcast_star)
-        "q_dedup_semantic",
+        # r7 late batch: cluster-balanced prototype selection
+        # (q_dedup_semantic parked in exchange after its r6 green row —
+        # q_cluster_sample's oracle shares the IDENTICAL
+        # _lloyd_chain_ctes unroll, and the Lloyd chain stays in-window
+        # via q_ann_ivf / q_ann_ivfpq / q_ann_ivfpq_res as well)
+        "q_cluster_sample",
+        # r7 late batch: Bloom-filter ingest dedup (q_dedup_exact
+        # parked in exchange after green rows r1-r6 — q_bloom_dedup's
+        # oracle contains the exact-dedup surface: md5 content hashes
+        # plus the exact-dup ground truth it measures FPs against)
+        "q_bloom_dedup",
         # r6 continuation: DSIR importance resampling
         # (q_left_join_counts parked in exchange — left joins stay
         # in-window via q_sec_fact_bs + q_sec_json_doc)
