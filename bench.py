@@ -58,6 +58,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_verify",
     "q_dedup_delta",
+    "q_bloom_dedup",
     "q_dedup_clusters",
     "q_dedup_keep_best",
     "q_dedup_simhash",
@@ -74,6 +75,7 @@ HEADLINE = [
     "q_ann_ivfpq",
     "q_ann_ivfpq_res",
     "q_ann_recall",
+    "q_cluster_sample",
     "q_text_quality",
     "q_text_repetition",
     "q_fingerprint",
@@ -86,6 +88,7 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_bigram_logprob",
     "q_quality_filter",
+    "q_hashed_classifier",
     "q_bm25",
     "q_hybrid_rrf",
     "q_perplexity_buckets",

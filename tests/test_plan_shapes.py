@@ -126,3 +126,39 @@ def test_budget_select_plan_shape(spark):
     )
     assert plan.count("Window") == 1, plan.count("Window")
     assert "BroadcastHashJoin" in plan
+
+
+def test_hashed_linear_score_is_shuffle_free(spark):
+    """The derived-weights classifier pass is ONE narrow Column fold —
+    tokenize, bucket, weigh, integer-sum — with zero joins and zero
+    shuffles; that property is what makes scoring a 100 TB corpus a
+    single map stage."""
+    docs = _docs(spark)
+    df = TO.hashed_linear_score(docs, dim=512)
+    n = _exchanges(df)
+    assert n == 0, f"hashed_linear_score: expected 0 Exchange, found {n}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_bloom_dedup_literal_probe_has_no_probe_side_join(spark):
+    """The literal-bitmap arm's probe is inline Column math: the ONLY
+    join in the plan is the exact-truth hash join the FP measurement
+    carries (and it must be a broadcast, never a sort-merge); the two
+    exchanges are the bounded distinct builds on the existing side."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = _docs(spark)
+    df = DD.bloom_dedup(
+        docs.filter("doc_id >= 400"),
+        docs.filter("doc_id < 400"),
+        m_bits=2048,
+        k=3,
+        strategy="literal",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
