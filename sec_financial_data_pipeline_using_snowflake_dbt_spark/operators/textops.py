@@ -726,6 +726,17 @@ def hashed_linear_score(
     dim-bounded weight table → per-doc sum: one map-side-combinable
     shuffle; missing buckets weigh 0. Both arms agree exactly when the
     table holds the derived weights (pytest-pinned).
+
+    Measured alternative, rejected (sf10 = 500k docs, best-of-3): the
+    derived fold pays TWO md5s per token (bucket + weight); baking the
+    dim-bounded weight table as one array Literal and indexing it cuts
+    that to one md5 + element_at — 37.5 s vs 46.7 s at sf10 — but adds
+    ~2.5 s of per-run plan fixed cost that makes it a net LOSS at
+    bench scale, and the production posture (a trained ``weights``
+    table, 26.7 s at sf10 via the codegen'd explode arm) doesn't pay
+    the second md5 at all. The self-contained fold keeps the simple
+    spelling; pass the derived table through ``weights`` to trade a
+    token-grained shuffle for per-row CPU when that wins.
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
