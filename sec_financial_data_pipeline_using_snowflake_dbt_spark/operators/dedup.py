@@ -153,11 +153,17 @@ def bloom_positions(h: F.Column, m_bits: int, k: int) -> F.Column:
     hash: position_i = int(md5(h || ':' || i)[:15 hex]) % m_bits. All
     md5-derived, so Spark and the SQL oracle compute identical bits
     (the portable-hashing idiom of q_corpus_split / q_pack_token_ids);
-    15 hex digits < 2^60 stays exact in a BIGINT in both engines."""
+    15 hex digits < 2^60 stays exact in a BIGINT in both engines.
+
+    F.concat, not concat_ws: a NULL content hash (NULL text) must
+    propagate to NULL positions — concat_ws SKIPS nulls and would
+    fabricate positions from the bare slot index, which can falsely
+    hit (and silently diverge from the oracle's NULL-propagating
+    ``||``)."""
     return F.array(
         *[
             F.conv(
-                F.substring(F.md5(F.concat_ws(":", h, F.lit(str(i)))), 1, 15),
+                F.substring(F.md5(F.concat(h, F.lit(f":{i}"))), 1, 15),
                 16,
                 10,
             ).cast("long")
@@ -253,8 +259,12 @@ def bloom_dedup(
         counted = nh.select(
             "id",
             "h",
+            # NULL positions (NULL text) count as misses, matching the
+            # join arm and the oracle's match-nothing LEFT JOIN
             F.aggregate(
-                F.col("pos"), F.lit(0).cast("long"), lambda acc, p: acc + hit(p)
+                F.col("pos"),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + F.coalesce(hit(p), F.lit(0)),
             ).alias("n_hit"),
         )
     else:

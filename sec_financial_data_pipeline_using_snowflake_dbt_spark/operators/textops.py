@@ -740,7 +740,12 @@ def hashed_linear_score(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    toks = TX.tokens(F.lower(F.col(text_col)))
+    # NULL text reads as an empty doc (0 tokens, logit = bias) — and
+    # F.size on a NULL array is -1 under legacy sizeOfNull, so the
+    # coalesce must happen on the ARRAY, not the size
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
 
     def w_int(tok: F.Column) -> F.Column:
         b = _hash_bucket(tok, dim)
@@ -751,14 +756,23 @@ def hashed_linear_score(
         ).cast("long")
         return u % (2 * WEIGHT_SCALE + 1) - WEIGHT_SCALE
 
+    n_tokens = F.size(toks).cast("long").alias("n_tokens")
     if weights is None:
         scaled = docs.select(
             F.col(id_col),
-            F.size(toks).cast("long").alias("n_tokens"),
+            n_tokens,
+            # NULL text folds to a NULL sum — coalesce to 0 so the doc
+            # scores exactly bias, like the oracle's COALESCE(ls, 0)
+            # and the weights-table arm's missing-group coalesce
             (
                 F.lit(int(bias)).cast("long")
-                + F.aggregate(
-                    toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
+                + F.coalesce(
+                    F.aggregate(
+                        toks,
+                        F.lit(0).cast("long"),
+                        lambda acc, t: acc + w_int(t),
+                    ),
+                    F.lit(0).cast("long"),
                 )
             ).alias("ls"),
         )
@@ -776,7 +790,7 @@ def hashed_linear_score(
         )
         scaled = (
             docs.select(
-                F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+                F.col(id_col), n_tokens
             )
             .join(sums, id_col, "left")
             .select(

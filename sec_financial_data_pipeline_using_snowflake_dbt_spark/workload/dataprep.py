@@ -1311,7 +1311,7 @@ def _sql_hex8(expr: str) -> str:
     ),
     s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS ls FROM wi GROUP BY doc_id),
     dl AS (
-      SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      SELECT doc_id, CAST(COALESCE(len({SQL_TOKENS}), 0) AS BIGINT) AS n_tokens
       FROM documents
     )
     SELECT d.doc_id, d.n_tokens,

@@ -1317,3 +1317,53 @@ def test_hashed_linear_score_empty_doc_and_bias(spark):
     assert shifted[0].label == 1  # bias alone crosses the threshold
     with pytest.raises(ValueError):
         TO.hashed_linear_score(docs, dim=0)
+
+
+def test_bloom_and_classifier_null_text_match_oracle(spark):
+    """NULL-text docs: the Bloom positions must propagate NULL (a
+    fabricated position set could falsely hit), and the classifier
+    must score exactly bias with label 0 — both matching the oracles'
+    NULL-propagating || and COALESCE(ls, 0). Engine-parity pinned via
+    an inline DuckDB replay of the registered oracle SQL."""
+    import duckdb
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TO,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.dataprep import (
+        PREP_ORACLES,
+        _bloom_sql,
+    )
+    from .oracle_harness import compare
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, None), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (0,'alpha'),"
+        "(1,NULL),(2,'beta'),(3,'alpha')) t(doc_id, text)"
+    )
+    for strategy in ("literal", "join"):
+        got = DD.bloom_dedup(
+            docs.filter("doc_id >= 1"),
+            docs.filter("doc_id = 0"),
+            m_bits=256,
+            k=3,
+            strategy=strategy,
+        )
+        exp = con.execute(_bloom_sql(m_bits=256, k=3, split=1)).df()
+        assert not compare(got, exp, f"bloom-null-{strategy}")
+        rows = {r.doc_id: r for r in got.collect()}
+        assert rows[1].n_hit == 0 and rows[1].maybe_dup == 0  # NULL text
+        assert rows[3].exact_dup == 1 and rows[3].maybe_dup == 1
+
+    cls = TO.hashed_linear_score(docs, dim=64)
+    exp = con.execute(
+        PREP_ORACLES["q_hashed_classifier"].replace("% 4096", "% 64")
+    ).df()
+    assert not compare(cls, exp, "classifier-null")
+    nulldoc = {r.doc_id: r for r in cls.collect()}[1]
+    assert nulldoc.logit == 0.0 and nulldoc.label == 0 and nulldoc.n_tokens == 0
+    con.close()
