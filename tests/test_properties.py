@@ -1033,3 +1033,165 @@ def test_minhash_delta_equals_filtered_whole_corpus(spark, texts, split):
     )
     DD.release_dedup_caches()
     assert got == whole
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=20),
+                   min_size=2, max_size=14),
+    split=st.integers(min_value=0, max_value=14),
+    m_bits=st.sampled_from([64, 128, 1024]),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_bloom_dedup_matches_reference(spark, texts, split, m_bits, k):
+    """Both bloom_dedup probe arms == a plain-Python Bloom filter built
+    with the same md5 position derivation — over corpora dense with
+    exact duplicates, every split point (all-new / all-existing
+    included), tiny filters (guaranteed collisions), and k up to 4.
+    Also re-asserts the structural guarantees: no false negatives,
+    n_hit counts hash slots."""
+    import hashlib
+
+    split = min(split, len(texts))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    new = docs.filter(F.col("doc_id") >= split)
+    existing = docs.filter(F.col("doc_id") < split)
+
+    def positions(text: str) -> list[int]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        return [
+            int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:15], 16) % m_bits
+            for i in range(k)
+        ]
+
+    seen_hashes = {
+        hashlib.md5(t.encode()).hexdigest() for t in texts[:split]
+    }
+    bits = {p for t in texts[:split] for p in positions(t)}
+    want = {}
+    for i, t in enumerate(texts[i] for i in range(split, len(texts))):
+        doc_id = split + i
+        n_hit = sum(1 for p in positions(t) if p in bits)
+        maybe = 1 if n_hit == k else 0
+        exact = 1 if hashlib.md5(t.encode()).hexdigest() in seen_hashes else 0
+        want[doc_id] = (n_hit, maybe, exact, maybe * (1 - exact))
+        assert not (exact and not maybe)  # reference sanity: Bloom law
+
+    for strategy in ("literal", "join"):
+        got = {
+            r.doc_id: (r.n_hit, r.maybe_dup, r.exact_dup, r.false_positive)
+            for r in DD.bloom_dedup(
+                new, existing, m_bits=m_bits, k=k, strategy=strategy
+            ).collect()
+        }
+        assert got == want, strategy
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc !?", min_size=0, max_size=30),
+                   min_size=1, max_size=12),
+    dim=st.sampled_from([1, 16, 257]),
+    bias=st.integers(min_value=-70000, max_value=70000),
+)
+@settings(**_SETTINGS)
+def test_hashed_linear_score_matches_reference(spark, texts, dim, bias):
+    """hashed_linear_score == a plain-Python rescore with hashlib md5
+    buckets/weights and exact integer sums — over empty docs, dim=1
+    (every token one bucket), non-power-of-two dims, and biases that
+    cross the label threshold either way."""
+    import hashlib
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        WEIGHT_SCALE,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.logit, r.label)
+        for r in TO.hashed_linear_score(docs, dim=dim, bias=bias).collect()
+    }
+
+    import re
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        ls = bias
+        for w in toks:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+            u = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+            ls += u % (2 * WEIGHT_SCALE + 1) - WEIGHT_SCALE
+        want[i] = (len(toks), _r6(ls / WEIGHT_SCALE), 1 if ls > 0 else 0)
+    assert got == want
+
+
+@given(
+    n_vecs=st.integers(min_value=1, max_value=24),
+    n_cells=st.integers(min_value=1, max_value=5),
+    per_cell=st.integers(min_value=1, max_value=4),
+    mode=st.sampled_from(["prototypes", "spread"]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(**_SETTINGS)
+def test_cluster_sample_selection_matches_reference(
+    spark, n_vecs, n_cells, per_cell, mode, seed
+):
+    """Given the operator's OWN quantizer output (ivf_assign is
+    oracle-pinned elsewhere), the two-phase per-cell top-B must equal a
+    plain-Python selection: rank members by (squared L2 to their
+    centroid, id), keep per_cell per cell, emit rounded sqrt distances
+    — duplicate vectors, cells smaller than per_cell, and n_cells >
+    n_vecs included."""
+    import hashlib
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        similarity as SIM,
+    )
+
+    dim = 4
+    # deterministic pseudo-random vectors (md5 of (seed, i, j)) with a
+    # dash of exact duplicates
+    def vec(i: int) -> list[float]:
+        j = i % max(1, n_vecs - 2)  # force duplicate vectors sometimes
+        return [
+            (int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:6], 16)
+             % 1000) / 250.0
+            for d in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(n_vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.vec_id, r.cell, r.dist, r.rank)
+        for r in SIM.cluster_sample(
+            emb, dim=dim, n_cells=n_cells, per_cell=per_cell, mode=mode,
+            n_iters=2, round_means=6,
+        ).collect()
+    )
+
+    assigned, cents = SIM.ivf_assign(
+        emb, dim, n_centroids=n_cells, n_iters=2, round_means=6
+    )
+    cmap = {r.cell: list(r.cvec) for r in cents.collect()}
+    members = [(r.id, list(r.v), r.cell) for r in assigned.collect()]
+    DD.release_dedup_caches()
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    want = []
+    for cell in sorted({c for _, _, c in members}):
+        ms = [(d2(v, cmap[cell]), i) for i, v, c in members if c == cell]
+        ms.sort(key=lambda t: (t[0] if mode == "prototypes" else -t[0], t[1]))
+        for rank, (dd, i) in enumerate(ms[:per_cell], start=1):
+            import math
+
+            want.append((i, cell, _r6(math.sqrt(dd)), rank))
+    assert got == sorted(want)
