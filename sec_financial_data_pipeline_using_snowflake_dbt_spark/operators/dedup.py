@@ -219,6 +219,13 @@ def bloom_dedup(
     the one non-O(m) piece, carried so the operator can REPORT its FP
     rate; production ingest that trusts the filter drops this join and
     keeps the O(m) probe only (documented boundary, not a default).
+
+    The literal arm also runs with a STREAMING ``new`` side against a
+    static ``existing`` corpus (test-pinned): the filter build runs on
+    the static side at plan time, the probe is a stateless narrow
+    fold, and the truth check is a stream-static join — the streaming
+    ingest-dedup deployment shape. The join arm's distinct build makes
+    it batch-only.
     """
     if strategy not in ("auto", "literal", "join"):
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -737,6 +737,9 @@ def hashed_linear_score(
     the second md5 at all. The self-contained fold keeps the simple
     spelling; pass the derived table through ``weights`` to trade a
     token-grained shuffle for per-row CPU when that wins.
+
+    The derived arm is a stateless narrow fold and runs unchanged on a
+    readStream source (test-pinned, like the other cleaning stages).
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")

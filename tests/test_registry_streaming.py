@@ -342,3 +342,56 @@ def test_narrow_corpus_ops_run_on_streams(spark):
             streamed.exceptAll(want).count() == 0
             and want.exceptAll(streamed).count() == 0
         ), op.__name__
+
+
+def test_classifier_and_bloom_probe_run_on_streams(spark):
+    """Streaming-ingest shapes for the new curation stages: the
+    hashed-linear classifier's derived arm is a stateless narrow fold,
+    so the SAME code runs unchanged on a readStream source; and
+    bloom_dedup's literal arm probes a STREAMING new batch against a
+    STATIC seen corpus — the filter build (bounded distinct + collect)
+    runs on the static side at plan time, the probe is a narrow fold,
+    and the exact-truth check is a stream-static broadcast join. Both
+    must be batch-identical in one availableNow pass."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        dedup as DD,
+        textops as TO,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs_schema = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+    )
+    batch_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    existing = batch_docs.filter("doc_id < 400")
+
+    cases = [
+        ("stream_classifier", lambda d: TO.hashed_linear_score(d, dim=512)),
+        (
+            "stream_bloom_probe",
+            lambda d: DD.bloom_dedup(
+                d.filter("doc_id >= 400"), existing, m_bits=2048, k=3,
+                strategy="literal",
+            ),
+        ),
+    ]
+    for name, op in cases:
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table(name)
+        want = op(batch_docs)
+        assert streamed.schema == want.schema, name
+        assert (
+            streamed.exceptAll(want).count() == 0
+            and want.exceptAll(streamed).count() == 0
+        ), name
