@@ -263,17 +263,29 @@ def asof_join_pandas(
     r_tagged = right.select(by, on, *value_cols).withColumn("__side", F.lit("R"))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
+    match_cols = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = pdf[pdf["__side"] == "L"][lc].sort_values(on)
+        lall = pdf[pdf["__side"] == "L"][lc]
         rpdf = (
             pdf[pdf["__side"] == "R"][[by, on, *value_cols]]
             .dropna(subset=[on])
             .sort_values([on] + value_cols)
         )
+        if lall.empty:
+            return pd.DataFrame(columns=lc + match_cols)
+        # merge_asof RAISES on null left keys, where the DataFrame arms
+        # return a row with NULL match columns (r.on <= NULL never
+        # matches). Split the null-key rows out, give them NULL matches,
+        # and merge only the keyed remainder — arm parity on NULL left
+        # timestamps.
+        null_mask = lall[on].isna()
+        lnull = lall[null_mask].copy()
+        for c in match_cols:
+            lnull[c] = None
+        lpdf = lall[~null_mask].sort_values(on)
         if lpdf.empty:
-            return pd.DataFrame(
-                columns=lc + [f"{on}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
-            )
+            return lnull
         merged = pd.merge_asof(
             lpdf,
             rpdf.drop(columns=[by]).rename(
@@ -283,6 +295,6 @@ def asof_join_pandas(
             right_on=f"{on}{suffix}",
             direction="backward",
         )
-        return merged
+        return merged if lnull.empty else pd.concat([merged, lnull])
 
     return unioned.groupBy(by).applyInPandas(per_key, out_schema)

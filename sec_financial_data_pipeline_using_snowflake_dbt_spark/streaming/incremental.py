@@ -32,8 +32,11 @@ def incremental_filter(
     new_data: DataFrame, col: str, existing: DataFrame | None
 ) -> DataFrame:
     """reference incremental_filter.sql: keep rows with col >= MAX(col)
-    over the existing target (all rows when the target is empty/absent —
-    dbt's first-run behavior)."""
+    over the existing target; all rows when the target is ABSENT
+    (existing=None — dbt's first-run behavior). An existing-but-EMPTY
+    target yields MAX(col)=NULL and ``col >= NULL`` keeps nothing —
+    deliberately matching what the reference macro's SQL does on an
+    empty table, not intuition."""
     if existing is None:
         return new_data
     wm = existing.agg(F.max(col).alias("__wm"))

@@ -125,3 +125,35 @@ def test_asof_bucketed_empty_same_bucket_prefix_ansi(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert row.value_asof == 5  # the earlier-bucket row wins, no crash
+
+
+def test_asof_pandas_null_left_timestamp(spark):
+    """pd.merge_asof raises ``Merge keys contain null values`` on a NULL
+    left key; the DataFrame arms return the row with NULL match columns
+    (r.on <= NULL never matches). The pandas arm must split null-key
+    rows out and give them the same NULL matches — all three arms agree
+    on NULL left timestamps instead of one crashing the job."""
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, None), (3, 2, None)],
+        "event_id int, user_id int, epoch int",
+    ).select("event_id", "user_id", F.timestamp_seconds("epoch").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 50, 5)], "user_id int, epoch int, value int"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value")
+
+    expected = sorted(
+        (r.event_id, r.ts_asof, r.value_asof)
+        for r in asof.asof_join(
+            left, right, on="ts", by="user_id", value_cols=["value"]
+        ).collect()
+    )
+    got = sorted(
+        (r.event_id, r.ts_asof, r.value_asof)
+        for r in asof.asof_join_pandas(
+            left, right, on="ts", by="user_id", value_cols=["value"]
+        ).collect()
+    )
+    assert got == expected
+    # the null-ts rows survive with NULL matches (event_ids 2 and 3,
+    # including user 2 who has no right rows at all)
+    assert [e for e, t, v in got if t is None and v is None] == [2, 3]
