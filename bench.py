@@ -53,6 +53,8 @@ HEADLINE = [
     "q_sec_json_doc",
     "q_rollup",
     "q_sessionization",
+    "q_funnel",
+    "q_retention",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
@@ -76,6 +78,7 @@ HEADLINE = [
     "q_ann_ivfpq_res",
     "q_ann_recall",
     "q_cluster_sample",
+    "q_kmeans_quality",
     "q_text_quality",
     "q_text_repetition",
     "q_fingerprint",

@@ -694,6 +694,60 @@ def cluster_sample(
     )
 
 
+def kmeans_quality(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    round_means: int | None = 6,
+    round_to: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """Clustering-quality report for one k: per-cell size and inertia —
+    the measurements behind the elbow/balance decision every IVF/k-means
+    deployment makes before committing to an index width (``q_ann_recall``
+    measures the index's retrieval quality; this measures the quantizer
+    itself). Returns one row per cell:
+
+      (cell BIGINT, n_vectors BIGINT, inertia DOUBLE)
+
+    with ``inertia`` = Σ members' squared L2 distance to their centroid.
+    Total inertia (the elbow y-axis) is ``SUM(inertia)``; cell-size
+    spread (the balance check) reads off ``n_vectors``.
+
+    Cross-engine determinism: the quantizer is the deterministic
+    ``ivf_assign`` (lowest-id init, fixed rounds, ``round_means``-rounded
+    means — the q_ann_ivf reproducibility contract); each member's
+    squared distance is the shared ``_sqdist`` fold, ROUNDed to
+    ``round_to``, and the per-cell sum runs in DECIMAL over the rounded
+    values — exact at any accumulation order, so a distributed partial
+    sum and the oracle's sequential one land on the identical double
+    (the money-sum convention applied to distances).
+
+    Scale: one broadcast join against the bounded centroid table (driver-
+    resident by construction) + one map-side-combined groupBy(cell) —
+    the exact shape of a Lloyd mean step; output is n_centroids rows.
+    """
+    assignments, centroids = ivf_assign(
+        corpus, dim, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col, round_means=round_means,
+        assign_strategy=assign_strategy,
+    )
+    d2 = F.round(_sqdist(F.col("v"), F.col("cvec")), round_to)
+    return (
+        assignments.join(F.broadcast(centroids), "cell")
+        .select(F.col("cell"), d2.cast(f"decimal(18,{round_to})").alias("d"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("d").cast("double").alias("inertia"),
+        )
+        .select(F.col("cell").cast("long").alias("cell"), "n_vectors", "inertia")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the codes-in-memory ANN scale path.
 # ---------------------------------------------------------------------------

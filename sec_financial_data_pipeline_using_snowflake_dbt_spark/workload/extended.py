@@ -834,3 +834,161 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k"), 6
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means quality report (elbow + balance): per-(k, cell) size and
+# inertia over the deterministic Lloyd quantizer, at two candidate
+# widths — the measurement behind the "how many cells" decision the
+# IVF family (q_ann_ivf/q_ann_ivfpq/q_cluster_sample) commits to.
+# The oracle replays the shared _lloyd_chain_ctes unroll per k (nested
+# WITH subqueries, the q_ann_recall composition pattern), computes each
+# member's squared distance as the SAME left-associated term chain the
+# Spark _sqdist fold evaluates (the _ann_pq_sql float discipline),
+# rounds it, and sums in DECIMAL — exact at any accumulation order, so
+# the distributed partial sums and DuckDB's sequential one land on the
+# identical double (the money-sum convention applied to distances).
+# ---------------------------------------------------------------------------
+def _kmeans_quality_sql(
+    dim: int = 64,
+    k_values: tuple[int, ...] = (4, 8),
+    n_iters: int = 2,
+    round_means: int = 6,
+    round_to: int = 6,
+) -> str:
+    def sqd_chain(vec: str, cvec: str) -> str:
+        # left-associated (((t1 + t2) + t3) ...): SQL + is left-assoc and
+        # Spark's fold starts from 0.0 + t1 (exact: t1 is a square, so
+        # +0.0 is an identity) — both engines evaluate the same order
+        terms = [
+            f"({vec}[{i}] - {cvec}[{i}]) * ({vec}[{i}] - {cvec}[{i}])"
+            for i in range(1, dim + 1)
+        ]
+        return " + ".join(terms)
+
+    arms = []
+    for k in k_values:
+        ctes, final_assign = _lloyd_chain_ctes(dim, k, n_iters, round_means)
+        cents = f"c{n_iters}"
+        body = ",\n    ".join(c.strip() for c in ctes)
+        arms.append(
+            f"""SELECT * FROM (
+      WITH {body}
+      SELECT CAST({k} AS BIGINT) AS k, CAST(a.cell AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(ROUND({sqd_chain('a.v', 'c.cvec')}, {round_to})
+                           AS DECIMAL(18,{round_to}))) AS DOUBLE) AS inertia
+      FROM {final_assign} a JOIN {cents} c USING (cell)
+      GROUP BY a.cell)"""
+        )
+    return "\n    UNION ALL\n    ".join(arms)
+
+
+@q("q_kmeans_quality", _kmeans_quality_sql())
+def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = None
+    for k in (4, 8):
+        part = SIM.kmeans_quality(
+            emb, dim=64, n_centroids=k, n_iters=2, round_means=6
+        ).select(F.lit(k).cast("long").alias("k"), "cell", "n_vectors", "inertia")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel over the event stream (view → click → purchase
+# within 7 days of the first view): per-user min-groupBy step times —
+# never per-user rank windows (the keep_best skew discipline) — and a
+# final window over the 3-row summary only. Counts are exact; the two
+# conversion ratios are single rounded IEEE divisions.
+# ---------------------------------------------------------------------------
+def _funnel_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_days: int = 7,
+    round_to: int = 6,
+) -> str:
+    s1, s2, s3 = steps
+    return f"""
+    WITH ev AS (SELECT user_id AS u, ts AS t, event_type AS et FROM events
+                WHERE ts IS NOT NULL),
+    r1 AS (SELECT u, MIN(t) AS t1 FROM ev WHERE et = '{s1}' GROUP BY u),
+    r2 AS (SELECT e.u, r1.t1, MIN(e.t) AS t2
+           FROM ev e JOIN r1 ON e.u = r1.u
+           WHERE e.et = '{s2}' AND e.t >= r1.t1
+             AND e.t <= r1.t1 + INTERVAL {horizon_days} DAY
+           GROUP BY e.u, r1.t1),
+    r3 AS (SELECT e.u, MIN(e.t) AS t3
+           FROM ev e JOIN r2 ON e.u = r2.u
+           WHERE e.et = '{s3}' AND e.t >= r2.t2
+             AND e.t <= r2.t1 + INTERVAL {horizon_days} DAY
+           GROUP BY e.u),
+    c AS (
+      SELECT 1 AS step, '{s1}' AS step_name, COUNT(*) AS n FROM r1
+      UNION ALL SELECT 2, '{s2}', COUNT(*) FROM r2
+      UNION ALL SELECT 3, '{s3}', COUNT(*) FROM r3
+    )
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(n AS BIGINT) AS n_users,
+           CASE WHEN FIRST_VALUE(n) OVER (ORDER BY step) > 0
+                THEN ROUND(CAST(n AS DOUBLE)
+                           / FIRST_VALUE(n) OVER (ORDER BY step), {round_to})
+           END AS conv_overall,
+           CASE WHEN step = 1 THEN
+                  CASE WHEN n > 0 THEN ROUND(CAST(n AS DOUBLE) / n, {round_to}) END
+                WHEN LAG(n) OVER (ORDER BY step) > 0
+                THEN ROUND(CAST(n AS DOUBLE)
+                           / LAG(n) OVER (ORDER BY step), {round_to})
+           END AS conv_prev
+    FROM c
+    """
+
+
+@q("q_funnel", _funnel_sql())
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel as FUN
+
+    return FUN.funnel_steps(
+        table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        horizon="7 days",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention over the event stream: cohort = Monday-start
+# week of each user's first event (date_trunc('week') is Monday-start
+# in both engines); offset = exact integer week difference; per-user
+# reductions are min-groupBys (no per-user windows).
+# ---------------------------------------------------------------------------
+_RETENTION_SQL = """
+    WITH ev AS (SELECT DISTINCT user_id AS u,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events WHERE ts IS NOT NULL),
+    first AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY u),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM first
+              GROUP BY cohort_week),
+    grid AS (SELECT f.cohort_week,
+                    CAST(date_diff('day', f.cohort_week, e.wk) / 7 AS BIGINT)
+                      AS week_offset,
+                    COUNT(*) AS n_active
+             FROM ev e JOIN first f ON e.u = f.u
+             GROUP BY 1, 2)
+    SELECT STRFTIME(g.cohort_week, '%Y-%m-%d') AS cohort_week, g.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(g.n_active AS BIGINT) AS n_active,
+           ROUND(CAST(g.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)
+    """
+
+
+@q("q_retention", _RETENTION_SQL)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel as FUN
+
+    out = FUN.retention_cohorts(table(spark, sf_dir, "events"))
+    # dates leave the query as formatted strings (common.py conventions:
+    # engines differ in date/timestamp physical types, not strftime)
+    return out.withColumn(
+        "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
+    )

@@ -360,6 +360,29 @@ TAIL_QUERIES: tuple[str, ...] = (
     # the md5 token-bucket surface via q_dsir_select and
     # q_hashed_classifier itself. Green r6; pytest-oracled every run.
     "q_tfidf",
+    # r7 (final batch): parked for q_kmeans_quality's window slot — the
+    # successor replays the IDENTICAL _lloyd_chain_ctes unroll at TWO
+    # widths (k=4 and k=8 vs q_ann_ivf's single k=8), so the Lloyd
+    # chain stays in-window five ways (q_kmeans_quality, q_ann_ivfpq,
+    # q_ann_ivfpq_res, q_cluster_sample, q_dedup_semantic-successor
+    # q_cluster_sample), and ivf_topk itself — probe + score — stays
+    # EXECUTED in-window by q_ann_recall, whose oracle embeds the full
+    # _ann_ivf_sql() body. Green in every window r3-r6.
+    "q_ann_ivf",
+    # r7 (final batch): parked for q_funnel's window slot — the md5
+    # sort-key + per-shard ordered-window machinery stays in-window via
+    # q_pack_token_ids (identical hex-prefix shard assignment + per-
+    # shard ordered cumsum windows) and q_training_mix (the same
+    # machinery over its mixture examples); the shuffle operator stays
+    # pytest-oracled every run and HEADLINE-benched. Green r6.
+    "q_global_shuffle",
+    # r7 (final batch): parked for q_retention's window slot — the full
+    # quality_filter signal chain runs inside q_corpus_stats's
+    # in-window oracle (PREP_ORACLES['q_quality_filter'] is nested
+    # verbatim for the pass-rate column), so every rule and ratio stays
+    # driver-checked through the successor. Green r6; pytest-oracled
+    # every run and HEADLINE-benched.
+    "q_quality_filter",
 )
 
 _ALL_QUERIES: dict[str, object] = {

@@ -39,7 +39,13 @@ def test_oracle_queries_inside_driver_window():
         "q_sec_fact_bs",
         "q_sql_gate",
         "q_unpivot",
-        "q_ann_ivf",
+        # r7 final batch: q_ann_ivf parked in exchange for the k-means
+        # quality report after green rows r3-r6 — its pin moves to the
+        # successor, whose oracle replays the identical
+        # _lloyd_chain_ctes unroll at two widths, and ivf_topk itself
+        # stays EXECUTED in-window by q_ann_recall (whose oracle embeds
+        # the full _ann_ivf_sql body)
+        "q_kmeans_quality",
         # rotated in for r4 (VERDICT r3, task 1): the newest corpus
         # operators get the driver's hard signal. r6 rotation:
         # q_c4_clean and q_pack_sequences earned green rows r3-r5 and
@@ -97,8 +103,12 @@ def test_oracle_queries_inside_driver_window():
         "q_ann_ivfpq",
         # r6 continuation: the Gopher-style composite filter decision
         # stage (q_anti_join parked in exchange — left-anti stays
-        # exercised by test_checks' fk_orphans pytest)
-        "q_quality_filter",
+        # exercised by test_checks' fk_orphans pytest). r7 final batch:
+        # q_quality_filter itself parked for the retention-cohort slot
+        # after its r6 green row — its entire oracle is NESTED verbatim
+        # inside q_corpus_stats' in-window oracle (the pass-rate
+        # column), so the pin moves to the successor.
+        "q_corpus_stats",
         # r7: RRF hybrid retrieval (q_bm25 parked in exchange after
         # its r6 green row — q_hybrid_rrf's oracle contains the whole
         # shared _bm25_ctes() chain, so BM25 stays in the hard signal
@@ -108,7 +118,7 @@ def test_oracle_queries_inside_driver_window():
         # (q_dedup_semantic parked in exchange after its r6 green row —
         # q_cluster_sample's oracle shares the IDENTICAL
         # _lloyd_chain_ctes unroll, and the Lloyd chain stays in-window
-        # via q_ann_ivf / q_ann_ivfpq / q_ann_ivfpq_res as well)
+        # via q_kmeans_quality / q_ann_ivfpq / q_ann_ivfpq_res as well)
         "q_cluster_sample",
         # r7 late batch: Bloom-filter ingest dedup (q_dedup_exact
         # parked in exchange after green rows r1-r6 — q_bloom_dedup's
@@ -121,13 +131,17 @@ def test_oracle_queries_inside_driver_window():
         "q_dsir_select",
         # r6 continuation: deterministic training-order shuffle
         # (q_expr_key_join parked in exchange — the identical
-        # expression-key join runs inside q_sec_fact_bs's build_fact)
-        "q_global_shuffle",
+        # expression-key join runs inside q_sec_fact_bs's build_fact).
+        # r7 final batch: q_global_shuffle itself parked for the
+        # conversion-funnel slot after its r6 green row — the md5
+        # sort-key + per-shard ordered-window machinery stays in-window
+        # via q_pack_token_ids and q_training_mix; the pin moves to the
+        # new event-funnel operator.
+        "q_funnel",
         # r6 continuation: ANN recall harness + corpus report card
         # (q_date_dim / q_rollup parked in exchange, rationale in
-        # registry.py)
+        # registry.py; q_corpus_stats pinned above)
         "q_ann_recall",
-        "q_corpus_stats",
         # r6 continuation: repeated-substring detection
         # (q_dedup_jaccard parked in exchange — Jaccard semantics stay
         # in-window via q_dedup_verify's EXACT per-pair Jaccard and
@@ -161,8 +175,8 @@ def test_oracle_queries_inside_driver_window():
         # construct stays in-window via q_data_mixture/q_corpus_split)
         "q_bpe_train",
         # r6 continuation: the BPE encoder (q_corpus_split parked in
-        # exchange — md5-bucket machinery stays via q_global_shuffle /
-        # q_data_mixture / q_training_mix)
+        # exchange — md5-bucket machinery stays via q_data_mixture /
+        # q_training_mix / q_pack_token_ids)
         "q_bpe_encode",
         # r7: the id-emitting tokenizer output (train -> encode ->
         # ids) earns the hard signal (q_greatest_least parked in

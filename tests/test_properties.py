@@ -1195,3 +1195,184 @@ def test_cluster_sample_selection_matches_reference(
 
             want.append((i, cell, _r6(math.sqrt(dd)), rank))
     assert got == sorted(want)
+
+
+# --- funnel / retention / kmeans-quality ------------------------------------
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.integers(0, 50),                     # epoch seconds
+        st.sampled_from(["a", "b", "c", "x"]),  # step types + noise
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(events=_funnel_events, horizon=st.sampled_from([5, 20, 1000]))
+@settings(**_SETTINGS)
+def test_funnel_matches_reference(spark, events, horizon):
+    """funnel_steps against a sequential reference: first-touch anchor,
+    ordered completion (each step at-or-after the previous step's min
+    completion), whole sequence within horizon of t1. Dense ties, users
+    missing steps, empty funnels, and noise events included."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        funnel as FUN,
+    )
+
+    steps = ["a", "b", "c"]
+    rows = events or [(0, 0, "x")]  # empty funnel still emits 3 rows
+    df = spark.createDataFrame(
+        rows, "user_id int, epoch int, event_type string"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "event_type")
+
+    # sequential reference
+    t1: dict[int, int] = {}
+    for u, t, e in rows:
+        if e == steps[0] and (u not in t1 or t < t1[u]):
+            t1[u] = t
+    cur = {u: (t, t) for u, t in t1.items()}  # u -> (t_prev, t1)
+    counts = [len(cur)]
+    for s in steps[1:]:
+        nxt: dict[int, tuple[int, int]] = {}
+        for u, t, e in rows:
+            if e == s and u in cur:
+                tp, anchor = cur[u]
+                if tp <= t <= anchor + horizon and (u not in nxt or t < nxt[u][0]):
+                    nxt[u] = (t, anchor)
+        cur = nxt
+        counts.append(len(cur))
+
+    n1 = counts[0]
+    want = []
+    prev = None
+    for i, (nm, n) in enumerate(zip(steps, counts)):
+        conv_o = _r6(n / n1) if n1 > 0 else None
+        if i == 0:
+            conv_p = conv_o
+        else:
+            conv_p = _r6(n / prev) if prev and prev > 0 else None
+        want.append((i + 1, nm, n, conv_o, conv_p))
+        prev = n
+
+    got = sorted(
+        (r.step, r.step_name, r.n_users, r.conv_overall, r.conv_prev)
+        for r in FUN.funnel_steps(
+            df, steps, horizon=f"{horizon} seconds"
+        ).collect()
+    )
+    assert got == want
+
+
+_retention_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 29)),  # (user, day)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=_retention_events)
+@settings(**_SETTINGS)
+def test_retention_matches_reference(spark, events):
+    """retention_cohorts against a sequential reference over a calendar
+    anchored at 2024-01-01 (a Monday, so day//7 IS the Monday-week
+    index). Single-user cohorts, gaps, and full-cohort ties included."""
+    import datetime as dt
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        funnel as FUN,
+    )
+
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    df = spark.createDataFrame(events, "user_id int, day int").select(
+        "user_id",
+        F.timestamp_seconds(F.lit(base) + F.col("day") * 86400 + 3600).alias("ts"),
+    )
+
+    weeks = {(u, d // 7) for u, d in events}
+    cohort = {}
+    for u, w in weeks:
+        cohort[u] = min(cohort.get(u, w), w)
+    sizes = Counter(cohort.values())
+    grid = Counter((cohort[u], w - cohort[u]) for u, w in weeks)
+    want = sorted(
+        (
+            (dt.date(2024, 1, 1) + dt.timedelta(weeks=cw)).isoformat(),
+            off,
+            sizes[cw],
+            n,
+            _r6(n / sizes[cw]),
+        )
+        for (cw, off), n in grid.items()
+    )
+
+    got = sorted(
+        (r.cohort_week.isoformat(), r.week_offset, r.cohort_size, r.n_active,
+         r.retention)
+        for r in FUN.retention_cohorts(df).collect()
+    )
+    assert got == want
+
+
+@given(
+    n_vecs=st.integers(1, 12),
+    n_cells=st.integers(1, 5),
+    seed=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_kmeans_quality_matches_reference(spark, n_vecs, n_cells, seed):
+    """Given the operator's own quantizer output (ivf_assign is
+    oracle-pinned elsewhere), per-cell n_vectors and inertia must equal
+    the plain-Python reduction: the same left-to-right squared-distance
+    fold, HALF_UP-rounded to 6 dp per member, summed exactly in Decimal
+    (the money-sum convention the operator applies in Spark). Duplicate
+    vectors and n_cells > n_vecs included."""
+    import hashlib
+    from decimal import Decimal
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        similarity as SIM,
+    )
+
+    dim = 4
+
+    def vec(i: int) -> list[float]:
+        j = i % max(1, n_vecs - 2)
+        return [
+            (int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:6], 16)
+             % 1000) / 250.0
+            for d in range(dim)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r.cell, r.n_vectors, r.inertia)
+        for r in SIM.kmeans_quality(
+            emb, dim=dim, n_centroids=n_cells, n_iters=2, round_means=6
+        ).collect()
+    )
+
+    assigned, cents = SIM.ivf_assign(
+        emb, dim, n_centroids=n_cells, n_iters=2, round_means=6
+    )
+    cmap = {r.cell: list(r.cvec) for r in cents.collect()}
+    members = [(r.id, list(r.v), r.cell) for r in assigned.collect()]
+    DD.release_dedup_caches()
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    want = []
+    for cell in sorted({c for _, _, c in members}):
+        ds = [_r6(d2(v, cmap[cell])) for i, v, c in members if c == cell]
+        want.append(
+            (cell, len(ds), float(sum(Decimal(str(d)) for d in ds)))
+        )
+    assert got == sorted(want)
