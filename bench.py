@@ -87,6 +87,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_bpe_encode",
     "q_bpe_encode_ids",
+    "q_tokenizer_fertility",
     "q_tfidf",
     "q_unigram_logprob",
     "q_bigram_logprob",

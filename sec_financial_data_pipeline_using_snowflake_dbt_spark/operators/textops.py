@@ -2180,6 +2180,71 @@ def _bpe_encode_counts_ranked(
     )
 
 
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Per-stratum tokenizer fertility report — the standard
+    multilingual-tokenizer health metric (tokens-per-word by language):
+    a vocabulary trained on one distribution shreds under-represented
+    strata into many more pieces, and this table is how that decision
+    gets reviewed. Per ``strata_col`` value:
+
+      (stratum, n_docs, n_words, n_tokens, n_chars,
+       fertility = n_tokens/n_words, chars_per_token = n_chars/n_tokens)
+
+    under the learned ``merges`` (``bpe_train`` output), with the two
+    ratios rounded to ``round_to`` and NULL when their denominator is 0.
+
+    Scale: the encode is ``bpe_encode_counts``' narrow per-doc map
+    (chain or ranked arm by table size — unchanged dispatch); the
+    stratum attach is an id-equi join (AQE-decided); the only new
+    shuffle is the strata-sized groupBy with map-side combine. Sums are
+    exact BIGINTs, so the two divisions are single rounded IEEE ops —
+    no float-accumulation parity question (the corpus_stats posture).
+    """
+    enc = bpe_encode_counts(
+        docs, merges, id_col=id_col, text_col=text_col, strategy=strategy
+    )
+    base = docs.select(F.col(id_col), F.col(strata_col).alias("stratum"))
+    g = (
+        enc.join(base, id_col)
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return g.select(
+        "stratum",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+                round_to,
+            ),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+                round_to,
+            ),
+        ).alias("chars_per_token"),
+    )
+
+
 def bpe_vocab(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -2203,6 +2203,45 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bpe_encode_counts(docs, merges)
 
 
+def _tokenizer_fertility_sql(n_merges: int = 10) -> str:
+    """Per-language fertility over the learned tokenizer: the oracle
+    CONTAINS the entire q_bpe_encode body (nested-WITH subquery, the
+    q_ann_recall composition pattern) — train chain, doc merge chain,
+    per-doc counts — then attaches lang and reduces per stratum with
+    exact BIGINT sums and two rounded divisions."""
+    enc = _bpe_encode_sql(n_merges)
+    return f"""
+    WITH enc AS (SELECT * FROM ({enc})),
+    b AS (SELECT doc_id, lang FROM documents)
+    SELECT b.lang AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(enc.n_chars) AS BIGINT) AS n_chars,
+           CASE WHEN SUM(enc.n_words) > 0
+                THEN ROUND(CAST(SUM(enc.n_bpe_tokens) AS DOUBLE)
+                           / CAST(SUM(enc.n_words) AS DOUBLE), 6)
+           END AS fertility,
+           CASE WHEN SUM(enc.n_bpe_tokens) > 0
+                THEN ROUND(CAST(SUM(enc.n_chars) AS DOUBLE)
+                           / CAST(SUM(enc.n_bpe_tokens) AS DOUBLE), 6)
+           END AS chars_per_token
+    FROM enc JOIN b USING (doc_id)
+    GROUP BY b.lang
+    """
+
+
+@q("q_tokenizer_fertility", _tokenizer_fertility_sql(10))
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-word by language under the corpus-trained merges —
+    the multilingual tokenizer-health review table."""
+    docs = table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()
+    ]
+    return TO.tokenizer_fertility(docs, merges, strata_col="lang")
+
+
 def _bpe_encode_ids_sql(n_merges: int = 10) -> str:
     """Oracle for the id-emitting encoder: the shared train + doc merge
     chain (all MATERIALIZED — see ``_materialize``), then a

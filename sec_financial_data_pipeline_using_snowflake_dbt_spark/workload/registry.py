@@ -360,6 +360,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # the md5 token-bucket surface via q_dsir_select and
     # q_hashed_classifier itself. Green r6; pytest-oracled every run.
     "q_tfidf",
+    # r7 (final batch): parked for q_tokenizer_fertility's window
+    # slot — the successor's oracle CONTAINS the entire q_bpe_encode
+    # body verbatim (nested-WITH: train chain + doc merge chain +
+    # per-doc counts), so the encoder stays in the hard signal through
+    # its successor; the counts arm also feeds q_bpe_encode_ids, still
+    # in-window. Green r6.
+    "q_bpe_encode",
     # r7 (final batch): parked for q_kmeans_quality's window slot — the
     # successor replays the IDENTICAL _lloyd_chain_ctes unroll at TWO
     # widths (k=4 and k=8 vs q_ann_ivf's single k=8), so the Lloyd

@@ -176,8 +176,12 @@ def test_oracle_queries_inside_driver_window():
         "q_bpe_train",
         # r6 continuation: the BPE encoder (q_corpus_split parked in
         # exchange — md5-bucket machinery stays via q_data_mixture /
-        # q_training_mix / q_pack_token_ids)
-        "q_bpe_encode",
+        # q_training_mix / q_pack_token_ids). r7 final batch:
+        # q_bpe_encode itself parked for the fertility-report slot
+        # after green rows r6 — its oracle body is nested VERBATIM
+        # inside q_tokenizer_fertility's, so the pin moves to the
+        # successor.
+        "q_tokenizer_fertility",
         # r7: the id-emitting tokenizer output (train -> encode ->
         # ids) earns the hard signal (q_greatest_least parked in
         # exchange after its fresh r6 green row)

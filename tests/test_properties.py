@@ -1376,3 +1376,46 @@ def test_kmeans_quality_matches_reference(spark, n_vecs, n_cells, seed):
             (cell, len(ds), float(sum(Decimal(str(d)) for d in ds)))
         )
     assert got == sorted(want)
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=12),
+                      min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_tokenizer_fertility_matches_reference(spark, texts):
+    """tokenizer_fertility against a plain-Python aggregation of
+    bpe_encode_counts' own per-doc output (the encoder is reference-
+    pinned elsewhere): exact integer sums per stratum, rounded ratios,
+    0-denominator NULLs. Strata alternate by doc id so multi-doc strata
+    and empty docs both occur."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TOX,
+    )
+
+    rows = [(i, t, "s" + str(i % 2)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    merges = [(r.lhs, r.rhs) for r in TOX.bpe_train(docs, n_merges=4).collect()]
+
+    got = sorted(
+        (r.stratum, r.n_docs, r.n_words, r.n_tokens, r.n_chars,
+         r.fertility, r.chars_per_token)
+        for r in TOX.tokenizer_fertility(docs, merges, strata_col="lang").collect()
+    )
+
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_chars)
+        for r in TOX.bpe_encode_counts(docs, merges).collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for i, _, lang in rows:
+        w, t, c = enc[i]
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1; a[1] += w; a[2] += t; a[3] += c
+    want = sorted(
+        (
+            lang, n, w, t, c,
+            _r6(t / w) if w > 0 else None,
+            _r6(c / t) if t > 0 else None,
+        )
+        for lang, (n, w, t, c) in agg.items()
+    )
+    assert got == want
