@@ -162,3 +162,58 @@ def test_bloom_dedup_literal_probe_has_no_probe_side_join(spark):
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_approx_percentile_scale_arm(spark):
+    """q_percentiles' exact ``percentile()`` buffers EVERY group value
+    in aggregation state — exact and oracle-matched, but unbounded
+    memory per group at 100 TB. The scale arm is ``percentile_approx``
+    (fixed-size positional sketch, mergeable map-side): this pins that
+    the approx arm (a) carries the identical schema, (b) lands within
+    the sketch's accuracy bound of the exact answer on real data, and
+    (c) is exact when accuracy exceeds the group cardinality — so a
+    caller can swap arms by data volume the way corpus_stats swaps
+    COUNT(DISTINCT) for HLL."""
+    from .conftest import SF_SMOKE
+
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+    def arms(acc: int):
+        exact = l.groupBy("l_returnflag").agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.99)"), 4).alias("p99_qty"),
+        )
+        approx = l.groupBy("l_returnflag").agg(
+            F.round(
+                F.percentile_approx("l_quantity", 0.5, acc).cast("double"), 4
+            ).alias("p50_qty"),
+            F.round(
+                F.percentile_approx("l_quantity", 0.99, acc).cast("double"), 4
+            ).alias("p99_qty"),
+        )
+        return exact, approx
+
+    exact, approx = arms(10_000)
+    assert exact.schema == approx.schema
+    e = {r.l_returnflag: r for r in exact.collect()}
+    a = {r.l_returnflag: r for r in approx.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        # l_quantity spans 1..50: the sketch must land within a couple
+        # of integer steps of the exact percentile at this accuracy
+        assert abs(e[k].p50_qty - a[k].p50_qty) <= 2.0, k
+        assert abs(e[k].p99_qty - a[k].p99_qty) <= 2.0, k
+
+    # accuracy >= n distinct ranks -> the sketch degenerates to exact
+    # (percentile_approx returns a real data value; the exact
+    # percentile interpolates, so compare on a single-value group)
+    one = spark.createDataFrame(
+        [("x", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    ex = one.agg(F.expr("percentile(v, 0.5)").alias("p")).collect()[0].p
+    ap = (
+        one.agg(F.percentile_approx("v", 0.5, 1_000_000).alias("p"))
+        .collect()[0]
+        .p
+    )
+    assert abs(ex - ap) <= 1.0
