@@ -81,6 +81,7 @@ HEADLINE = [
     "q_kmeans_quality",
     "q_text_quality",
     "q_text_repetition",
+    "q_ngram_diversity",
     "q_fingerprint",
     "q_vocab_topk",
     "q_oov_rate",

@@ -70,5 +70,56 @@ def materialize(
     return out
 
 
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    order_cols: list[str] | None = None,
+    max_records_per_file: int = 0,
+) -> DataFrame:
+    """Write a packed training dataset in the sharded layout a trainer's
+    data loader consumes: ``out_dir/shard=N/part-*.parquet`` — one
+    Hive partition directory per shard, so loader workers map 1:1 onto
+    directories and a ``shard`` predicate prunes at planning time (the
+    raw_layer quarter-partition move applied to the write side of the
+    pack pipeline: pack_token_ids → write_training_shards is the
+    terminal stage).
+
+    ``order_cols`` (e.g. ``["seq_id"]``) repartitions by the shard
+    column and sorts (shard, *order_cols) within partitions, so each
+    shard's files hold its blocks in training order — the reader streams
+    them sequentially without a sort. ``max_records_per_file`` bounds
+    file sizes (a 100 TB shard must split into loader-friendly files;
+    0 = Spark's default splitting).
+
+    Returns a manifest read back FROM THE WRITTEN DATASET (not the
+    input): per shard the row and file counts — the artifact a training
+    job records, and a write-path verification in one move.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    if order_cols:
+        out = df.repartition(F.col(shard_col)).sortWithinPartitions(
+            shard_col, *order_cols
+        )
+    writer = out.write.mode("overwrite").partitionBy(shard_col)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_dir)
+    back = df.sparkSession.read.parquet(out_dir)
+    # input_file_name() is non-deterministic to the analyzer and cannot
+    # sit inside an aggregate — project it to a column first
+    return (
+        back.select(F.col(shard_col), F.input_file_name().alias("__file"))
+        .groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("__file").cast("long").alias("n_files"),
+        )
+        .orderBy(shard_col)
+    )
+
+
 def list_tables(spark: SparkSession, db: str = "default") -> list[str]:
     return [t.name for t in spark.catalog.listTables(db)]

@@ -709,6 +709,45 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus distinct-n diversity (Li et al. 2016) per source: the
+# dataset-card variety table. n-grams keep their occurrence
+# multiplicity (unlike the dedup shingles, which are per-doc distinct);
+# the only heavy state is COUNT(DISTINCT ngram) — exact here for the
+# oracle, HLL via approx_distinct=True at corpus scale (the
+# corpus_stats posture).
+# ---------------------------------------------------------------------------
+def _ngram_diversity_sql(n_values: tuple[int, ...] = (1, 2, 3)) -> str:
+    arms = []
+    for n in n_values:
+        if n == 1:
+            grams = f"SELECT source AS stratum, UNNEST({SQL_TOKENS}) AS ngram FROM documents"
+        else:
+            grams = f"""SELECT source AS stratum,
+                   array_to_string(toks[i:i + {n - 1}], '␟') AS ngram
+            FROM (SELECT source, {SQL_TOKENS} AS toks,
+                         UNNEST(generate_series(1, len({SQL_TOKENS}) - {n - 1}))
+                           AS i
+                  FROM documents)"""
+        arms.append(
+            f"""SELECT stratum, CAST({n} AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_distinct,
+           CASE WHEN COUNT(*) > 0
+                THEN ROUND(CAST(COUNT(DISTINCT ngram) AS DOUBLE) / COUNT(*), 6)
+           END AS distinct_ratio
+    FROM ({grams}) GROUP BY stratum"""
+        )
+    return "\n    UNION ALL\n    ".join(arms)
+
+
+@q("q_ngram_diversity", _ngram_diversity_sql())
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.ngram_diversity(
+        table(spark, sf_dir, "documents"), n_values=(1, 2, 3), strata_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4-style line-level cleaning (Raffel et al. 2020 §2.2). The synthetic
 # documents are single-line word soup, so the query first SYNTHESIZES
 # deterministic multi-line "pages" from the token stream (the same move

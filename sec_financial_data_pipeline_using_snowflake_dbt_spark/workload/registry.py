@@ -360,6 +360,17 @@ TAIL_QUERIES: tuple[str, ...] = (
     # the md5 token-bucket surface via q_dsir_select and
     # q_hashed_classifier itself. Green r6; pytest-oracled every run.
     "q_tfidf",
+    # r7 (final batch): parked for q_ngram_diversity's window slot —
+    # the corpus-level distinct-n diversity table earns the hard
+    # signal first, per policy. The per-doc sorted-run fold surface
+    # stays pytest-oracled every run (q_text_repetition row in
+    # test_workload_oracle + the counting property test) and
+    # barrier-staged HOF folds stay in-window via q_corpus_stats
+    # (composes quality_filter's fold chain) and q_dedup_span_removal's
+    # HOF surgery; the operator stays in the bench HEADLINE. Green in
+    # every window r6-r7-candidate (r6 row green; barrier win
+    # re-verified r7 §30).
+    "q_text_repetition",
     # r7 (final batch): parked for q_tokenizer_fertility's window
     # slot — the successor's oracle CONTAINS the entire q_bpe_encode
     # body verbatim (nested-WITH: train chain + doc merge chain +

@@ -48,3 +48,69 @@ def test_clustered_parquet_roundtrip(spark, tmp_path_factory):
     out = materialize(o, "orders_clustered", "table", warehouse_dir=wh,
                       cluster_by=["o_custkey"])
     assert out.count() == o.count()
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path_factory):
+    """The terminal write stage of the pack pipeline: pack_token_ids →
+    write_training_shards must produce (a) one Hive partition directory
+    per shard, (b) a read-back manifest whose per-shard row counts match
+    the input, (c) bounded file sizes under maxRecordsPerFile, (d) rows
+    inside each file in training order (seq_id ascending) so the loader
+    streams without sorting, and (e) a shard predicate that prunes at
+    planning time."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        pack_token_ids,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.sources.catalog import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda t: F.pmod(F.xxhash64(t), F.lit(101)).cast("int"),
+        ).alias("ids"),
+    )
+    blocks = pack_token_ids(docs, budget=64, n_shards=4, id_col="doc_id")
+    want = {
+        (r.shard, r.n) for r in
+        blocks.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    out = str(tmp_path_factory.mktemp("shards")) + "/ds"
+    manifest = write_training_shards(
+        blocks, out, shard_col="shard", order_cols=["seq_id"],
+        max_records_per_file=5,
+    ).collect()
+
+    # (a) hive layout
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == sorted(f"shard={s}" for s, _ in want)
+    # (b) manifest counts match the input
+    assert {(r.shard, r.n_rows) for r in manifest} == want
+    # (c) bounded files
+    for r in manifest:
+        assert r.n_files >= (r.n_rows + 4) // 5
+        files = [
+            f for f in os.listdir(f"{out}/shard={r.shard}") if f.endswith(".parquet")
+        ]
+        assert len(files) == r.n_files
+        # (d) training order within each file
+        for f in files:
+            seq = [
+                x.seq_id
+                for x in spark.read.parquet(f"{out}/shard={r.shard}/{f}")
+                .select("seq_id").collect()
+            ]
+            assert seq == sorted(seq)
+    # (e) partition pruning
+    pruned = spark.read.parquet(out).filter(F.col("shard") == manifest[0].shard)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan.replace("#", "").replace(
+        "shard0", "shard"
+    ) or "shard" in plan.split("PartitionFilters")[1][:80]

@@ -176,7 +176,12 @@ def test_oracle_queries_inside_driver_window():
         "q_bpe_train",
         # r6 continuation: the BPE encoder (q_corpus_split parked in
         # exchange — md5-bucket machinery stays via q_data_mixture /
-        # q_training_mix / q_pack_token_ids). r7 final batch:
+        # q_training_mix / q_pack_token_ids). r7 final batch: the
+        # corpus distinct-n diversity table (q_text_repetition parked
+        # in exchange after green rows r6-r7; the per-doc fold stays
+        # pytest-oracled + HEADLINE-benched).
+        "q_ngram_diversity",
+        # r7 final batch:
         # q_bpe_encode itself parked for the fertility-report slot
         # after green rows r6 — its oracle body is nested VERBATIM
         # inside q_tokenizer_fertility's, so the pin moves to the

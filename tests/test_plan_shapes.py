@@ -217,3 +217,29 @@ def test_approx_percentile_scale_arm(spark):
         .p
     )
     assert abs(ex - ap) <= 1.0
+
+
+def test_ngram_diversity_hll_arm(spark):
+    """The exact COUNT(DISTINCT ngram) arm plans a two-phase distinct:
+    an extra shuffle keyed by (stratum, ngram) whose state is
+    corpus-sized (every distinct n-gram). approx_distinct=True swaps in
+    HyperLogLog++ — one aggregation with fixed-size sketch state and
+    one fewer Exchange. Same schema, estimate within the sketch's
+    rsd."""
+    docs = _docs(spark)
+    exact = TO.ngram_diversity(docs, n_values=(2,), strata_col="source")
+    approx = TO.ngram_diversity(
+        docs, n_values=(2,), strata_col="source", approx_distinct=True
+    )
+    assert exact.schema == approx.schema
+    # single-distinct case plans as a DOUBLE groupBy (no Expand): the
+    # first agg keys on (stratum, ngram) — corpus-sized — then
+    # re-aggregates; the HLL arm keys on stratum only
+    assert _exchanges(exact) > _exchanges(approx)
+    plan_a = approx._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan_a
+    e = {(r.stratum, r.n): r.n_distinct for r in exact.collect()}
+    a = {(r.stratum, r.n): r.n_distinct for r in approx.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        assert abs(a[k] - e[k]) <= max(5, 0.1 * e[k]), (k, e[k], a[k])

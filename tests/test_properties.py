@@ -1419,3 +1419,49 @@ def test_tokenizer_fertility_matches_reference(spark, texts):
         for lang, (n, w, t, c) in agg.items()
     )
     assert got == want
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=14),
+                      min_size=1, max_size=8),
+       strata=st.booleans())
+@settings(**_SETTINGS)
+def test_ngram_diversity_matches_reference(spark, texts, strata):
+    """ngram_diversity against a plain-Python counter: occurrence-
+    preserving n-grams (NOT the dedup shingles' per-doc distinct),
+    exact totals/distincts per (stratum, n), sub-n docs contribute
+    nothing at that n, 0-total strata report a NULL ratio only in the
+    global (strata-less) empty case."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        textops as TOX,
+    )
+
+    rows = [(i, t, "s" + str(i % 2)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        tuple(r) for r in TOX.ngram_diversity(
+            docs, n_values=(1, 2, 3),
+            strata_col="source" if strata else None,
+        ).collect()
+    )
+
+    def grams(t: str, n: int) -> list[str]:
+        toks = [w for w in t.lower().split() if w]
+        return ["␟".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    want = []
+    keys = sorted({s for _, _, s in rows}) if strata else [None]
+    for n in (1, 2, 3):
+        for s in keys:
+            all_g = [
+                g
+                for _, t, src in rows
+                if s is None or src == s
+                for g in grams(t, n)
+            ]
+            if strata and not all_g:
+                continue  # a stratum with zero n-grams emits no row
+            tot, dist = len(all_g), len(set(all_g))
+            ratio = _r6(dist / tot) if tot > 0 else None
+            row = (n, tot, dist, ratio)
+            want.append(((s,) + row) if strata else row)
+    assert got == sorted(want)
