@@ -1367,3 +1367,40 @@ def test_bloom_and_classifier_null_text_match_oracle(spark):
     nulldoc = {r.doc_id: r for r in cls.collect()}[1]
     assert nulldoc.logit == 0.0 and nulldoc.label == 0 and nulldoc.n_tokens == 0
     con.close()
+
+
+def test_minhash_plan_advisor():
+    """The banding advisor must (a) reproduce the textbook S-curve
+    probability, (b) pick the least-subthreshold-area split among those
+    capturing >= min_capture (brute-force verified over every divisor
+    split), (c) fall back to max capture when the budget can't reach
+    min_capture, and (d) endorse the workload's own 8 = 4x2 at 0.8
+    (capture ~0.983 — the q_dedup_recall configuration)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        minhash_plan,
+    )
+
+    plan = minhash_plan(0.8, 8)
+    assert (plan["bands"], plan["rows"]) == (4, 2)
+    assert abs(plan["capture_at_threshold"] - (1 - (1 - 0.8**2) ** 4)) < 1e-12
+
+    # brute-force the selection rule over a bigger budget
+    for threshold, nh in ((0.7, 16), (0.9, 12), (0.5, 16)):
+        plan = minhash_plan(threshold, nh)
+        cands = plan["candidates"]
+        assert sorted((c["bands"], c["rows"]) for c in cands) == sorted(
+            (b, nh // b) for b in range(1, nh + 1) if nh % b == 0
+        )
+        ok = [c for c in cands if c["capture_at_threshold"] >= 0.9]
+        if ok:
+            want = min(ok, key=lambda c: c["subthreshold_area"])
+            assert (plan["bands"], plan["rows"]) == (want["bands"], want["rows"])
+        # the chosen split is always a real divisor split
+        assert plan["bands"] * plan["rows"] == nh
+
+    # tiny budget at a low threshold: nothing reaches 0.9 -> max capture
+    plan = minhash_plan(0.3, 2, min_capture=0.9)
+    cands = plan["candidates"]
+    assert plan["capture_at_threshold"] == max(
+        c["capture_at_threshold"] for c in cands
+    )
