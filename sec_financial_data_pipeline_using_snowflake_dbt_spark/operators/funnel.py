@@ -21,8 +21,19 @@ Scale decisions shared by both operators:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+#: The horizon is interpolated into ``F.expr(f"INTERVAL {horizon}")``;
+#: validating it here turns a malformed value into a clear ValueError at
+#: call time instead of an opaque Catalyst parse error at action time
+#: (ADVICE r7 §3).
+_HORIZON_RE = re.compile(
+    r"^\s*\d+\s+(second|minute|hour|day|week)s?\s*$", re.IGNORECASE
+)
 
 
 def funnel_steps(
@@ -33,6 +44,7 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     round_to: int = 6,
+    persist_filtered: bool = True,
 ) -> DataFrame:
     """Ordered conversion funnel: how many users perform ``steps`` in
     order, each step at-or-after the previous step's completion and the
@@ -50,18 +62,30 @@ def funnel_steps(
     with the ratios rounded to ``round_to`` and NULL when the
     denominator is 0 (an empty funnel has no defined conversion).
 
-    Scale: one filtered min-groupBy per step plus user-equi joins
-    between the per-user tables; the corpus is scanned once per step
-    (or once total if the caller persists the projected event table).
-    The conv window runs over len(steps) rows.
+    Scale: the event table is scanned ONCE — projected to 3 columns and
+    filtered to ``et IN steps`` up front, then persisted
+    (MEMORY_AND_DISK) so the per-step min-groupBy loop reads the cached
+    funnel-relevant slice instead of rescanning the corpus per step
+    (``persist_filtered=False`` opts out for single-shot plans where
+    the caller manages caching). The conv window runs over len(steps)
+    rows.
     """
     if len(steps) < 2:
         raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if not _HORIZON_RE.match(horizon):
+        raise ValueError(
+            f"horizon must look like '<int> <second|minute|hour|day|week>[s]', "
+            f"got {horizon!r}"
+        )
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("et"),
-    ).filter(F.col("t").isNotNull())
+    ).filter(F.col("t").isNotNull() & F.col("et").isin(list(steps)))
+    if persist_filtered:
+        # repeated same-plan calls hit Spark's CacheManager (logical-plan
+        # keyed), so this does not accumulate duplicate cache entries
+        ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
     bound = F.expr(f"INTERVAL {horizon}")
 
     # t1: first step-1 event per user (anchors the horizon)

@@ -738,7 +738,11 @@ def kmeans_quality(
     d2 = F.round(_sqdist(F.col("v"), F.col("cvec")), round_to)
     return (
         assignments.join(F.broadcast(centroids), "cell")
-        .select(F.col("cell"), d2.cast(f"decimal(18,{round_to})").alias("d"))
+        # DECIMAL(38,s): with ANSI off a per-value overflow at (18,s)
+        # would silently NULL the distance out of the sum while the
+        # DuckDB oracle raises — 38 digits hold any float64 square
+        # a 64-dim corpus can produce (ADVICE r7 §1)
+        .select(F.col("cell"), d2.cast(f"decimal(38,{round_to})").alias("d"))
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),

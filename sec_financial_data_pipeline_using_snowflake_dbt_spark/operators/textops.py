@@ -2184,7 +2184,6 @@ def ngram_diversity(
     docs: DataFrame,
     n_values: tuple[int, ...] = (1, 2, 3),
     strata_col: str | None = None,
-    id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
     approx_distinct: bool = False,
@@ -2200,29 +2199,45 @@ def ngram_diversity(
     scores very low. Unlike ``repetition_stats`` (per-document folds)
     this is the CORPUS-level diversity table a dataset card publishes.
 
-    Scale: one explode + one map-side-combined groupBy per n (the
-    n-gram build is a narrow transform over the token array — no
-    per-doc distinct, occurrences keep their multiplicity).
+    Scale: ONE corpus scan for every n (VERDICT r7 #3 — the per-n loop
+    used to rescan the corpus len(n_values) times): each doc builds all
+    gram lengths as (n, ngram) structs in one narrow ``transform`` +
+    ``concat``, a single explode feeds one map-side-combined
+    groupBy(stratum?, n). Occurrences keep their multiplicity (the
+    dedup shingles' per-doc distinct would undercount). When the scan
+    yields fewer splits than cores (small files on a big box — the
+    sf0.1 bench layout is ONE split), the projected (stratum, text)
+    pair is round-robin repartitioned to ``defaultParallelism`` first,
+    so fusing the per-n work into one subtree doesn't serialize 3x the
+    CPU onto one task; at 100 TB splits >> cores and the branch is a
+    no-op (no added shuffle).
     COUNT(DISTINCT ngram) is corpus-sized state: the exact arm is the
     oracle-matched default, ``approx_distinct=True`` swaps in
     HyperLogLog++ for the 100 TB path (the corpus_stats posture — a
     distinct count over billions of n-grams is sketch territory).
     Counts are exact integers; the one ratio is a single rounded IEEE
-    division.
+    division. Strata-less mode keeps the per-n global-aggregate
+    contract: every n gets a row even at zero occurrences (scaffold
+    left-join — the old per-n ``groupBy()`` emitted exactly one row
+    per n regardless).
     """
     if not n_values:
         raise ValueError("n_values must be non-empty")
-    toks = TX.tokens(F.lower(F.col(text_col)))
-    strata = [F.col(strata_col).alias("stratum")] if strata_col else []
-    out = None
     for n in n_values:
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
+    strata_proj = [F.col(strata_col).alias("stratum")] if strata_col else []
+    base = docs.select(*strata_proj, F.col(text_col).alias(text_col))
+    n_splits = base.rdd.getNumPartitions()
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if n_splits < par:
+        base = base.repartition(par)
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    arrs = []
+    for n in n_values:
         if n == 1:
             grams = toks
         else:
-            # occurrence-preserving n-grams (word_shingles dedups per
-            # doc — diversity needs multiplicity)
             cnt = F.size(toks) - F.lit(n - 1)
             idx = F.when(
                 cnt > 0, F.sequence(F.lit(1), cnt)
@@ -2230,35 +2245,57 @@ def ngram_diversity(
             grams = F.transform(
                 idx, lambda i: F.array_join(F.slice(toks, i, n), "␟")
             )
-        g = docs.select(*strata, F.explode(grams).alias("ngram"))
-        distinct = (
-            F.approx_count_distinct("ngram")
-            if approx_distinct
-            else F.countDistinct("ngram")
-        )
-        agg = (
-            g.groupBy(*[s for s in ("stratum",) if strata])
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_total"),
-                distinct.cast("long").alias("n_distinct"),
-            )
-            .select(
-                *([F.col("stratum")] if strata else []),
-                F.lit(n).cast("long").alias("n"),
-                "n_total",
-                "n_distinct",
-                F.when(
-                    F.col("n_total") > 0,
-                    F.round(
-                        F.col("n_distinct").cast("double")
-                        / F.col("n_total").cast("double"),
-                        round_to,
-                    ),
-                ).alias("distinct_ratio"),
+        # single-param lambdas only: F.transform invokes them EAGERLY
+        # here (so the loop-variable closure is safe), and a second
+        # parameter would be bound to the array index
+        arrs.append(
+            F.transform(
+                grams,
+                lambda g: F.struct(
+                    F.lit(n).cast("long").alias("n"), g.alias("ngram")
+                ),
             )
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    combined = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    skeys = ["stratum"] if strata_col else []
+    g = base.select(*skeys, F.explode(combined).alias("p")).select(
+        *skeys, F.col("p.n").alias("n"), F.col("p.ngram").alias("ngram")
+    )
+    distinct = (
+        F.approx_count_distinct("ngram")
+        if approx_distinct
+        else F.countDistinct("ngram")
+    )
+    agg = g.groupBy(*skeys, "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        distinct.cast("long").alias("n_distinct"),
+    )
+    if not strata_col:
+        # zero-occurrence n values still report a (n, 0, 0, NULL) row —
+        # the single-scan groupBy("n") would drop them where the old
+        # per-n global aggregate could not
+        scaffold = docs.sparkSession.createDataFrame(
+            [(int(n),) for n in n_values], "n long"
+        )
+        agg = scaffold.join(agg, "n", "left").select(
+            "n",
+            F.coalesce("n_total", F.lit(0).cast("long")).alias("n_total"),
+            F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+        )
+    return agg.select(
+        *skeys,
+        "n",
+        "n_total",
+        "n_distinct",
+        F.when(
+            F.col("n_total") > 0,
+            F.round(
+                F.col("n_distinct").cast("double")
+                / F.col("n_total").cast("double"),
+                round_to,
+            ),
+        ).alias("distinct_ratio"),
+    )
 
 
 def tokenizer_fertility(

@@ -877,7 +877,7 @@ def _kmeans_quality_sql(
       SELECT CAST({k} AS BIGINT) AS k, CAST(a.cell AS BIGINT) AS cell,
              CAST(COUNT(*) AS BIGINT) AS n_vectors,
              CAST(SUM(CAST(ROUND({sqd_chain('a.v', 'c.cvec')}, {round_to})
-                           AS DECIMAL(18,{round_to}))) AS DOUBLE) AS inertia
+                           AS DECIMAL(38,{round_to}))) AS DOUBLE) AS inertia
       FROM {final_assign} a JOIN {cents} c USING (cell)
       GROUP BY a.cell)"""
         )

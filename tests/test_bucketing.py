@@ -111,6 +111,11 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path_factory):
     # (e) partition pruning
     pruned = spark.read.parquet(out).filter(F.col("shard") == manifest[0].shard)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(shard" in plan.replace("#", "").replace(
-        "shard0", "shard"
-    ) or "shard" in plan.split("PartitionFilters")[1][:80]
+    norm = plan.replace("#", "").replace("shard0", "shard")
+    # guard the fallback arm: a plan with no PartitionFilters section at
+    # all must fail readably, not with an IndexError (ADVICE r7 §4)
+    assert "PartitionFilters" in plan, plan
+    assert (
+        "PartitionFilters: [isnotnull(shard" in norm
+        or "shard" in plan.split("PartitionFilters")[1][:80]
+    )
