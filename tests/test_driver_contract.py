@@ -65,7 +65,10 @@ def test_oracle_queries_inside_driver_window():
         # green row)
         # (q_stats_agg re-parked in r7 for q_dedup_recall's slot
         # after its r6 green row)
-        "q_date_arith",
+        # r8: q_date_arith re-parked after green rows r6+r7; the
+        # F2/F3 CASE/date pin moves back to q_date_dim, rotated into
+        # the window this round after its r5 park
+        "q_date_dim",
         # (q_string_funcs re-parked in r7 for q_dedup_span_removal's
         # slot after its r6 green row)
         # r6 new operators take the hard signal first (q_array_ops'
@@ -149,8 +152,11 @@ def test_oracle_queries_inside_driver_window():
         # r7 for q_dedup_verify's slot after green rows r1-r6, its
         # banded chain contained in three in-window oracles)
         "q_dedup_substrings",
-        # r7: candidate-pair verification (see above)
-        "q_dedup_verify",
+        # r8: q_dedup_verify parked after its first green row r7 — its
+        # banded chain is contained in q_dedup_recall (pinned below)
+        # and exact per-pair Jaccard returns via q_dedup_jaccard,
+        # rotated back in this round
+        "q_dedup_jaccard",
         # r7: delta dedup — new batch vs existing corpus
         # (q_dedup_simhash64 parked in exchange after its r6 green
         # row; both SimHash widths stay oracle-verified every pytest
@@ -187,10 +193,10 @@ def test_oracle_queries_inside_driver_window():
         # inside q_tokenizer_fertility's, so the pin moves to the
         # successor.
         "q_tokenizer_fertility",
-        # r7: the id-emitting tokenizer output (train -> encode ->
-        # ids) earns the hard signal (q_greatest_least parked in
-        # exchange after its fresh r6 green row)
-        "q_bpe_encode_ids",
+        # r8: q_bpe_encode_ids parked after its first green row r7 —
+        # its train+encode chain is nested verbatim inside
+        # q_tokenizer_fertility's oracle (pinned above), so the
+        # encoder pin rides the successor
         # r7: the writer-side block packer (q_window_frames parked in
         # exchange after its fresh r6 green row)
         "q_pack_token_ids",
