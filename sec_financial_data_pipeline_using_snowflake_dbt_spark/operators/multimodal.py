@@ -18,11 +18,17 @@ This is the 100 TB-scale plumbing for multimodal training data:
   WAV integer PCM sample stats (mean amplitude / RMS / peak via
   ``wav_pcm_stats``) and BMP/PPM/PGM pixel statistics (mean luma via
   ``pixel_stats``);
-- only COMPRESSED codecs (png/gif/jpeg pixel data, mp3 samples, mp4
-  frames) remain behind a deterministic fake, since the actual codecs
-  (PIL/librosa/av) are not in this container (``use_real_codecs=True``
-  raises NotImplementedError). The Spark-side contract — schemas, batch
-  iteration, partitioning — is real and tested.
+- PNG pixels are decoded for REAL with the stdlib alone (r8:
+  ``png_pixel_stats`` — chunk walk, bounded IDAT zlib inflate,
+  None/Sub/Up/Average/Paeth scanline unfilter, palette resolution) for
+  8-bit non-interlaced images — the one compressed format that needs
+  no third-party wheel;
+- only the remaining COMPRESSED codecs (jpeg/gif pixel data, 16-bit or
+  interlaced PNG, mp3 samples, mp4 frames) stay behind a deterministic
+  fake, since the actual codecs (PIL/librosa/av) are not in this
+  container (``use_real_codecs=True`` raises NotImplementedError). The
+  Spark-side contract — schemas, batch iteration, partitioning — is
+  real and tested.
 
 ``spark.read.format("binaryFile")`` is the ingestion path for loose
 files (reference's S2 ZIP-extract analogue for media); ``pack_assets``
@@ -245,7 +251,10 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
 
     - BMP, 24/32-bpp BI_RGB (rows 4-byte padded, BGR(A) order,
       bottom-up or top-down — row order doesn't change the mean);
-    - PPM (P6, 8-bit RGB) and PGM (P5, 8-bit grayscale).
+    - PPM (P6, 8-bit RGB) and PGM (P5, 8-bit grayscale);
+    - PNG, 8-bit gray/RGB/palette/gray+alpha/RGBA non-interlaced —
+      REAL stdlib-zlib decode (``png_pixel_stats``: IDAT inflate +
+      scanline unfilter), r8.
 
     Returns {format, width, height, mean_luma} with mean_luma the
     Rec.601 luma (0.299 R + 0.587 G + 0.114 B) normalized to [0, 1].
@@ -253,6 +262,8 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
     codec boundary."""
     import numpy as np
 
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return png_pixel_stats(payload)
     if payload[:2] == b"BM":
         hdr = parse_bmp_header(payload)
         if hdr is None or hdr["compression"] != 0 or hdr["bpp"] not in (24, 32):
@@ -301,6 +312,157 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
             "mean_luma": float(luma.mean()),
         }
     return None
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> "Any":
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over ``h`` scanlines of ``w`` pixels × ``bpp`` bytes.
+    Returns the reconstructed (h, w*bpp) uint8 array. None and Up are
+    fully vectorized; Sub is a lane-wise cumulative sum (addition mod
+    256 commutes with cumsum); Average/Paeth carry a true sequential
+    left-dependence, so those rows walk pixel-by-pixel with the bpp
+    lanes vectorized — fine for the correctness arm this is (a 100 TB
+    image pipeline decodes through a codec library; this arm exists so
+    PNG pixel decode is REAL with zero dependencies)."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            recon = row
+        elif ftype == 1:  # Sub: recon[i] = row[i] + recon[i-bpp]
+            recon = (
+                np.cumsum(row.reshape(w, bpp).astype(np.uint64), axis=0) % 256
+            ).astype(np.int32).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = (row + prev) % 256
+        elif ftype == 3:  # Average
+            recon = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = (row[s] + ((left + prev[s]) >> 1)) % 256
+                recon[s] = left
+        elif ftype == 4:  # Paeth
+            recon = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = prev[s]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (row[s] + pred) % 256
+                recon[s] = left
+                ul = up
+        else:
+            return None
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out
+
+
+def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
+    """REAL PNG pixel decode with the stdlib alone (VERDICT r7 #2 —
+    PNG is the one compressed format that needs no third-party wheel):
+    chunk walk → IDAT zlib inflate → per-scanline unfilter
+    (``_png_unfilter``) → Rec.601 mean luma, the same statistic
+    ``pixel_stats`` reports for raw rasters.
+
+    Scope: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), non-interlaced — the overwhelmingly common PNG
+    shape. 16-bit, interlaced, or undecodable streams return None and
+    stay behind the codec boundary (callers fall through to Pillow /
+    the deterministic stub). The inflate is bounded to the raster size
+    (a zip-bomb IDAT cannot balloon past the declared dimensions) and
+    dimensions are capped at 64 MP per asset."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    i, n = 8, len(payload)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # length + type + data + CRC
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or (color == 3 and plte is None)
+        or w <= 0
+        or h <= 0
+        or w * h > 64_000_000
+    ):
+        return None
+    stride = w * channels
+    expect = (stride + 1) * h
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expect)
+    except zlib.error:
+        return None
+    if len(raw) < expect:
+        return None
+    pix = _png_unfilter(raw, w, h, channels)
+    if pix is None:
+        return None
+    pix = pix.reshape(h, w, channels).astype(np.float64)
+    if color == 3:  # palette indices -> RGB through PLTE
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: len(pal) // 3 * 3].reshape(-1, 3).astype(np.float64)
+        idx = pix[..., 0].astype(np.int64)
+        if idx.max() >= pal.shape[0]:
+            return None
+        rgb = pal[idx]
+        luma = (
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        ) / 255.0
+    elif color in (0, 4):  # grayscale (alpha ignored for luma)
+        luma = pix[..., 0] / 255.0
+    else:  # RGB / RGBA (alpha ignored)
+        luma = (
+            0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]
+        ) / 255.0
+    return {
+        "format": "png",
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": float(luma.mean()),
+    }
 
 
 def _decode_image_pil(payload: bytes) -> dict[str, Any] | None:
