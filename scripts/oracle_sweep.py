@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Chunked full-registry oracle sweep — the NOTES_r7 §38/§39 protocol
+as one command (VERDICT r7 #5), so large-scale cross-engine parity
+verification survives builder turnover.
+
+Why chunked fresh processes: a single shared Spark+DuckDB process
+running the whole registry at sf1+ dies of mmap/thread exhaustion
+(NOTES_r6 §13: DuckDB's ~256 KB buffer blocks each cost a glibc mmap;
+vm.max_map_count is 65530 here, so the process dies with a spurious
+16 KB "Out of Memory" while RAM is free) regardless of memory caps.
+The protocol that completes reliably at every scale up to sf10:
+
+- run the registry in chunks of 20 oracles, each chunk a FRESH child
+  process with a bounded Spark driver (6 GB / local[8] by default) and
+  the 8 GB-capped DuckDB connection from tests/oracle_harness;
+- any chunk failure whose message smells like the spurious DuckDB
+  small-block OOM (or a child that died wholesale) is re-run in
+  ISOLATION (one oracle, fresh process); pass-in-isolation = spurious,
+  recorded as such, NOT a parity failure;
+- a failure that reproduces in isolation is REAL and fails the sweep —
+  that is how the 2^53 decimal→double divergence was caught at sf1
+  (NOTES_r7 §39).
+
+DuckDB views: /root/testdata tables are single parquet FILES;
+scripts/make_sfN.py output under .localdata stores tables as parquet
+DIRECTORIES, which DuckDB needs globbed as ``<t>.parquet/*.parquet``
+— handled here by an isdir probe.
+
+Usage:
+  python scripts/oracle_sweep.py [SF_DIR]             # default sf0.01
+  python scripts/oracle_sweep.py .localdata/sf1 --chunk 20 --mem 6g \
+      --threads 8 [--only q_a,q_b]
+
+Exit 0 iff every oracle hash-matches (spurious-OOM retries allowed);
+prints one JSON summary line last.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_OOM_MARKERS = ("Out of Memory", "OutOfMemory", "bad_alloc", "std::bad_alloc")
+
+
+def _duckdb_views(sf_dir: str):
+    """oracle_harness.duckdb_conn, with directory-table globbing for
+    make_sfN.py output."""
+    import duckdb
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.common import (
+        TABLES,
+    )
+
+    con = duckdb.connect()
+    con.execute("SET memory_limit = '8GB'")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
+    """Child entrypoint: run the named oracles in THIS process, print
+    one JSON line per oracle."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.session import (
+        get_spark,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import (
+        ORACLES,
+        QUERIES,
+    )
+    from tests.oracle_harness import compare
+
+    spark = get_spark(
+        cpus=threads, extra_conf={"spark.driver.memory": mem}
+    )
+    con = _duckdb_views(sf_dir)
+    for name in names:
+        t0 = time.time()
+        try:
+            problems = compare(
+                QUERIES[name](spark, sf_dir),
+                con.execute(ORACLES[name]).df(),
+                name,
+            )
+            rec = {"name": name, "ok": not problems, "problems": problems}
+        except Exception as exc:  # noqa: BLE001 — report, don't die mid-chunk
+            rec = {"name": name, "ok": False, "problems": [f"{name}: {exc!r}"]}
+        rec["sec"] = round(time.time() - t0, 3)
+        print("@@RESULT " + json.dumps(rec), flush=True)
+
+
+def _spawn(names: list[str], args) -> dict[str, dict]:
+    """Parent side: run one chunk in a fresh process, parse its results.
+    A child that dies wholesale yields synthetic not-ok records."""
+    cmd = [
+        sys.executable, os.path.abspath(__file__), args.sf_dir,
+        "--child", ",".join(names),
+        "--mem", args.mem, "--threads", str(args.threads),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO,
+        timeout=args.timeout, check=False,
+    )
+    out: dict[str, dict] = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("@@RESULT "):
+            rec = json.loads(line[len("@@RESULT "):])
+            out[rec["name"]] = rec
+    tail = (proc.stdout + proc.stderr)[-800:]
+    for name in names:
+        if name not in out:
+            out[name] = {
+                "name": name, "ok": False, "sec": None,
+                "problems": [f"{name}: child died rc={proc.returncode}: {tail}"],
+            }
+    return out
+
+
+def _is_spurious_candidate(rec: dict) -> bool:
+    text = " ".join(rec.get("problems") or [])
+    return any(m in text for m in _OOM_MARKERS) or "child died" in text
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--chunk", type=int, default=20)
+    ap.add_argument("--mem", default="6g")
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--only", default=None, help="comma-separated oracle names")
+    ap.add_argument("--timeout", type=int, default=3600, help="per-chunk seconds")
+    ap.add_argument("--child", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        _run_chunk(args.child.split(","), args.sf_dir, args.mem, args.threads)
+        return 0
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload import (
+        ORACLES,
+    )
+
+    names = sorted(ORACLES)
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+        unknown = [n for n in names if n not in ORACLES]
+        if unknown:
+            print(f"unknown oracle names: {unknown}", file=sys.stderr)
+            return 2
+    t0 = time.time()
+    results: dict[str, dict] = {}
+    for i in range(0, len(names), args.chunk):
+        chunk = names[i : i + args.chunk]
+        print(
+            f"[sweep] chunk {i // args.chunk + 1}: {chunk[0]}..{chunk[-1]} "
+            f"({len(chunk)} oracles)",
+            flush=True,
+        )
+        results.update(_spawn(chunk, args))
+
+    # spurious-OOM protocol: every OOM-shaped failure re-runs isolated
+    retried: list[str] = []
+    for name, rec in sorted(results.items()):
+        if not rec["ok"] and _is_spurious_candidate(rec):
+            print(f"[sweep] retrying {name} in isolation (OOM-shaped)", flush=True)
+            solo = _spawn([name], args)[name]
+            if solo["ok"]:
+                solo["spurious_oom_retry_pass"] = True
+                retried.append(name)
+            results[name] = solo
+
+    failures = {n: r for n, r in results.items() if not r["ok"]}
+    for n, r in sorted(failures.items()):
+        for p in r["problems"]:
+            print(f"[FAIL] {p[:400]}", file=sys.stderr)
+    summary = {
+        "sf_dir": args.sf_dir,
+        "n_oracles": len(names),
+        "n_green": len(names) - len(failures),
+        "spurious_oom_retries": retried,
+        "failures": sorted(failures),
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1847,6 +1847,86 @@ def _bpe_train_driver(
     return merges
 
 
+def _bpe_train_incremental(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Incremental-pair-count BPE trainer (VERDICT r7 #8) — the
+    sentencepiece / HF-tokenizers structure: pair counts live in a dict
+    maintained by delta updates, the argmax comes off a lazy max-heap,
+    and each merge touches ONLY the words that contain the merged pair
+    (an inverted pair→word index) instead of re-scanning the whole
+    vocabulary. Per-merge cost is O(total length of affected words +
+    heap ops) — flat enough for real 32k-merge vocabularies where the
+    plain one-pass-per-merge reference (``_bpe_train_driver``) is
+    O(V · merges).
+
+    Semantics are byte-identical to the reference arm — same greedy
+    left-to-right replace, same (count DESC, pair lexicographic ASC)
+    tie-break (the heap orders by (-count, pair), so among max-count
+    entries the lexicographically smallest pair pops first) — pinned by
+    the arm-agreement property test at 10 and 1000 merges.
+
+    Lazy-heap invariant: every time a pair's count changes to v > 0 a
+    fresh (-v, pair) entry is pushed; pops that disagree with the live
+    dict are stale and discarded, so the first AGREEING pop is the true
+    maximum."""
+    import heapq
+
+    syms_list = [list(w) for w, _ in rows]
+    freqs = [c for _, c in rows]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_where: dict[tuple[str, str], set[int]] = {}
+
+    def scan_word(i: int, sign: int, touched: set | None) -> None:
+        s, c = syms_list[i], freqs[i] * sign
+        for a, b in zip(s, s[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            if sign > 0:
+                pair_where.setdefault(p, set()).add(i)
+            if touched is not None:
+                touched.add(p)
+
+    for i in range(len(syms_list)):
+        scan_word(i, +1, None)
+    heap = [(-c, p) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc and -negc > 0:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (s1, s2), c = best
+        merges.append((step, s1, s2, s1 + s2, c))
+        touched: set[tuple[str, str]] = set()
+        for i in pair_where.pop((s1, s2), ()):  # only words holding the pair
+            syms = syms_list[i]
+            out, j, hit = [], 0, False
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == s1 and syms[j + 1] == s2:
+                    out.append(s1 + s2)
+                    j += 2
+                    hit = True
+                else:
+                    out.append(syms[j])
+                    j += 1
+            if not hit:  # stale index entry — the pair was merged away
+                continue
+            scan_word(i, -1, touched)
+            syms_list[i] = out
+            scan_word(i, +1, touched)
+        for p in touched:
+            v = pair_counts.get(p, 0)
+            if v > 0:
+                heapq.heappush(heap, (-v, p))
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
@@ -1866,8 +1946,11 @@ def bpe_train(
     Scale: BPE training runs over the WORD-FREQUENCY table, not the
     corpus — one corpus-sized explode+groupBy builds it. When that
     table fits on the driver (``MAX_DRIVER_WORDS``), training runs
-    there in one pass per merge (the PQ-codebook posture — per-round
-    Spark-job latency is pure overhead at vocabulary scale); above it,
+    there through the incremental pair-count trainer
+    (``_bpe_train_incremental`` — delta-maintained pair counts, lazy
+    max-heap argmax, inverted pair→word index; r8: real 32k-merge
+    vocabularies train in minutes where the one-pass-per-merge
+    reference is O(V·merges)); above it,
     each round is (a) a pair-count groupBy over the vocabulary
     (map-side combined; vocabulary rows, not corpus rows), (b) a 1-row
     driver collect of the argmax (the Lloyd-coordination pattern), and
@@ -1900,7 +1983,9 @@ def bpe_train(
         if strategy == "driver" and len(probe) > MAX_DRIVER_WORDS:
             probe = words.collect()
         if strategy == "driver" or len(probe) <= MAX_DRIVER_WORDS:
-            merges = _bpe_train_driver([(r.w, r.cnt) for r in probe], n_merges)
+            merges = _bpe_train_incremental(
+                [(r.w, r.cnt) for r in probe], n_merges
+            )
             return spark.createDataFrame(
                 merges,
                 "step LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG",

@@ -577,6 +577,39 @@ def test_bpe_train_arms_agree(spark, texts, n_merges):
     assert drv == dist
 
 
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_merges=st.sampled_from([10, 1000]),
+)
+@settings(**_SETTINGS)
+def test_bpe_incremental_trainer_matches_reference(words, n_merges):
+    """VERDICT r7 #8: the incremental pair-count trainer (delta counts,
+    lazy max-heap, inverted pair index — the production driver arm) ==
+    the plain one-pass-per-merge reference, merge-for-merge, at 10 AND
+    1000 requested merges (1000 always exhausts these vocabularies, so
+    the early-stop path and every stale-heap/stale-index branch run).
+    Adversarial shapes included by generation: repeated-letter words
+    ('aaaa' — overlapping pair occurrences), ties at every count, and
+    pairs that vanish and REAPPEAR at lower counts after intermediate
+    merges (the stale-entry case the lazy heap must discard)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.textops import (
+        _bpe_train_driver,
+        _bpe_train_incremental,
+    )
+
+    assert _bpe_train_incremental(words, n_merges) == _bpe_train_driver(
+        words, n_merges
+    )
+
+
 def _r6(x: float, places: int = 6) -> float:
     from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.similarity import (
         _round_half_up,
@@ -1313,6 +1346,83 @@ def test_retention_matches_reference(spark, events):
         for r in FUN.retention_cohorts(df).collect()
     )
     assert got == want
+
+
+def test_funnel_retention_hot_user_skew(spark):
+    """VERDICT r7 #7: the bot shape the min-groupBy discipline was
+    designed for — 1% of users carry 90% of the events (here: user 0
+    holds 9000 of 10000 events). The production operators must agree
+    exactly with the rank-window formulation they avoid (the window
+    arm is the SLOW spelling under skew, never a different answer —
+    scripts/funnel_skew_bench.py measures the gap at 4M events)."""
+    from pyspark.sql import Window
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        funnel as FUN,
+    )
+
+    steps = ["view", "click", "purchase"]
+    ev = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(0))
+        .otherwise(1 + (F.col("id") * 31) % 99)
+        .alias("user_id"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400).alias(
+            "ts"
+        ),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps]),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    got = {
+        (r.step, r.n_users)
+        for r in FUN.funnel_steps(ev, steps, persist_filtered=False).collect()
+    }
+    # rank-window spelling of the same funnel
+    w = Window.partitionBy("user_id").orderBy("ts")
+    first = (
+        ev.filter(F.col("event_type") == steps[0])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("t_prev"), F.col("ts").alias("t1"))
+    )
+    reached = first
+    counts = {1: first.count()}
+    for i, name in enumerate(steps[1:], start=2):
+        reached = (
+            ev.filter(F.col("event_type") == name)
+            .join(reached, "user_id")
+            .filter(
+                (F.col("ts") >= F.col("t_prev"))
+                & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 days"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("ts").alias("t_prev"), "t1")
+        )
+        counts[i] = reached.count()
+    assert {(s, n) for s, n in counts.items()} == got
+    # retention first-seen: min-groupBy vs rank window, exact agreement
+    wk = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    via_min = {
+        (r.user_id, r.cohort_week)
+        for r in wk.groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+        .collect()
+    }
+    wwk = Window.partitionBy("user_id").orderBy("wk")
+    via_rank = {
+        (r.user_id, r.wk)
+        for r in wk.withColumn("rn", F.row_number().over(wwk))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert via_min == via_rank
+    # the hot user is actually hot: one user holds 90% of events
+    top = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert top["count"] == 9_000
 
 
 @given(
