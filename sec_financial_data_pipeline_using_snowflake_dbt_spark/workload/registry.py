@@ -122,9 +122,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # r7: parked for q_dedup_recall's window slot (the MinHash
     # candidate-recall harness — the new operator earns the hard
     # signal first); the stats/stddev battery re-earned its green row
-    # in r6 after the r2-r6 park, stays oracle-verified every pytest
-    # run, and the aggregate-statistics surface stays in-window via
-    # q_percentiles (rotated back in this round) + q_pricing_summary.
+    # in r6 after the r2-r6 park and stays oracle-verified every
+    # pytest run. r8 note: q_percentiles (the r7 in-window holder of
+    # the aggregate-statistics surface) parked again this round after
+    # its green r7 row — decimal aggregate math stays in-window via
+    # q_pricing_summary and quantile-cut machinery via
+    # q_perplexity_buckets' bounded histogram.
     "q_stats_agg",
     # (the r7 parks q_language_id / q_text_quality / q_fingerprint /
     # q_sessionization / q_dedup_embedding / q_ann_topk /
