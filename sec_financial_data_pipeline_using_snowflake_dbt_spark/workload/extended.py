@@ -546,12 +546,18 @@ def _ann_ivfpq_sql(
     # v - centroid(cell). The residual list is one list_transform per
     # vector (same double subtraction the Spark zip_with and the
     # Python LUT perform); downstream CTEs are IDENTICAL — they just
-    # read from `res` instead of `e`.
+    # read from `res` instead of `e`. MATERIALIZED is load-bearing
+    # (r8): `res` has five consumers (samp + the m enc{j} encodes), and
+    # without the hint DuckDB inlines the whole Lloyd chain into each —
+    # fine at the driver's 500-2000 vectors, but at sf1 (20k vectors)
+    # the duplicated window/join state exceeded even a 20 GB cap; with
+    # the hint the oracle runs in 4 s under the standard 8 GB / ~3.8k
+    # mmaps (NOTES_r8).
     enc_src = "e"
     if residual:
         enc_src = "res"
         ctes.append(
-            f"""res AS (
+            f"""res AS MATERIALIZED (
       SELECT a.vec_id, a.cell,
              list_transform(generate_series(1, {dim}),
                             i -> a.v[i] - c.cvec[i]) AS v

@@ -256,7 +256,7 @@ def test_ngram_diversity_single_scan(spark):
     assert plan.count("FileScan") == 1, plan
 
 
-def test_funnel_single_scan(spark):
+def test_funnel_single_scan(spark, tmp_path_factory):
     """funnel_steps projects + filters the event table to the funnel's
     event types ONCE and persists the slice (VERDICT r7 "What's wrong"
     #1): every per-step subtree reads InMemoryTableScan, so a 6-step
@@ -271,7 +271,13 @@ def test_funnel_single_scan(spark):
         read_events,
     )
 
-    ev = read_events(spark, SF_SMOKE)
+    # a private parquet copy: other tests cache the shared SF_SMOKE
+    # events scan (test_asof caches the whole table), and CacheManager
+    # substitutes ANY matching subtree at planning time — the raw arm's
+    # zero-cache assertion needs a path nothing else has persisted
+    path = str(tmp_path_factory.mktemp("funnel_scan") / "events.parquet")
+    read_events(spark, SF_SMOKE).limit(2000).write.parquet(path)
+    ev = spark.read.parquet(path)
     steps = ["view", "click", "purchase"]
     # raw arm FIRST: once any funnel call persists the slice, the
     # CacheManager substitutes the identical logical subtree into EVERY
