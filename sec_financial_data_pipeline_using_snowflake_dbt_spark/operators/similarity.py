@@ -821,14 +821,26 @@ def pq_train(
 
 
 def _round_half_up(x: float, places: int) -> float:
-    """HALF_UP rounding of a double's EXACT binary expansion — the
-    semantics of Spark's ``F.round`` (BigDecimal.setScale(…, HALF_UP))
-    and DuckDB's ``ROUND``. Python's builtin ``round`` is banker's
-    rounding and would diverge on exact halves."""
+    """HALF_UP rounding of a double's SHORTEST round-trip decimal
+    representation — the semantics of BOTH Spark's ``F.round``
+    (``BigDecimal.valueOf(double)`` = Double.toString shortest repr,
+    then setScale HALF_UP) and DuckDB's ``ROUND`` (verified on true
+    decimal ties, NOTES_r8). ``Decimal(repr(x))`` is that same
+    shortest repr in Python.
+
+    The r1-r7 version quantized the EXACT binary expansion
+    (``Decimal(x)``), which diverges from both engines precisely on
+    values whose true decimal form is a tie at the target scale (e.g.
+    5.5701835 → engines say 5.570184, exact-binary said 5.570183,
+    because the nearest double sits a hair BELOW the tie). Rational
+    test vectors surfaced the class (r8); real float math almost never
+    lands there, which is why five scales of oracle sweeps did not.
+    Python's builtin ``round`` is banker's rounding and diverges on
+    every exact half — still wrong, still avoided."""
     import decimal
 
     return float(
-        decimal.Decimal(x).quantize(
+        decimal.Decimal(repr(x)).quantize(
             decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
         )
     )
