@@ -108,22 +108,36 @@ def _spawn(names: list[str], args) -> dict[str, dict]:
         "--child", ",".join(names),
         "--mem", args.mem, "--threads", str(args.threads),
     ]
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO,
-        timeout=args.timeout, check=False,
-    )
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO,
+            timeout=args.timeout, check=False,
+        )
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        # a hung/slow chunk must not kill the sweep: keep whatever the
+        # child printed before the kill, mark the rest timed-out
+        stdout = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+        stderr = f"chunk timeout after {args.timeout}s"
+        rc = -1
     out: dict[str, dict] = {}
-    for line in proc.stdout.splitlines():
+    for line in stdout.splitlines():
         if line.startswith("@@RESULT "):
             rec = json.loads(line[len("@@RESULT "):])
             out[rec["name"]] = rec
-    tail = (proc.stdout + proc.stderr)[-800:]
+    tail = (stdout + stderr)[-800:]
     for name in names:
         if name not in out:
             out[name] = {
                 "name": name, "ok": False, "sec": None,
-                "problems": [f"{name}: child died rc={proc.returncode}: {tail}"],
+                "problems": [f"{name}: child died rc={rc}: {tail}"],
             }
+    # stream per-oracle outcomes as chunks finish — a later crash must
+    # not lose completed results (r8: a chunk timeout ate chunk 1's)
+    for name in names:
+        r = out[name]
+        took = f" ({r['sec']}s)" if r["sec"] is not None else ""
+        print(f"[sweep]   {name}: {'ok' if r['ok'] else 'FAIL'}{took}", flush=True)
     return out
 
 
