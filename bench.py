@@ -55,6 +55,7 @@ HEADLINE = [
     "q_sessionization",
     "q_funnel",
     "q_retention",
+    "q_scd2_history",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
@@ -84,6 +85,7 @@ HEADLINE = [
     "q_ngram_diversity",
     "q_fingerprint",
     "q_vocab_topk",
+    "q_heavy_hitters",
     "q_oov_rate",
     "q_bpe_train",
     "q_bpe_encode",
@@ -92,6 +94,7 @@ HEADLINE = [
     "q_tfidf",
     "q_unigram_logprob",
     "q_bigram_logprob",
+    "q_kn_logprob",
     "q_quality_filter",
     "q_hashed_classifier",
     "q_bm25",

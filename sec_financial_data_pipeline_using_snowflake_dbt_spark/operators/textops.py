@@ -675,6 +675,80 @@ def vocab_top_terms(
     )
 
 
+def frequent_items(
+    items: DataFrame,
+    item_col: str,
+    share_den: int = 30,
+    total: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact heavy hitters via a Misra-Gries candidate pass: every item
+    whose frequency exceeds ``n / share_den`` (share > 1/share_den), with
+    its EXACT count and share — deterministic output, sketch-bounded cost.
+
+    Why not a plain groupBy(item): at 100 TB the item domain (tokens,
+    URLs, n-grams) can hold billions of distinct values, so the exact
+    groupBy shuffles the whole domain to find a handful of hitters. Here
+    pass 1 runs Misra-Gries with k = share_den - 1 counters per partition
+    (mapInPandas, batch-vectorized: per-batch value_counts merge into the
+    counter dict, then the mergeable-summaries decrement — subtract the
+    (k+1)-th largest and drop non-positives; Agarwal et al. 2012 keep the
+    undercount ≤ n_p/(k+1), so every item with partition frequency above
+    n_p/(k+1) survives, and summing over partitions, every GLOBAL hitter
+    above n/share_den survives in at least one partition). Pass 2
+    broadcast-semi-joins the ≤ k·n_partitions candidates back over the
+    items for exact counts — the only shuffle carries ≤ k·n_partitions
+    distinct keys, map-side combined. The final filter
+    ``freq * share_den > n`` is exact integer math, so the result equals
+    the oracle's HAVING clause no matter how MG was partitioned.
+
+    ``total`` skips the n-counting pass when the caller already knows the
+    item count (e.g. a maintained corpus stat); otherwise one count(*)
+    runs (parquet metadata-cheap on raw scans; a re-explode on derived
+    inputs — pass ``total`` if that matters).
+
+    Returns (item, freq, share), share rounded to ``round_to``.
+    """
+    if share_den < 2:
+        raise ValueError(f"share_den must be >= 2, got {share_den}")
+    k = share_den - 1
+    src = items.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    n = total if total is not None else src.count()
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # mergeable-summaries decrement: subtract the (k+1)-th
+                # largest count, drop what hits zero
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - kth for i, c in counters.items() if c > kth}
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = src.mapInPandas(mg, schema="item string").distinct()
+    exact = (
+        src.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") * share_den > F.lit(n))
+    )
+    return exact.select(
+        F.col("item"),
+        "freq",
+        F.round(F.col("freq").cast("double") / F.lit(float(n)), round_to).alias(
+            "share"
+        ),
+    )
+
+
 #: Weight quantization scale for hashed_linear_score: integer weights in
 #: [-WEIGHT_SCALE, WEIGHT_SCALE] divided by WEIGHT_SCALE, so per-token
 #: weights are exact 2^-16 multiples and document sums stay EXACT in
@@ -1648,6 +1722,81 @@ def bigram_logprob(
         .join(ctx, "w1")
         .join(uni, pos.w2 == F.col("tok"))
         .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
+        )
+    )
+
+
+def kneser_ney_logprob(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED KNESER-NEY bigram log-probability
+    under the corpus's own statistics — the actual smoothing family
+    CCNet's KenLM scorer uses (Wenzek et al. 2020), one rung above
+    ``bigram_logprob``'s MLE interpolation:
+
+        p(w2 | w1) = (c(w1 w2) - D) / c(w1 ·)
+                     + D * N1+(w1 ·) / c(w1 ·) * Pcont(w2)
+        Pcont(w2)  = N1+(· w2) / N1+(· ·)
+
+    with discount ``D`` in (0, 1), N1+(w1 ·) the distinct continuations
+    of w1, N1+(· w2) the distinct left-contexts of w2, and N1+(· ·) the
+    distinct bigram types. Scoring is over the training corpus itself,
+    so every scored bigram has c >= 1 > D and the max(·, 0) clamp of the
+    general KN formula can never bind (documented, not applied — the
+    oracle spells the same expression).
+
+    Returns (id, n_bigrams, avg_logprob); documents with < 2 tokens drop
+    (no bigram positions — the unigram scorer covers them).
+
+    Scale: identical shape to ``bigram_logprob`` — the bigram count
+    table is ONE map-side-combined shuffle; the context table (cc +
+    N1+(w1·)) and the continuation table (N1+(·w2)) are two tiny
+    groupBys over the bigram-type table, the type total is a 1-row
+    broadcast, and scoring joins the exploded positions to the count
+    tables BY KEY (AQE broadcasts vocabulary-sized sides). The division/
+    multiplication chain is written left-associated in the same order as
+    the oracle so both engines fold the same IEEE doubles.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    n0 = F.size(F.col("__toks")).cast("long")
+    staged = _barrier(docs, F.col(id_col), toks.alias("__toks"))
+    bg = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.greatest(n0 - 1, F.lit(0)).cast("int")),
+        F.slice(F.col("__toks"), 2, F.greatest(n0 - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pos = staged.select(F.col(id_col), F.explode(bg).alias("b")).select(
+        F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").alias("cc"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = bc.agg(F.count(F.lit(1)).cast("double").alias("types"))
+    p = (
+        (F.col("cb").cast("double") - F.lit(discount))
+        / F.col("cc").cast("double")
+        + F.lit(discount)
+        * F.col("n1f").cast("double")
+        / F.col("cc").cast("double")
+        * (F.col("n1b").cast("double") / F.col("types"))
+    )
+    return (
+        pos.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -1236,6 +1236,37 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters over the token stream: every token with share > 1/30 of
+# all occurrences, found by a Misra-Gries candidate pass (29 counters per
+# partition) + an exact broadcast-verify pass — the sketch-bounded shape
+# for billion-distinct-item domains, with deterministic exact output
+# (oracle = the plain HAVING clause; the integer comparison
+# freq * 30 > n avoids any float threshold edge in both engines).
+# ---------------------------------------------------------------------------
+@q(
+    "q_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST({SQL_TOKENS}) AS item FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    freq AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY item
+    )
+    SELECT item, freq,
+           ROUND(CAST(freq AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+    FROM freq
+    WHERE freq * 30 > (SELECT n FROM tot)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("item")
+    )
+    return TO.frequent_items(toks, "item", share_den=30)
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary building: top-N tokens with corpus coverage — the seed
 # statistics a BPE/unigram tokenizer trainer consumes.
 # ---------------------------------------------------------------------------
@@ -2037,6 +2068,47 @@ def _bigram_lp_ctes() -> str:
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.bigram_logprob(table(spark, sf_dir, "documents"), lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated KNESER-NEY bigram scoring (discount 0.75) — the actual
+# smoothing family behind CCNet's KenLM filter: absolute discounting
+# plus the continuation-probability backoff (how many distinct contexts
+# a word follows, not how often it occurs). Self-scored on the corpus,
+# so c(w1 w2) >= 1 > D and the max(.,0) clamp never binds; the
+# division/multiplication chain is spelled in the identical
+# left-associated order in both engines.
+# ---------------------------------------------------------------------------
+@q(
+    "q_kn_logprob",
+    f"""
+    WITH s AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   UNNEST(generate_series(1, len(toks) - 1)) AS i
+            FROM s WHERE len(toks) >= 2)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM pos GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(cb) AS cc, COUNT(*) AS n1f FROM bc GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1b FROM bc GROUP BY w2),
+    ty AS (SELECT CAST(COUNT(*) AS DOUBLE) AS types FROM bc)
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(
+             (CAST(bc.cb AS DOUBLE) - 0.75) / CAST(ctx.cc AS DOUBLE)
+             + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
+               * (CAST(cont.n1b AS DOUBLE) / ty.types)
+           )), 6) AS avg_logprob
+    FROM pos p
+    JOIN bc USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN ty
+    GROUP BY p.doc_id
+    """,
+)
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TO.kneser_ney_logprob(table(spark, sf_dir, "documents"), discount=0.75)
 
 
 # ---------------------------------------------------------------------------

@@ -998,3 +998,104 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 snapshot build (dbt snapshot, check strategy) over a synthetic
+# changelog: each l_orderkey's lineitems, ordered by (shipdate, linenumber),
+# are observations of the order's (returnflag, linestatus) state; consecutive
+# identical states collapse into one version with valid_from/valid_to and a
+# dbt_scd_id-style surrogate id. The result summarizes the full history per
+# (state, currency) so the driver hash pins version counts, observation
+# conservation, validity boundaries AND the md5 id construction without
+# collecting the per-key table. Reference analogue: the EMPTY snapshot
+# scaffolds (Airflow/masterfindata/snapshots/, json_transform/snapshots/) —
+# the operator the dbt project layout implies but never shipped.
+#
+# ORDER TOTALITY: the synthetic lineitem duplicates (orderkey, shipdate,
+# linenumber) triples (8 at sf0.01), so those two columns alone leave the
+# changelog order ambiguous and the version split engine-dependent — the
+# exact failure mode scd2_from_changelog's contract names. The state
+# columns join the ORDER BY as final tiebreakers in BOTH engines: the
+# order becomes total up to fully-identical rows, whose relative order
+# cannot affect the split (identical state never starts a version).
+# ---------------------------------------------------------------------------
+_SCD2_SQL = """
+    WITH obs AS (
+      SELECT l_orderkey, l_shipdate, l_linenumber, l_returnflag, l_linestatus,
+             LAG(l_returnflag) OVER w AS prf,
+             LAG(l_linestatus) OVER w AS pls,
+             LAG(l_shipdate)   OVER w AS pord
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_returnflag, l_linestatus)
+    ),
+    labeled AS (
+      SELECT *, SUM(CASE WHEN pord IS NULL
+                           OR prf IS DISTINCT FROM l_returnflag
+                           OR pls IS DISTINCT FROM l_linestatus
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey
+                        ORDER BY l_shipdate, l_linenumber,
+                                 l_returnflag, l_linestatus
+                        ROWS UNBOUNDED PRECEDING) AS ver
+      FROM obs
+    ),
+    versions AS (
+      SELECT l_orderkey, ver,
+             MIN(l_shipdate) AS valid_from,
+             COUNT(*) AS n_observations,
+             MIN(l_returnflag) AS l_returnflag,
+             MIN(l_linestatus) AS l_linestatus
+      FROM labeled GROUP BY l_orderkey, ver
+    ),
+    hist AS (
+      SELECT *,
+             LEAD(valid_from) OVER (PARTITION BY l_orderkey ORDER BY ver)
+               AS valid_to,
+             MD5(CONCAT_WS('-',
+                 COALESCE(CAST(l_orderkey AS VARCHAR),
+                          '_dbt_utils_surrogate_key_null_'),
+                 COALESCE(CAST(valid_from AS VARCHAR),
+                          '_dbt_utils_surrogate_key_null_'))) AS scd_id
+      FROM versions
+    )
+    SELECT l_returnflag, l_linestatus,
+           (valid_to IS NULL) AS is_current,
+           COUNT(*) AS n_versions,
+           COUNT(DISTINCT l_orderkey) AS n_keys,
+           CAST(SUM(n_observations) AS BIGINT) AS n_obs,
+           CAST(MIN(valid_from) AS VARCHAR) AS first_from,
+           CAST(MAX(valid_from) AS VARCHAR) AS last_from,
+           CAST(MAX(valid_to) AS VARCHAR) AS last_to,
+           COUNT(DISTINCT scd_id) AS n_scd_ids,
+           MIN(scd_id) AS min_scd_id,
+           MAX(scd_id) AS max_scd_id
+    FROM hist
+    GROUP BY 1, 2, 3
+    """
+
+
+@q("q_scd2_history", _SCD2_SQL)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import scd as SCD
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    hist = SCD.scd2_from_changelog(
+        li,
+        key_cols=["l_orderkey"],
+        order_cols=["l_shipdate", "l_linenumber", "l_returnflag", "l_linestatus"],
+        state_cols=["l_returnflag", "l_linestatus"],
+    )
+    return hist.groupBy("l_returnflag", "l_linestatus", "is_current").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+        F.sum("n_observations").cast("long").alias("n_obs"),
+        F.min("valid_from").cast("string").alias("first_from"),
+        F.max("valid_from").cast("string").alias("last_from"),
+        F.max("valid_to").cast("string").alias("last_to"),
+        F.countDistinct("scd_id").alias("n_scd_ids"),
+        F.min("scd_id").alias("min_scd_id"),
+        F.max("scd_id").alias("max_scd_id"),
+    )

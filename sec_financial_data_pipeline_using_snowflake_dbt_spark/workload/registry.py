@@ -45,6 +45,34 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_null_safe_join, q_date_arith, q_dedup_verify, q_bpe_encode_ids,
     # and the two rows-only multimodal demos.
     #
+    # r8 (mid-round): parked for q_kn_logprob's window slot — the new
+    # Kneser-Ney bigram scorer earns the hard signal first, per policy.
+    # q_pricing_summary is the stablest row in the registry (green in
+    # EVERY driver window r1-r7 and hash-matched at five scales to sf10,
+    # NOTES_r7 §39); its A1/F4 decimal sum+ROUND surface stays in-window
+    # via q_sec_fact_bs (pinned — the same cents-ROUND-before-cast money
+    # convention over the same lineitem columns) and it stays
+    # pytest-oracled every run and HEADLINE-benched.
+    "q_pricing_summary",
+    # r8 (mid-round): parked for q_heavy_hitters' window slot — the new
+    # Misra-Gries + exact-verify heavy-hitters operator earns the hard
+    # signal first, per policy. q_asof_join has green driver rows in
+    # every window since r5; the as-of machinery is the most
+    # pytest-enforced operator in the repo (test_asof: range-join /
+    # bucketized / pandas-merge_asof 3-way agreement + bucket-width
+    # invariance + NULL-key parity, every run), the q_asof_join oracle
+    # stays in test_workload_oracle's per-run hash check, and the
+    # time-conditioned join surface stays in-window via q_stream_join's
+    # watermarked stream-stream interval join.
+    "q_asof_join",
+    # r8 (mid-round): parked for q_scd2_history's window slot — the new
+    # dbt-snapshot SCD2 operator earns the hard signal first, per
+    # policy. q_chunk_docs has green driver rows r6+r7; the sequence
+    # explode/slice surface stays in-window via q_pack_token_ids
+    # (pinned: the same doc-grained slicing windows feed its blocks)
+    # and the chunker stays pytest-oracled every run and
+    # HEADLINE-benched.
+    "q_chunk_docs",
     # r8: parked after re-earning its green row in r7 (first rotated
     # back in r7 after the r4 park). §2.7 set-op semantics stay
     # oracle-verified every pytest run; distinct/union surfaces stay
