@@ -75,10 +75,14 @@ def scd2_from_changelog(
     version / of the next version (NULL while current) — dbt's half-open
     [valid_from, valid_to) convention.
 
-    Plan shape: one shuffle on ``key_cols`` serves both windows (lag for the
-    change flag, lead for valid_to after the non-changes are filtered out)
-    and the observation count reuses the same partitioning; per-key windows
-    only — a million-version key is one fat partition, never a global sort.
+    Plan shape: ONE Exchange on ``key_cols`` serves the whole build — every
+    window below partitions by the key (the change-flag lag, the per-key
+    position/row-count, and the post-filter lead all reuse the same
+    partitioning, so Catalyst plans one shuffle + one sort). Version rows
+    are the FILTERED change rows (valid_from is the change row's own order
+    value — no groupBy materializes the islands), and observation counts
+    come from row-position differences. Per-key windows only — a
+    million-version key is one fat partition, never a global sort.
     """
     if not key_cols or not order_cols or not state_cols:
         raise ValueError("key_cols, order_cols and state_cols must be non-empty")
@@ -87,32 +91,40 @@ def scd2_from_changelog(
         raise ValueError(f"state_cols overlap key_cols: {sorted(overlap)}")
 
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    wk = Window.partitionBy(*key_cols)
     lagged = changelog.select(*key_cols, *order_cols, *state_cols).select(
         "*",
         *[F.lag(c).over(w).alias(f"__prev_{c}") for c in state_cols],
         F.lag(order_cols[0]).over(w).alias("__prev_ord"),
+        F.row_number().over(w).alias("__pos"),
+        F.count(F.lit(1)).over(wk).alias("__key_n"),
     )
     # Version starts: the first observation (prev order NULL) or any
-    # null-safe state change. Counting observations per version without a
-    # second pass: a running count of starts labels each observation with
-    # its version ordinal, then the starts row aggregates its own island.
+    # null-safe state change. Each start row IS its version — its own
+    # order value is valid_from and its state is the version state — so
+    # the non-start rows simply drop (no island groupBy).
     is_start = F.col("__prev_ord").isNull() | _state_differs("__prev_", state_cols)
-    labeled = lagged.withColumn(
-        "__ver", F.sum(is_start.cast("long")).over(w)
-    )
-    versions = labeled.groupBy(*key_cols, F.col("__ver")).agg(
-        F.min(F.struct(*order_cols)).alias("__first"),
-        F.count(F.lit(1)).cast("long").alias("n_observations"),
-        *[F.first(c).alias(c) for c in state_cols],
-    )
-    valid_from = F.col("__first").getField(order_cols[0])
-    wv = Window.partitionBy(*key_cols).orderBy("__ver")
-    out = (
-        versions.withColumn("valid_from", valid_from)
-        .withColumn("valid_to", F.lead("valid_from").over(wv))
-        .withColumn("is_current", F.col("valid_to").isNull())
-        .withColumn("scd_id", _scd_id(key_cols, F.col("valid_from")))
-    )
+    starts = lagged.filter(is_start)
+    # Order the version window by __pos — the row_number assigned in the
+    # SAME Window node as the change-flag lags — never by order_cols:
+    # fully-duplicate rows tie on order_cols, and a later sort that
+    # re-permutes a tie block relative to where the lags were computed
+    # would glue a changed state onto the previous version (two starts
+    # can't tie on order_cols here, but __pos makes the order total by
+    # construction instead of by argument; the oracle threads the same
+    # rn for the same reason).
+    wv = Window.partitionBy(*key_cols).orderBy("__pos")
+    next_pos = F.lead("__pos").over(wv)
+    out = starts.select(
+        *key_cols,
+        *state_cols,
+        F.col(order_cols[0]).alias("valid_from"),
+        F.lead(order_cols[0]).over(wv).alias("valid_to"),
+        F.lead("__pos").over(wv).isNull().alias("is_current"),
+        (F.coalesce(next_pos, F.col("__key_n") + 1) - F.col("__pos"))
+        .cast("long")
+        .alias("n_observations"),
+    ).withColumn("scd_id", _scd_id(key_cols, F.col("valid_from")))
     return out.select(
         *key_cols,
         *state_cols,

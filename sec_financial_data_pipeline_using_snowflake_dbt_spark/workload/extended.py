@@ -1018,14 +1018,24 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact failure mode scd2_from_changelog's contract names. The state
 # columns join the ORDER BY as final tiebreakers in BOTH engines: the
 # order becomes total up to fully-identical rows, whose relative order
-# cannot affect the split (identical state never starts a version).
+# cannot affect the split (identical state never starts a version) —
+# PROVIDED every downstream sort replays the SAME tie order the LAG saw.
+# The change flags and the running version sum live in different query
+# levels, and a window sort is free to permute fully-tied rows between
+# levels: a permuted (start, non-start) flag pair inside a duplicate tie
+# block lets the start flag land mid-version, silently gluing a changed
+# state onto the previous version (caught by the sf1 sweep: ~30 of 7.5M
+# versions, componentwise-MIN fabricated labels, scd_id collisions). The
+# cure is a ROW_NUMBER assigned in the SAME window spec as the LAGs; the
+# running sum orders by that rn, so every level replays one total order.
 # ---------------------------------------------------------------------------
 _SCD2_SQL = """
     WITH obs AS (
       SELECT l_orderkey, l_shipdate, l_linenumber, l_returnflag, l_linestatus,
              LAG(l_returnflag) OVER w AS prf,
              LAG(l_linestatus) OVER w AS pls,
-             LAG(l_shipdate)   OVER w AS pord
+             LAG(l_shipdate)   OVER w AS pord,
+             ROW_NUMBER()      OVER w AS rn
       FROM lineitem
       WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_returnflag, l_linestatus)
     ),
@@ -1034,9 +1044,7 @@ _SCD2_SQL = """
                            OR prf IS DISTINCT FROM l_returnflag
                            OR pls IS DISTINCT FROM l_linestatus
                          THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY l_orderkey
-                        ORDER BY l_shipdate, l_linenumber,
-                                 l_returnflag, l_linestatus
+                  OVER (PARTITION BY l_orderkey ORDER BY rn
                         ROWS UNBOUNDED PRECEDING) AS ver
       FROM obs
     ),
