@@ -60,8 +60,16 @@ def scd2_from_changelog(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     state_cols: Sequence[str],
+    strategy: str = "check",
 ) -> DataFrame:
-    """Collapse a changelog into SCD Type-2 history (check strategy).
+    """Collapse a changelog into SCD Type-2 history.
+
+    ``strategy`` mirrors dbt's two snapshot strategies: ``"check"`` (default)
+    starts a new version on any null-safe change in ``state_cols``;
+    ``"timestamp"`` starts one whenever ``order_cols[0]`` advanced past the
+    previous observation's value (dbt trusts the source's updated_at and
+    re-versions even if no tracked column moved — observations sharing the
+    same updated_at collapse).
 
     ``changelog`` holds one row per OBSERVATION of a key's state;
     ``order_cols`` must totally order observations within a key (ties would
@@ -89,6 +97,8 @@ def scd2_from_changelog(
     overlap = set(state_cols) & set(key_cols)
     if overlap:
         raise ValueError(f"state_cols overlap key_cols: {sorted(overlap)}")
+    if strategy not in ("check", "timestamp"):
+        raise ValueError(f"strategy must be 'check' or 'timestamp', got {strategy!r}")
 
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     wk = Window.partitionBy(*key_cols)
@@ -103,7 +113,14 @@ def scd2_from_changelog(
     # null-safe state change. Each start row IS its version — its own
     # order value is valid_from and its state is the version state — so
     # the non-start rows simply drop (no island groupBy).
-    is_start = F.col("__prev_ord").isNull() | _state_differs("__prev_", state_cols)
+    if strategy == "timestamp":
+        is_start = F.col("__prev_ord").isNull() | (
+            F.col(order_cols[0]) != F.col("__prev_ord")
+        )
+    else:
+        is_start = F.col("__prev_ord").isNull() | _state_differs(
+            "__prev_", state_cols
+        )
     starts = lagged.filter(is_start)
     # Order the version window by __pos — the row_number assigned in the
     # SAME Window node as the change-flag lags — never by order_cols:
@@ -142,6 +159,7 @@ def scd2_merge(
     key_cols: Sequence[str],
     state_cols: Sequence[str],
     observed_at_col: str,
+    strategy: str = "check",
 ) -> DataFrame:
     """One dbt snapshot run: fold a new observation batch into ``history``.
 
@@ -160,11 +178,18 @@ def scd2_merge(
     Keys absent from the batch pass through untouched (a vanished source row
     is NOT a delete in dbt's default snapshot).
 
+    ``strategy="timestamp"`` swaps the change test for dbt's timestamp
+    strategy: the current row re-versions whenever the batch's observed_at
+    is NEWER than the current version's valid_from, regardless of whether
+    any tracked column moved (and never re-versions at the same instant).
+
     Scale: the closed/current split is a filter; only CURRENT rows join the
     batch (key-equi, batch side broadcastable when small — the nightly-run
     shape); closed history is untouched and unioned back by name. One
     shuffle (or zero with a broadcast batch) regardless of history size.
     """
+    if strategy not in ("check", "timestamp"):
+        raise ValueError(f"strategy must be 'check' or 'timestamp', got {strategy!r}")
     hist_cols = history.columns
     if "n_observations" not in hist_cols:
         history = history.withColumn(
@@ -186,7 +211,10 @@ def scd2_merge(
         how="full_outer",
     )
 
-    changed = _state_differs("__b_", state_cols)
+    if strategy == "timestamp":
+        changed = F.col("__b_observed_at") > F.col("valid_from")
+    else:
+        changed = _state_differs("__b_", state_cols)
     # eqNullSafe join keys mean a NULL key matches a NULL key, so the
     # "present on which side" test uses state-independent probe columns:
     has_hist = F.col("scd_id").isNotNull()

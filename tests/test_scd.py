@@ -167,3 +167,94 @@ def test_merge_plan_broadcasts_small_batch(spark):
     # full-outer with a broadcast side falls back on BNLJ only if keys are
     # non-equi; eqNullSafe keys must keep the hash join
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_timestamp_strategy_versions_on_updated_at(spark):
+    """dbt timestamp strategy: re-version whenever updated_at advanced,
+    even with no tracked-column change; same-instant observations
+    collapse even when a tracked column moved (dbt trusts updated_at)."""
+    rows = [
+        (1, 10, 0, "new", "a"),
+        (1, 20, 0, "new", "a"),   # no state change, newer ts -> NEW version
+        (1, 20, 1, "paid", "a"),  # same ts: collapses into the t=20 version
+        (1, 30, 0, "paid", "a"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = _by_key(
+        [
+            r.asDict()
+            for r in scd2_from_changelog(
+                df, KEY, ORDER, STATE, strategy="timestamp"
+            ).collect()
+        ]
+    )
+    assert [
+        (r["valid_from"], r["valid_to"], r["is_current"], r["n_observations"])
+        for r in out
+    ] == [(10, 20, False, 1), (20, 30, False, 2), (30, None, True, 1)]
+
+
+def test_timestamp_strategy_merge(spark):
+    hist = _hist(spark, [(1, 10, 0, "new", "a")])
+    batch = spark.createDataFrame(
+        [(1, "new", "a", 20)],
+        "entity BIGINT, status STRING, tier STRING, observed_at INT",
+    )
+    # check strategy: unchanged state -> untouched
+    check = scd2_merge(hist, batch, KEY, STATE, "observed_at")
+    assert check.count() == 1
+    # timestamp strategy: newer observed_at -> re-version
+    ts = _by_key(
+        [
+            r.asDict()
+            for r in scd2_merge(
+                hist, batch, KEY, STATE, "observed_at", strategy="timestamp"
+            ).collect()
+        ]
+    )
+    assert [(r["valid_from"], r["valid_to"], r["is_current"]) for r in ts] == [
+        (10, 20, False),
+        (20, None, True),
+    ]
+    # same-instant batch never re-versions
+    same = scd2_merge(
+        hist,
+        batch.withColumn("observed_at", F.lit(10)),
+        KEY,
+        STATE,
+        "observed_at",
+        strategy="timestamp",
+    )
+    assert same.count() == 1
+
+
+def test_composite_key_changelog(spark):
+    rows = [
+        (1, 10, 0, "new", "a"),
+        (1, 20, 0, "paid", "a"),
+        (2, 10, 0, "new", "a"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "region", F.col("entity") % 2
+    )
+    out = scd2_from_changelog(
+        df, ["entity", "region"], ORDER, STATE
+    ).collect()
+    assert len(out) == 3
+    # one current row per composite key, scd_id distinct
+    curr = [r for r in out if r["is_current"]]
+    assert {(r["entity"], r["region"]) for r in curr} == {(1, 1), (2, 0)}
+    assert len({r["scd_id"] for r in out}) == 3
+
+
+def test_rejects_bad_strategy(spark):
+    df = spark.createDataFrame([(1, 1, 0, "a", "x")], SCHEMA)
+    with pytest.raises(ValueError):
+        scd2_from_changelog(df, KEY, ORDER, STATE, strategy="checksum")
+    hist = _hist(spark, [(1, 10, 0, "new", "a")])
+    batch = spark.createDataFrame(
+        [(1, "new", "a", 20)],
+        "entity BIGINT, status STRING, tier STRING, observed_at INT",
+    )
+    with pytest.raises(ValueError):
+        scd2_merge(hist, batch, KEY, STATE, "observed_at", strategy="ts")
