@@ -176,7 +176,11 @@ def scd2_merge(
     - state changed         → close the current row (valid_to = observed_at)
                               and insert the new current version
     Keys absent from the batch pass through untouched (a vanished source row
-    is NOT a delete in dbt's default snapshot).
+    is NOT a delete in dbt's default snapshot). Batch rows with a NULL
+    ``observed_at`` are invalid observations and are IGNORED — existing keys
+    pass through, new keys do not insert (dbt itself errors on a NULL
+    updated_at; NULL-presence probing here rides the same column, so a null
+    observation is indistinguishable from absence by design).
 
     ``strategy="timestamp"`` swaps the change test for dbt's timestamp
     strategy: the current row re-versions whenever the batch's observed_at

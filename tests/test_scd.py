@@ -111,11 +111,13 @@ def test_merge_insert_update_noop_and_passthrough(spark):
     ]
 
 
-def test_merge_fold_agrees_with_changelog_replay(spark):
+@pytest.mark.parametrize("strategy", ["check", "timestamp"])
+def test_merge_fold_agrees_with_changelog_replay(spark, strategy):
     """Folding per-timestamp batches through scd2_merge lands on the same
     history as one scd2_from_changelog replay — on every column except
     n_observations (the merge, like a dbt nightly run, never sees the
-    unchanged observations the replay counts)."""
+    unchanged observations the replay counts). Holds for BOTH dbt
+    strategies when batches arrive in increasing observed_at order."""
     rng = random.Random(82)
     statuses = ["new", "active", "lapsed", None]
     tiers = ["x", "y", None]
@@ -126,7 +128,8 @@ def test_merge_fold_agrees_with_changelog_replay(spark):
                 changelog.append((e, t, 0, rng.choice(statuses), rng.choice(tiers)))
     # the fold needs at most one observation per key per batch: seq is
     # constant, one timestamp = one batch
-    replay = _hist(spark, changelog)
+    df = spark.createDataFrame(changelog, SCHEMA)
+    replay = scd2_from_changelog(df, KEY, ORDER, STATE, strategy=strategy)
 
     times = sorted({r[1] for r in changelog})
     folded = None
@@ -143,9 +146,12 @@ def test_merge_fold_agrees_with_changelog_replay(spark):
                 KEY,
                 ["seen_at", "seq"],
                 STATE,
+                strategy=strategy,
             )
         else:
-            folded = scd2_merge(folded, batch, KEY, STATE, "observed_at")
+            folded = scd2_merge(
+                folded, batch, KEY, STATE, "observed_at", strategy=strategy
+            )
 
     cols = ["entity", "status", "tier", "valid_from", "valid_to", "is_current", "scd_id"]
     a = _by_key([r.asDict() for r in replay.select(cols).collect()])
