@@ -1107,3 +1107,92 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("scd_id").alias("min_scd_id"),
         F.max("scd_id").alias("max_scd_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point PageRank over the nation-level trade graph — the
+# Common-Crawl-host-rank posture for source-quality filtering: the edge
+# derivation is the full star join at corpus scale (distinct supplier-
+# nation -> customer-nation pairs), the rank recurrence is exact BIGINT
+# fixed-point (Spark DIV == DuckDB // on non-negative operands), so five
+# unrolled iterations are bit-identical across engines and partitionings
+# — no float-sum order dependence anywhere.
+# ---------------------------------------------------------------------------
+def _pagerank_sql(iters: int = 5, d: int = 85, unit: int = 10**12) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN supplier ON l_suppkey   = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+    )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src)",
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS MATERIALIZED (
+      SELECT node, COALESCE(out_deg, CAST(0 AS BIGINT)) AS out_deg, n,
+             {unit} // n AS rank_units
+      FROM nodes LEFT JOIN deg ON node = src CROSS JOIN nt
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""s{i} AS (
+      SELECT node AS src, rank_units // out_deg AS share
+      FROM r{p} WHERE out_deg > 0
+    )"""
+        )
+        ctes.append(
+            f"""f{i} AS (
+      SELECT dst, CAST(SUM(share) AS BIGINT) AS in_sum
+      FROM e JOIN s{i} USING (src) GROUP BY dst
+    )"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN out_deg = 0 THEN rank_units END), 0)
+                  AS BIGINT) AS dang
+      FROM r{p}
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT r.node, r.out_deg, r.n,
+             CAST(((100 - {d}) * ({unit} // r.n)) // 100
+                  + ({d} * (COALESCE(f.in_sum, 0) + (dd.dang // r.n))) // 100
+               AS BIGINT) AS rank_units
+      FROM r{p} r LEFT JOIN f{i} f ON r.node = f.dst CROSS JOIN d{i} dd
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, rank_units,
+           CAST(rank_units AS DOUBLE) / {float(unit)!r} AS rank
+    FROM r{iters}
+    """
+    )
+
+
+@q("q_pagerank", _pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graphrank as GR
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na.alias("ns")), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(na.alias("nc")), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .select(F.col("ns.n_name").alias("src"), F.col("nc.n_name").alias("dst"))
+        .distinct()
+    )
+    return GR.pagerank(edges, iters=5, damping_pct=85)

@@ -45,6 +45,15 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_null_safe_join, q_date_arith, q_dedup_verify, q_bpe_encode_ids,
     # and the two rows-only multimodal demos.
     #
+    # r8 (mid-round): parked for q_pagerank's window slot — the new
+    # integer fixed-point PageRank earns the hard signal first, per
+    # policy. q_ann_lsh has green driver rows in every window since r5;
+    # the ANN surface stays in-window five ways (q_ann_topk, q_ann_pq,
+    # q_ann_ivfpq, q_ann_ivfpq_res, q_ann_recall), the md5-derived
+    # hyperplane bucketing stays oracle-verified every pytest run (its
+    # SQL embeds the planes as literals), and dedup-side banded LSH
+    # stays in-window via q_dedup_recall.
+    "q_ann_lsh",
     # r8 (mid-round): parked for q_kn_logprob's window slot — the new
     # Kneser-Ney bigram scorer earns the hard signal first, per policy.
     # q_pricing_summary is the stablest row in the registry (green in
