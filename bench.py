@@ -56,6 +56,7 @@ HEADLINE = [
     "q_funnel",
     "q_retention",
     "q_scd2_history",
+    "q_pagerank",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",

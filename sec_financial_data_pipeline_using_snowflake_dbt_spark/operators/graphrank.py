@@ -31,10 +31,15 @@ graphs a host web graph contains don't drain.
 Scale: nodes/out-degrees are one distinct + one groupBy over the edge
 table; each iteration is one join (ranks ⋈ edges on src — AQE broadcasts
 the rank side while it fits, shuffle-hash beyond) + one map-side-combined
-groupBy(dst) + a 1-row dangling aggregate crossJoined back. Iterations are
-unrolled into the plan (default 5); for high iteration counts on a
-billion-edge graph, persist/localCheckpoint between iterations exactly as
-``dedup_clusters`` does for its label propagation.
+groupBy(dst) + a 1-row dangling aggregate crossJoined back. Each iteration
+references the rank table THREE times (shares, dangling, carry-through),
+so a lazily-unrolled loop would grow the plan 3^iters — the same
+exponential consumers blowup the DuckDB oracle hits without
+AS MATERIALIZED. The operator therefore localCheckpoints the edge table
+once and the rank table per iteration (the ``dedup_clusters`` label-
+propagation discipline): constant plan size, each iteration's work done
+exactly once. The checkpoints make the returned DataFrame's inputs
+MATERIALIZED at call time, like the other iterative operators here.
 """
 
 from __future__ import annotations
@@ -70,7 +75,7 @@ def pagerank(
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -89,7 +94,7 @@ def pagerank(
     )
     ranks = base_tbl.select(
         "node", "out_deg", "n", F.expr(f"{UNIT} DIV n").alias("rank_units")
-    )
+    ).localCheckpoint()
 
     teleport = F.expr(f"((100 - {damping_pct}) * ({UNIT} DIV n)) DIV 100")
     for _ in range(iters):
@@ -128,6 +133,7 @@ def pagerank(
                 .cast("long")
                 .alias("rank_units"),
             )
+            .localCheckpoint()
         )
 
     return ranks.select(
