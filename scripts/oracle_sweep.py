@@ -26,13 +26,22 @@ scripts/make_sfN.py output under .localdata stores tables as parquet
 DIRECTORIES, which DuckDB needs globbed as ``<t>.parquet/*.parquet``
 — handled here by an isdir probe.
 
+Chunk ordering (r8 §17 lesson): one heavy oracle can consume a whole
+chunk's timeout and starve its cheap chunk-mates into synthetic FAILs.
+With ``--order-file`` (a JSON {name: seconds} from any prior sweep's
+``--results-out``), oracles run CHEAPEST-FIRST and every oracle whose
+recorded time lands in the slowest decile (or above ``--whale-sec``)
+gets a SOLO chunk at the end — a whale can now only time itself out.
+
 Usage:
   python scripts/oracle_sweep.py [SF_DIR]             # default sf0.01
   python scripts/oracle_sweep.py .localdata/sf1 --chunk 20 --mem 6g \
-      --threads 8 [--only q_a,q_b]
+      --threads 8 [--only q_a,q_b] [--exclude q_c] \
+      [--order-file timings.json] [--results-out sweep.jsonl]
 
 Exit 0 iff every oracle hash-matches (spurious-OOM retries allowed);
-prints one JSON summary line last.
+prints one JSON summary line last.  ``--results-out`` appends one JSON
+line per oracle AS RESULTS ARRIVE, so a killed sweep loses nothing.
 """
 
 from __future__ import annotations
@@ -138,7 +147,32 @@ def _spawn(names: list[str], args) -> dict[str, dict]:
         r = out[name]
         took = f" ({r['sec']}s)" if r["sec"] is not None else ""
         print(f"[sweep]   {name}: {'ok' if r['ok'] else 'FAIL'}{took}", flush=True)
+        if args.results_out:
+            with open(args.results_out, "a") as fh:
+                fh.write(json.dumps(r) + "\n")
     return out
+
+
+def _plan_chunks(names: list[str], args) -> list[list[str]]:
+    """Group oracles into chunks. Default: insertion-order slices of
+    --chunk. With --order-file: cheapest-first slices, whales solo last."""
+    if not args.order_file:
+        return [names[i : i + args.chunk] for i in range(0, len(names), args.chunk)]
+    with open(args.order_file) as fh:
+        raw = json.load(fh)
+    # accept either {name: sec} or a --results-out JSONL-derived dict
+    times = {n: (v if isinstance(v, (int, float)) else v.get("sec") or 0.0)
+             for n, v in raw.items()}
+    default_t = max(times.values(), default=1.0)  # unknown = assume whale
+    ordered = sorted(names, key=lambda n: (times.get(n, default_t), n))
+    known = sorted(t for n, t in times.items() if n in names)
+    decile = known[int(len(known) * 0.9)] if known else float("inf")
+    cut = min(args.whale_sec, decile) if known else args.whale_sec
+    light = [n for n in ordered if times.get(n, default_t) < cut]
+    whales = [n for n in ordered if n not in light]
+    chunks = [light[i : i + args.chunk] for i in range(0, len(light), args.chunk)]
+    chunks.extend([w] for w in whales)
+    return chunks
 
 
 def _is_spurious_candidate(rec: dict) -> bool:
@@ -153,7 +187,21 @@ def main() -> int:
     ap.add_argument("--mem", default="6g")
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--only", default=None, help="comma-separated oracle names")
+    ap.add_argument("--exclude", default=None, help="comma-separated oracle names")
     ap.add_argument("--timeout", type=int, default=3600, help="per-chunk seconds")
+    ap.add_argument(
+        "--order-file", default=None,
+        help="JSON {name: seconds} from a prior sweep; enables cheapest-first "
+        "chunking with solo whale chunks",
+    )
+    ap.add_argument(
+        "--whale-sec", type=float, default=120.0,
+        help="order-file times at/above this always get a solo chunk",
+    )
+    ap.add_argument(
+        "--results-out", default=None,
+        help="append one JSON line per oracle as results stream in",
+    )
     ap.add_argument("--child", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -172,12 +220,15 @@ def main() -> int:
         if unknown:
             print(f"unknown oracle names: {unknown}", file=sys.stderr)
             return 2
+    if args.exclude:
+        drop = set(args.exclude.split(","))
+        names = [n for n in names if n not in drop]
     t0 = time.time()
     results: dict[str, dict] = {}
-    for i in range(0, len(names), args.chunk):
-        chunk = names[i : i + args.chunk]
+    chunks = _plan_chunks(names, args)
+    for ci, chunk in enumerate(chunks):
         print(
-            f"[sweep] chunk {i // args.chunk + 1}: {chunk[0]}..{chunk[-1]} "
+            f"[sweep] chunk {ci + 1}/{len(chunks)}: {chunk[0]}..{chunk[-1]} "
             f"({len(chunk)} oracles)",
             flush=True,
         )

@@ -1196,3 +1196,53 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return GR.pagerank(edges, iters=5, damping_pct=85)
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction (operators/cdc.py): events replayed as a
+# last-writer-wins feed keyed by user — 'error' maps to a delete op, so a
+# user whose final event errored drops out of the snapshot. The Spark side
+# is ONE map-side-combinable groupBy(max(struct)); the oracle replays the
+# same total order (ts, event_id) as a rank window.
+# ---------------------------------------------------------------------------
+@q(
+    "q_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cdc as CDC
+
+    e = table(spark, sf_dir, "events")
+    changes = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    snap = CDC.cdc_apply(
+        changes, key_cols=["user_id"], seq_cols=["ts", "event_id"]
+    )
+    return snap.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

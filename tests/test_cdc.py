@@ -1,0 +1,107 @@
+"""CDC changelog compaction (operators/cdc.py): last-writer-wins
+snapshots, delete/resurrect semantics, the fold==replay property on
+randomized changelogs, and the no-rank-window / broadcast plan pins."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+    cdc_apply,
+    cdc_merge,
+)
+
+KEY = ["k"]
+SEQ = ["seq"]
+SCHEMA = "k BIGINT, seq INT, op STRING, val STRING, amt DOUBLE"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _snap(df):
+    return sorted(
+        (r["k"], r["seq"], r["val"], r["amt"])
+        for r in df.collect()
+    )
+
+
+def test_last_writer_wins_and_delete_drops(spark):
+    rows = [
+        (1, 1, "U", "a", 1.0),
+        (1, 2, "U", "b", 2.0),       # later update wins
+        (2, 1, "U", "x", 9.0),
+        (2, 2, "D", None, None),     # final delete: key 2 gone
+        (3, 5, "D", None, None),
+        (3, 7, "U", "back", 3.0),    # later upsert resurrects key 3
+    ]
+    out = _snap(cdc_apply(_df(spark, rows), KEY, SEQ))
+    assert out == [(1, 2, "b", 2.0), (3, 7, "back", 3.0)]
+
+
+def test_keep_op_returns_deleted_keys_for_audit(spark):
+    rows = [(1, 1, "U", "a", 1.0), (2, 2, "D", None, None)]
+    out = cdc_apply(_df(spark, rows), KEY, SEQ, keep_op=True)
+    got = {r["k"]: r["op"] for r in out.collect()}
+    assert got == {1: "U", 2: "D"}
+
+
+def test_validate_seq_rejects_null_sequence(spark):
+    rows = [(1, None, "U", "a", 1.0)]
+    with pytest.raises(ValueError, match="null sequence"):
+        cdc_apply(_df(spark, rows), KEY, SEQ, validate_seq=True)
+
+
+def test_multi_column_seq_tiebreak(spark):
+    # same seq value: the op/payload tie-break must be total and identical
+    # to a rank window ordering by (seq, op, payload) DESC
+    df = spark.createDataFrame(
+        [(1, 3, "D", "z", 0.0), (1, 3, "U", "z", 0.0)],
+        SCHEMA,
+    )
+    # 'U' > 'D' lexicographically, so the upsert wins the tie
+    assert _snap(cdc_apply(df, KEY, SEQ)) == [(1, 3, "z", 0.0)]
+
+
+def _random_changelog(rng, n_keys=8, n_changes=120):
+    rows = []
+    for seq in range(n_changes):
+        k = rng.randrange(n_keys)
+        if rng.random() < 0.25:
+            rows.append((k, seq, "D", None, None))
+        else:
+            rows.append((k, seq, "U", rng.choice("abcde"), float(rng.randrange(100))))
+    return rows
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fold_equals_replay_on_random_changelogs(spark, trial):
+    rng = random.Random(1000 + trial)
+    rows = _random_changelog(rng)
+    split = rng.randrange(1, len(rows))
+    whole = _df(spark, rows)
+    prefix = _df(spark, rows[:split])
+    suffix = _df(spark, rows[split:])
+    replay = cdc_apply(whole, KEY, SEQ)
+    folded = cdc_merge(cdc_apply(prefix, KEY, SEQ), suffix, KEY, SEQ)
+    assert _snap(replay) == _snap(folded)
+
+
+def test_apply_plan_has_no_window_and_merge_broadcasts(spark):
+    rows = [(1, 1, "U", "a", 1.0), (2, 2, "D", None, None)]
+    snap_plan = cdc_apply(_df(spark, rows), KEY, SEQ)._jdf.queryExecution().executedPlan().toString()
+    # hot-key safety: the compaction is a partial-aggregated groupBy
+    # (struct-max lowers to SortAggregate with a partial_max stage below
+    # the Exchange — map-side combine), never a rank window
+    # (un-splittable under key skew)
+    assert "Window" not in snap_plan
+    assert "partial_max" in snap_plan
+    merged = cdc_merge(
+        cdc_apply(_df(spark, rows), KEY, SEQ), _df(spark, rows), KEY, SEQ
+    )
+    merge_plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in merge_plan and "LeftAnti" in merge_plan
