@@ -1246,3 +1246,52 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (operators/layout.py): the Morton curve over
+# (l_partkey, l_suppkey), reported as per-cell occupancy + per-dimension
+# spread — the stats a layout job would write as file-level min/max. The
+# oracle replays the interleave bit-for-bit from the SAME SQL template
+# (zorder_sql_expr / scale_sql_expr), deriving bounds in-query where the
+# operator collects them (exact integer min/max on both engines).
+# ---------------------------------------------------------------------------
+def _zorder_cells_sql(bits: int = 16, cell_shift: int = 24) -> str:
+    from ..operators.layout import scale_sql_expr, zorder_sql_expr
+
+    sp = scale_sql_expr("l_partkey", "b.plo", "b.phi", bits, div="//")
+    ss = scale_sql_expr("l_suppkey", "b.slo", "b.shi", bits, div="//")
+    z = zorder_sql_expr([sp, ss], bits, div="//")
+    return f"""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+             MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+      FROM lineitem
+    ),
+    z AS (
+      SELECT {z} AS zv, l_partkey, l_suppkey
+      FROM lineitem, b
+    )
+    SELECT CAST(zv // {1 << cell_shift} AS BIGINT) AS z_cell,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+           MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+    FROM z GROUP BY 1
+    """
+
+
+@q("q_zorder_cells", _zorder_cells_sql())
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout as ZL
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = ZL.with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+    return keyed.groupBy(
+        F.expr(f"{ZL.Z_COL} DIV {1 << 24}").cast("long").alias("z_cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("part_min"),
+        F.max("l_partkey").alias("part_max"),
+        F.min("l_suppkey").alias("supp_min"),
+        F.max("l_suppkey").alias("supp_max"),
+    )
