@@ -1295,3 +1295,41 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("supp_min"),
         F.max("l_suppkey").alias("supp_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (operators/fuzzy.py): SymSpell symmetric-
+# deletion blocking over customer names, exact levenshtein verification,
+# per-name neighbor audit view. The oracle replays the same variant
+# explode -> banded equi-join -> levenshtein pipeline; candidate
+# completeness vs brute force is pytest-enforced separately.
+# ---------------------------------------------------------------------------
+@q(
+    "q_fuzzy_match",
+    """
+    WITH names AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+    vars AS (
+      SELECT DISTINCT id, s,
+             CASE WHEN p = 0 THEN s
+                  ELSE substr(s, 1, p - 1) || substr(s, p + 1) END AS v
+      FROM names, UNNEST(range(0, length(s) + 1)) AS t(p)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+    ),
+    match AS (SELECT * FROM cand WHERE levenshtein(s_a, s_b) <= 1),
+    mirrored AS (
+      SELECT s_a AS name, s_b AS other FROM match
+      UNION ALL
+      SELECT s_b AS name, s_a AS other FROM match
+    )
+    SELECT name, CAST(COUNT(*) AS BIGINT) AS n_neighbors, MIN(other) AS nearest
+    FROM mirrored GROUP BY name
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import fuzzy as FZ
+
+    cust = table(spark, sf_dir, "customer")
+    return FZ.fuzzy_neighbor_counts(cust, "c_custkey", "c_name", max_dist=1)
