@@ -57,6 +57,9 @@ HEADLINE = [
     "q_retention",
     "q_scd2_history",
     "q_pagerank",
+    "q_cdc_apply",
+    "q_zorder_cells",
+    "q_fuzzy_match",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",

@@ -54,6 +54,34 @@ TAIL_QUERIES: tuple[str, ...] = (
     # SQL embeds the planes as literals), and dedup-side banded LSH
     # stays in-window via q_dedup_recall.
     "q_ann_lsh",
+    # r8 (session 3): parked for q_fuzzy_match's window slot — the new
+    # SymSpell edit-distance matcher earns the hard signal first, per
+    # policy (q_cdc_apply and q_zorder_cells took the two free slots the
+    # same session). q_ann_pq has green driver rows r6+r7; the PQ surface
+    # stays in-window THREE ways — q_ann_ivfpq and q_ann_ivfpq_res both
+    # train the same codebooks and score through the same ADC literal
+    # LUTs (composed with IVF), and q_ann_recall embeds the full IVF
+    # chain — while raw-PQ stays oracle-verified every pytest run and
+    # HEADLINE-benched.
+    "q_ann_pq",
+    # r8 (session 3): parked so q_cdc_apply's window slot doesn't push
+    # the flagship SEC queries out (the contract test pins them). The
+    # repeated-substring DETECTION chain is CONTAINED verbatim in
+    # in-window q_dedup_span_removal's oracle (the removal pass starts
+    # from the same shingle/min-of-struct detection CTEs and then
+    # performs the surgery), so the Lee-et-al. surface keeps its hard
+    # signal through the successor; q_dedup_substrings earned its first
+    # green row r7 and stays pytest-oracled every run.
+    "q_dedup_substrings",
+    # r8 (session 3): parked so q_zorder_cells's window slot doesn't push
+    # the flagship SEC queries out. q_stream_join has green driver rows
+    # r6+r7; the watermarked stream-stream interval join is the most
+    # pytest-enforced streaming surface (test_registry_streaming runs the
+    # full micro-batch pipeline every run), time-conditioned joins stay
+    # in-window via q_asof_join's successor pin in q_stream_hourly's
+    # windowed aggregation, and the batch-equivalence oracle stays in
+    # test_workload_oracle.
+    "q_stream_join",
     # r8 (mid-round): parked for q_kn_logprob's window slot — the new
     # Kneser-Ney bigram scorer earns the hard signal first, per policy.
     # q_pricing_summary is the stablest row in the registry (green in

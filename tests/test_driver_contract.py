@@ -85,8 +85,22 @@ def test_oracle_queries_inside_driver_window():
         # embedded BM25 chain, md5 token-bucketing via q_dsir_select
         # and q_hashed_classifier itself)
         "q_hashed_classifier",
-        "q_stream_join",
-        "q_ann_pq",
+        # r8 session 3: q_stream_join re-parked after green rows r6+r7
+        # (window room for the new CDC/z-order/fuzzy operators without
+        # displacing the SEC flagships); the watermarked streaming
+        # surface keeps its in-window pin via q_stream_hourly, and the
+        # interval-join batch-equivalence oracle stays in
+        # test_workload_oracle every run
+        "q_stream_hourly",
+        # r8 session 3: q_ann_pq re-parked after green rows r6+r7 — the
+        # PQ codebook/ADC surface stays in-window composed via
+        # q_ann_ivfpq and q_ann_ivfpq_res (pinned below)
+        "q_ann_ivfpq_res",
+        # r8 session 3 new operators: the CDC compaction, z-order layout
+        # key, and SymSpell fuzzy matcher earn the hard signal at birth
+        "q_cdc_apply",
+        "q_zorder_cells",
+        "q_fuzzy_match",
         # r7: temperature-scaled mixture with derived weights
         # (q_data_mixture parked in exchange after its r6 green row —
         # the identical md5-threshold resample machinery runs inside
@@ -151,7 +165,10 @@ def test_oracle_queries_inside_driver_window():
         # q_dedup_recall's truth arm; q_dedup_minhash itself parked
         # r7 for q_dedup_verify's slot after green rows r1-r6, its
         # banded chain contained in three in-window oracles)
-        "q_dedup_substrings",
+        # r8 session 3: q_dedup_substrings re-parked after its r7 green
+        # row — the detection chain is CONTAINED in the removal pass's
+        # oracle, so the Lee-et-al. surface pin moves to the successor
+        "q_dedup_span_removal",
         # r8: q_dedup_verify parked after its first green row r7 — its
         # banded chain is contained in q_dedup_recall (pinned below)
         # and exact per-pair Jaccard returns via q_dedup_jaccard,
