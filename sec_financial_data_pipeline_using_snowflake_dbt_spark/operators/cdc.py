@@ -100,6 +100,62 @@ def cdc_apply(
     return snap.where(F.col(f"__w.{_OP}") != F.lit(delete_op)).select(*out_cols)
 
 
+def cdc_state_merge(
+    state: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Sequence-AWARE merge over TOMBSTONE-BEARING state: unlike
+    :func:`cdc_merge` (which trusts every batch change to be later than
+    the snapshot), winners are chosen by comparing sequences, so an
+    out-of-order or replayed batch can never regress the state — the
+    property a streaming sink needs, where micro-batch boundaries don't
+    respect event order.
+
+    ``state`` is ``cdc_apply(..., keep_op=True)`` output: one row per key
+    INCLUDING deleted keys, carrying the winning sequence and operation.
+    The tombstones are load-bearing — without them, a delete at sequence
+    100 followed (in a later batch) by a stale upsert at sequence 90
+    would resurrect the key, because nothing remembers the delete
+    happened.  Filter ``op_col != delete_op`` for the live snapshot
+    (:func:`cdc_snapshot`).  Tombstones accumulate per deleted key; real
+    feeds expire them once the source can no longer emit sequences below
+    a horizon (retention policy, out of scope here).
+
+    Work is batch-sized: untouched state keys pass through via one
+    broadcast LEFT ANTI; only touched keys re-compact.
+    """
+    compacted = cdc_apply(
+        changes, key_cols, seq_cols, op_col=op_col, delete_op=delete_op, keep_op=True
+    )
+    touched = compacted.select(*key_cols).distinct()
+    if broadcast_batch:
+        touched = F.broadcast(touched)
+    untouched = state.join(touched, on=list(key_cols), how="left_anti")
+    touched_state = state.join(touched, on=list(key_cols), how="left_semi")
+    rematch = cdc_apply(
+        touched_state.unionByName(compacted),
+        key_cols,
+        seq_cols,
+        op_col=op_col,
+        delete_op=delete_op,
+        keep_op=True,
+    ).select(*state.columns)
+    return untouched.unionByName(rematch)
+
+
+def cdc_snapshot(
+    state: DataFrame, op_col: str = "op", delete_op: str = "D"
+) -> DataFrame:
+    """The live view of tombstone-bearing CDC state: deleted keys
+    filtered out, the operation column dropped."""
+    return state.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+
+
 def cdc_merge(
     snapshot: DataFrame,
     changes: DataFrame,

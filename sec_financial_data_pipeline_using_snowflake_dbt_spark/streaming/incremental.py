@@ -261,3 +261,91 @@ def stream_interval_join(
         F.col("r.event_id").alias("right_id"),
         (F.unix_micros(lts) - F.unix_micros(rts)).cast("long").alias("lag_us"),
     )
+
+
+def stream_cdc_sink(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> None:
+    """Streaming CDC apply: maintain a last-writer-wins snapshot of a
+    change stream as versioned parquet (the foreachBatch MERGE-INTO
+    emulation; with Delta/Iceberg the body becomes one MERGE).
+
+    Each micro-batch is compacted with ``cdc_apply`` and folded into the
+    current state with ``cdc_state_merge`` — the sequence-AWARE,
+    TOMBSTONE-BEARING merge, so micro-batch boundaries need not respect
+    event order (a replayed or out-of-order batch can never regress the
+    state, and a stale upsert arriving after a delete cannot resurrect
+    the key; batch-split invariance is pytest-enforced). The stored
+    versions keep delete tombstones; :func:`read_cdc_snapshot` serves the
+    live view. State versions are written to ``{target_path}/v=<batch_id>/``
+    and committed by rewriting the ``_LATEST`` marker — a crash between
+    write and commit leaves the previous state live, and a foreachBatch
+    redelivery overwrites ``v=<batch_id>`` idempotently (same input ⇒
+    same bytes). Old versions are retained for time travel; expire them
+    with a storage lifecycle rule (at 100 TB this layout is exactly the
+    poor-man's Iceberg — the state rewrite per batch is the price of
+    plain parquet, and the reason the real thing uses manifest-level row
+    rewrites).
+    """
+    from ..operators.cdc import cdc_apply, cdc_state_merge
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _read_cdc_state(spark, target_path)
+        if state is None:
+            merged = cdc_apply(
+                batch_df, key_cols, seq_cols,
+                op_col=op_col, delete_op=delete_op, keep_op=True,
+            )
+        else:
+            merged = cdc_state_merge(
+                state, batch_df, key_cols, seq_cols,
+                op_col=op_col, delete_op=delete_op,
+            )
+        vdir = f"{target_path}/v={batch_id}"
+        merged.write.mode("overwrite").parquet(vdir)
+        # commit: tiny marker file rewritten last (rename-free but
+        # single-object, so readers see old-or-new, never half)
+        spark.createDataFrame([(str(batch_id),)], "v STRING").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{target_path}/_LATEST")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _read_cdc_state(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """The committed tombstone-bearing state under ``stream_cdc_sink``'s
+    layout, or None before the first commit."""
+    try:
+        v = spark.read.json(f"{target_path}/_LATEST").first()["v"]
+        return spark.read.parquet(f"{target_path}/v={v}")
+    except Exception:  # noqa: BLE001 — no marker yet: first batch
+        return None
+
+
+def read_cdc_snapshot(
+    spark: SparkSession,
+    target_path: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame | None:
+    """The live snapshot (tombstones filtered) under ``stream_cdc_sink``'s
+    layout, or None before the first commit."""
+    from ..operators.cdc import cdc_snapshot
+
+    state = _read_cdc_state(spark, target_path)
+    if state is None:
+        return None
+    return cdc_snapshot(state, op_col=op_col, delete_op=delete_op)

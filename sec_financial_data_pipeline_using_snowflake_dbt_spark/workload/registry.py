@@ -82,6 +82,17 @@ TAIL_QUERIES: tuple[str, ...] = (
     # windowed aggregation, and the batch-equivalence oracle stays in
     # test_workload_oracle.
     "q_stream_join",
+    # r8 (session 3): parked for q_cdc_stream's window slot — the
+    # streaming CDC twin earns the hard signal at birth (its oracle is
+    # the batch q_cdc_apply SQL, so a hash match proves the
+    # foreachBatch tombstone-merge path lands on the batch-identical
+    # snapshot). q_training_mix has green driver rows r6+r7; the
+    # md5-threshold mixture resample stays in-window via
+    # q_temperature_mix (the IDENTICAL floor(w)+Bernoulli(frac(w))
+    # machinery with derived weights) and the packing surface via
+    # q_pack_token_ids; the end-to-end assembly oracle stays in
+    # test_workload_oracle every run and HEADLINE-benched.
+    "q_training_mix",
     # r8 (mid-round): parked for q_kn_logprob's window slot — the new
     # Kneser-Ney bigram scorer earns the hard signal first, per policy.
     # q_pricing_summary is the stablest row in the registry (green in

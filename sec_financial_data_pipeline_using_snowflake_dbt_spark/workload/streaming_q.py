@@ -150,3 +150,69 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "q_cdc_stream",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_cdc_apply, held to the SAME batch oracle: the
+    event changelog is split into three files and streamed one file per
+    micro-batch through stream_cdc_sink (foreachBatch cdc_merge_latest
+    into versioned parquet snapshots), then the committed snapshot is
+    read back. Micro-batch boundaries don't respect event order —
+    round-robin repartition scatters each user's changes across batches
+    — so a hash match here proves the sequence-aware merge, not just the
+    compaction. Temp dirs live under /tmp per run (the memory-sink
+    analogue for a directory-shaped sink)."""
+    import tempfile
+
+    from ..streaming.incremental import read_cdc_snapshot, stream_cdc_sink
+
+    base = tempfile.mkdtemp(prefix="q_cdc_stream_")
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    changes.repartition(3).write.parquet(f"{base}/in")
+    schema = spark.read.parquet(f"{base}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{base}/in")
+    )
+    with _state_partitions(spark):
+        stream_cdc_sink(
+            stream, f"{base}/snap", f"{base}/ckpt",
+            key_cols=["user_id"], seq_cols=["ts", "event_id"],
+        )
+    snap = read_cdc_snapshot(spark, f"{base}/snap")
+    return snap.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -105,3 +105,83 @@ def test_apply_plan_has_no_window_and_merge_broadcasts(spark):
     )
     merge_plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in merge_plan and "LeftAnti" in merge_plan
+
+
+def test_stale_upsert_after_delete_cannot_resurrect(spark):
+    """The tombstone property: a delete at seq 100 followed — in a LATER
+    batch — by a stale upsert at seq 90 must keep the key dead (the
+    exact failure mode of a tombstone-less snapshot merge)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+        cdc_apply,
+        cdc_snapshot,
+        cdc_state_merge,
+    )
+
+    batch1 = _df(spark, [(1, 100, "D", None, None), (2, 1, "U", "x", 1.0)])
+    batch2 = _df(spark, [(1, 90, "U", "stale", 9.0)])
+    state = cdc_apply(batch1, KEY, SEQ, keep_op=True)
+    state = cdc_state_merge(state, batch2, KEY, SEQ)
+    live = cdc_snapshot(state)
+    assert _snap(live) == [(2, 1, "x", 1.0)]
+    # and the tombstone itself is still in the state (seq kept at 100)
+    dead = {r["k"]: (r["seq"], r["op"]) for r in state.collect()}
+    assert dead[1] == (100, "D")
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_state_merge_is_batch_split_invariant(spark, trial):
+    """cdc_state_merge folded over ANY partition of the changelog into
+    batches — including splits that scatter a key's changes out of
+    order — must equal the one-shot compaction."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+        cdc_apply,
+        cdc_snapshot,
+        cdc_state_merge,
+    )
+
+    rng = random.Random(2000 + trial)
+    rows = _random_changelog(rng)
+    rng.shuffle(rows)  # batch boundaries no longer respect seq order
+    cuts = sorted(rng.sample(range(1, len(rows)), 2))
+    batches = [rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]]
+    state = cdc_apply(_df(spark, batches[0]), KEY, SEQ, keep_op=True)
+    for b in batches[1:]:
+        state = cdc_state_merge(state, _df(spark, b), KEY, SEQ)
+    replay = cdc_apply(_df(spark, rows), KEY, SEQ)
+    assert _snap(cdc_snapshot(state)) == _snap(replay)
+
+
+def test_stream_cdc_sink_matches_batch_apply(spark, tmp_path):
+    """The foreachBatch sink over one-file-per-micro-batch must land on
+    the identical snapshot as the batch compaction, with versioned state
+    dirs and a committed _LATEST marker."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+        cdc_apply,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.streaming.incremental import (
+        read_cdc_snapshot,
+        stream_cdc_sink,
+    )
+
+    rng = random.Random(77)
+    rows = _random_changelog(rng, n_keys=12, n_changes=90)
+    rng.shuffle(rows)
+    df = _df(spark, rows)
+    src = str(tmp_path / "in")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    target = str(tmp_path / "snap")
+    stream_cdc_sink(stream, target, str(tmp_path / "ckpt"), KEY, SEQ)
+    got = read_cdc_snapshot(spark, target)
+    want = cdc_apply(df, KEY, SEQ)
+    assert _snap(got) == _snap(want)
+    import os
+
+    versions = sorted(d for d in os.listdir(target) if d.startswith("v="))
+    assert versions == ["v=0", "v=1", "v=2"]
+    assert read_cdc_snapshot(spark, str(tmp_path / "nowhere")) is None

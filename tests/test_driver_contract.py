@@ -179,10 +179,12 @@ def test_oracle_queries_inside_driver_window():
         # row; both SimHash widths stay oracle-verified every pytest
         # run and in the bench HEADLINE)
         "q_dedup_delta",
-        # r6 continuation: end-to-end mixture->pack assembly
-        # (q_dedup_simhash parked in exchange — the SimHash operator
-        # stays pytest-oracled at both widths)
-        "q_training_mix",
+        # r8 session 3: q_training_mix re-parked after green rows r6+r7
+        # for the streaming CDC twin's slot — the md5-threshold resample
+        # machinery stays in-window via q_temperature_mix (identical
+        # construction) and the pack chain via q_pack_token_ids; the
+        # assembly oracle stays in test_workload_oracle every run
+        "q_cdc_stream",
         # r6 continuation: line dedup + bigram LM (q_c4_clean /
         # q_pack_sequences parked in exchange, rationale in
         # registry.py)
