@@ -60,6 +60,7 @@ HEADLINE = [
     "q_cdc_apply",
     "q_zorder_cells",
     "q_fuzzy_match",
+    "q_profile",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",

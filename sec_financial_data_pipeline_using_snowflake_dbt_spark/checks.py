@@ -194,3 +194,63 @@ def sec_quarter_suite(
         "pre.adsh.fk_sub": lambda: relationships(pre, sub, ["adsh"]),
         "pre.tag_version.fk_tag": lambda: relationships(pre, tag, ["tag", "version"]),
     }
+
+
+# --- column profiler (dbt docs / data-catalog surface) ----------------------
+
+#: Render an aggregate value as a cross-engine-stable string per dtype:
+#: integral/string/timestamp render identically everywhere; doubles go
+#: through DECIMAL(28,6) so both engines print fixed-point at full scale
+#: (double→string scientific-notation thresholds differ between engines).
+_PROFILE_RENDER = {
+    "double": lambda c: c.cast("decimal(28,6)").cast("string"),
+    "float": lambda c: c.cast("decimal(28,6)").cast("string"),
+    "timestamp": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+    "timestamp_ntz": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+    "date": lambda c: F.date_format(c, "yyyy-MM-dd"),
+}
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Column profile — the engine-side ``dbt docs`` / catalog statistics
+    page: one output row per column with ``(column, n_rows, n_nulls,
+    n_distinct, min_value, max_value)``, min/max rendered as
+    dtype-stable strings.
+
+    ONE scan: every per-column aggregate lives in a single ``agg`` (one
+    map-side-combined pass), and the wide 1-row result pivots to long
+    form through a ``stack`` projection — no per-column scans, no
+    driver-side collect.  Caveat at scale: multiple EXACT
+    ``count_distinct`` aggregates expand the input once per column
+    (Spark's Expand for multi-distinct); ``approx_distinct=True`` swaps
+    in HLL sketches (``approx_count_distinct``), which profile 100 TB in
+    one expansion-free pass — the same exact/HLL dual as
+    ``textops.corpus_stats``.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    n_distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        render = _PROFILE_RENDER.get(dtypes[c], lambda x: x.cast("string"))
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            n_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            render(F.min(F.col(c))).alias(f"__min_{c}"),
+            render(F.max(F.col(c))).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

@@ -1333,3 +1333,45 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = table(spark, sf_dir, "customer")
     return FZ.fuzzy_neighbor_counts(cust, "c_custkey", "c_name", max_dist=1)
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (checks.profile_table): the dbt-docs/catalog statistics
+# page over lineitem — one scan, every aggregate in one agg, stack() to
+# long form. The oracle unions one SELECT per column with the same
+# dtype-stable renders (doubles through DECIMAL(28,6), timestamps
+# through strftime).
+# ---------------------------------------------------------------------------
+_LINEITEM_PROFILE_TYPES = {
+    "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+    "l_linenumber": "int", "l_quantity": "dbl", "l_extendedprice": "dbl",
+    "l_discount": "dbl", "l_tax": "dbl", "l_returnflag": "str",
+    "l_linestatus": "str", "l_shipdate": "ts",
+}
+
+
+def _profile_sql() -> str:
+    render = {
+        "int": "CAST({m}({c}) AS VARCHAR)",
+        "dbl": "CAST(CAST({m}({c}) AS DECIMAL(28,6)) AS VARCHAR)",
+        "str": "{m}({c})",
+        "ts": "STRFTIME({m}({c}), '%Y-%m-%d %H:%M:%S')",
+    }
+    parts = []
+    for c, t in _LINEITEM_PROFILE_TYPES.items():
+        mn = render[t].format(m="MIN", c=c)
+        mx = render[t].format(m="MAX", c=c)
+        parts.append(
+            f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@q("q_profile", _profile_sql())
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..checks import profile_table
+
+    return profile_table(table(spark, sf_dir, "lineitem"))

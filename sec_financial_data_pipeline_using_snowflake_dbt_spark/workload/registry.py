@@ -93,6 +93,14 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_pack_token_ids; the end-to-end assembly oracle stays in
     # test_workload_oracle every run and HEADLINE-benched.
     "q_training_mix",
+    # r8 (session 3): parked for q_profile's window slot — the column
+    # profiler earns the hard signal at birth, per policy.
+    # q_dsir_select has green driver rows r6+r7; its md5 token-bucket
+    # features stay in-window via q_hashed_classifier (the same hashed
+    # feature construction), the md5-threshold Bernoulli resample via
+    # q_temperature_mix, and the full DSIR oracle stays in
+    # test_workload_oracle every run and HEADLINE-benched.
+    "q_dsir_select",
     # r8 (mid-round): parked for q_kn_logprob's window slot — the new
     # Kneser-Ney bigram scorer earns the hard signal first, per policy.
     # q_pricing_summary is the stablest row in the registry (green in

@@ -82,3 +82,49 @@ def test_expression_holds(clean):
 def test_column_type_is(clean):
     assert C.column_type_is(clean["num"], "value", "decimal(28,4)").count() == 0
     assert C.column_type_is(clean["num"], "value", "double").count() == 1
+
+
+def test_profile_table_values_and_rendering(spark):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.checks import (
+        profile_table,
+    )
+    import datetime as dt
+
+    rows = [
+        (1, 2.5, "b", dt.datetime(2024, 1, 2, 3, 4, 5)),
+        (1, None, "a", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (None, 10.0, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "i BIGINT, d DOUBLE, s STRING, t TIMESTAMP")
+    got = {r["column_name"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["i"] == {
+        "column_name": "i", "n_rows": 3, "n_nulls": 1, "n_distinct": 1,
+        "min_value": "1", "max_value": "1",
+    }
+    # doubles render through DECIMAL(28,6): fixed-point, full scale
+    assert (got["d"]["min_value"], got["d"]["max_value"]) == ("2.500000", "10.000000")
+    assert got["d"]["n_nulls"] == 1 and got["d"]["n_distinct"] == 2
+    assert got["s"]["n_distinct"] == 2 and got["s"]["min_value"] == "a"
+    assert got["t"]["min_value"] == "2024-01-01 00:00:00"
+    assert got["t"]["max_value"] == "2024-01-02 03:04:05"
+
+
+def test_profile_table_is_one_scan_and_approx_skips_expand(spark):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.checks import (
+        profile_table,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = profile_table(li)
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # every aggregate in ONE scan
+    approx = profile_table(li, approx_distinct=True)
+    aplan = approx._jdf.queryExecution().executedPlan().toString()
+    # multi-exact-distinct needs Expand (input x n_cols); the HLL arm
+    # must not - that is its 100 TB advantage
+    assert "Expand" in plan and "Expand" not in aplan
+    # HLL estimates stay sane on this table (within 5% default rsd ~ wide margin)
+    ex = {r["column_name"]: r["n_distinct"] for r in exact.collect()}
+    ap = {r["column_name"]: r["n_distinct"] for r in approx.collect()}
+    for c in ex:
+        assert abs(ap[c] - ex[c]) <= max(3, 0.15 * ex[c]), (c, ex[c], ap[c])

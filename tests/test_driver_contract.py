@@ -142,10 +142,12 @@ def test_oracle_queries_inside_driver_window():
         # oracle contains the exact-dedup surface: md5 content hashes
         # plus the exact-dup ground truth it measures FPs against)
         "q_bloom_dedup",
-        # r6 continuation: DSIR importance resampling
-        # (q_left_join_counts parked in exchange — left joins stay
-        # in-window via q_sec_fact_bs + q_sec_json_doc)
-        "q_dsir_select",
+        # r8 session 3: q_dsir_select re-parked after green rows r6+r7
+        # for the column profiler's slot — md5 token-bucketing stays
+        # in-window via q_hashed_classifier, the md5-threshold Bernoulli
+        # resample via q_temperature_mix, and the DSIR oracle stays in
+        # test_workload_oracle every run
+        "q_profile",
         # r6 continuation: deterministic training-order shuffle
         # (q_expr_key_join parked in exchange — the identical
         # expression-key join runs inside q_sec_fact_bs's build_fact).
