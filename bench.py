@@ -61,6 +61,7 @@ HEADLINE = [
     "q_zorder_cells",
     "q_fuzzy_match",
     "q_profile",
+    "q_interval_join",
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",

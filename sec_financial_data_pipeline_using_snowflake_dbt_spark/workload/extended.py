@@ -1375,3 +1375,100 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..checks import profile_table
 
     return profile_table(table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (operators/interval.py): which user sessions
+# overlapped an error-hour window (incident impact analysis). The Spark
+# side runs the bucketized band join (no nested loop — plan-pinned in
+# test_interval); the oracle states the SEMANTICS as a plain inequality
+# join, so a hash match proves the banding machinery, and exactness /
+# width-invariance are pytest-pinned besides.
+# ---------------------------------------------------------------------------
+@q(
+    "q_interval_join",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM seq
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sess_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sess_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sess_id
+    ), wins AS (
+      SELECT DISTINCT DATE_TRUNC('hour', ts) AS w_start,
+             DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND
+               AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id,
+           CAST(s.sess_id AS BIGINT) AS sess_id,
+           STRFTIME(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_error_windows
+    FROM sessions s
+    JOIN wins w ON s.s_start <= w.w_end AND w.w_start <= s.s_end
+    GROUP BY s.user_id, s.sess_id, s.s_start, s.n_events
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import interval_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    numbered = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("sess_id", F.sum(new_sess).over(w))
+    )
+    sessions = (
+        numbered.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("sess_id").cast("long").alias("sess_id"),
+            "s_start",
+            "n_events",
+            F.unix_micros("s_start").alias("s_lo"),
+            F.unix_micros("s_end").alias("s_hi"),
+        )
+    )
+    wins = (
+        e.where(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("w_start"))
+        .distinct()
+        .select(
+            F.unix_micros("w_start").alias("w_lo"),
+            (F.unix_micros("w_start") + F.lit(3_600_000_000 - 1)).alias("w_hi"),
+        )
+    )
+    hits = interval_join(
+        sessions, wins, "s_lo", "s_hi", "w_lo", "w_hi",
+        bucket_width=3_600_000_000,
+    )
+    return hits.groupBy("user_id", "sess_id", "s_start", "n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_error_windows")
+    ).select(
+        "user_id", "sess_id",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events", "n_error_windows",
+    )

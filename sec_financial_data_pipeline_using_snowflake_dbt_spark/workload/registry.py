@@ -101,6 +101,18 @@ TAIL_QUERIES: tuple[str, ...] = (
     # q_temperature_mix, and the full DSIR oracle stays in
     # test_workload_oracle every run and HEADLINE-benched.
     "q_dsir_select",
+    # r8 (session 3): parked for q_interval_join's window slot — the
+    # bucketized interval-overlap join earns the hard signal at birth,
+    # per policy (and its oracle CONTAINS the full sessionization CTE
+    # chain, reinforcing in-window q_sessionization). q_pii_scrub has
+    # green driver rows r6+r7; the F1/F7-F9 regex surface stays
+    # in-window via q_dedup_span_removal's HOF surgery and
+    # q_corpus_pipeline's C4 regex line filters, stays pytest-enforced
+    # in test_checks (matches_regex) and test_workload_oracle every
+    # run, and stays HEADLINE-benched. The older park rationales that
+    # cite q_pii_scrub (q_string_funcs, q_validation_stats) remain
+    # covered through those same in-window chains.
+    "q_pii_scrub",
     # r8 (mid-round): parked for q_kn_logprob's window slot — the new
     # Kneser-Ney bigram scorer earns the hard signal first, per policy.
     # q_pricing_summary is the stablest row in the registry (green in

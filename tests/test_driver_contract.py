@@ -148,6 +148,10 @@ def test_oracle_queries_inside_driver_window():
         # resample via q_temperature_mix, and the DSIR oracle stays in
         # test_workload_oracle every run
         "q_profile",
+        # r8 session 3: bucketized interval-overlap join (q_pii_scrub
+        # parked in exchange after green rows r6+r7 — rationale in
+        # registry.py; the oracle contains the sessionization chain)
+        "q_interval_join",
         # r6 continuation: deterministic training-order shuffle
         # (q_expr_key_join parked in exchange — the identical
         # expression-key join runs inside q_sec_fact_bs's build_fact).

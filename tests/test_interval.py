@@ -1,0 +1,109 @@
+"""Interval-overlap join (operators/interval.py): exactness vs the naive
+inequality join, bucket-width invariance, the degenerate-interval guard,
+and the no-nested-loop plan pin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.interval import (
+    interval_join,
+)
+
+L_SCHEMA = "lid BIGINT, g BIGINT, ls BIGINT, le BIGINT"
+R_SCHEMA = "rid BIGINT, g BIGINT, rs BIGINT, re BIGINT"
+
+
+def _rand_intervals(rng, n, span=1000, max_len=120):
+    out = []
+    for i in range(n):
+        s = rng.randrange(span)
+        out.append((i, rng.randrange(3), s, s + rng.randrange(max_len)))
+    return out
+
+
+def _naive(lrows, rrows, by=False):
+    return {
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[2] <= r[3] and r[2] <= l[3] and (not by or l[1] == r[1])
+    }
+
+
+@pytest.mark.parametrize("seed,by", [(0, False), (1, False), (2, True), (3, True)])
+def test_matches_naive_join(spark, seed, by):
+    rng = random.Random(seed)
+    lrows = _rand_intervals(rng, 80)
+    rrows = _rand_intervals(rng, 60)
+    left = spark.createDataFrame(lrows, L_SCHEMA)
+    right = spark.createDataFrame(rrows, R_SCHEMA)
+    if not by:
+        left, right = left.drop("g"), right.withColumnRenamed("g", "g2")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re",
+            by=["g"] if by else None, bucket_width=64,
+        ).collect()
+    }
+    assert got == _naive(lrows, rrows, by)
+
+
+def test_bucket_width_invariance(spark):
+    rng = random.Random(9)
+    left = spark.createDataFrame(_rand_intervals(rng, 50), L_SCHEMA).drop("g")
+    right = spark.createDataFrame(_rand_intervals(rng, 50), R_SCHEMA).drop("g")
+    results = [
+        sorted(
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, "ls", "le", "rs", "re", bucket_width=wdt
+            ).collect()
+        )
+        for wdt in (7, 100, 10_000)
+    ]
+    assert results[0] == results[1] == results[2]
+    # each overlapping pair appears EXACTLY once (no distinct in the plan)
+    assert len(results[0]) == len(set(results[0]))
+
+
+def test_negative_epochs_and_touching_endpoints(spark):
+    # closed intervals: touching endpoints DO overlap; negative values
+    # must bucket correctly (floor semantics, not truncate-toward-zero)
+    left = spark.createDataFrame([(1, -100, -50), (2, 0, 10)], "lid BIGINT, ls BIGINT, le BIGINT")
+    right = spark.createDataFrame([(10, -50, -20), (20, 10, 20), (30, 21, 30)], "rid BIGINT, rs BIGINT, re BIGINT")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, "ls", "le", "rs", "re", bucket_width=30).collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_degenerate_interval_raises(spark):
+    left = spark.createDataFrame([(1, 0, 10_000_000)], "lid BIGINT, ls BIGINT, le BIGINT")
+    right = spark.createDataFrame([(2, 0, 5)], "rid BIGINT, rs BIGINT, re BIGINT")
+    with pytest.raises(Exception, match="buckets"):
+        interval_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=10, max_buckets_per_interval=1000,
+        ).collect()
+
+
+def test_rejects_colliding_column_names(spark):
+    df = spark.createDataFrame([(1, 0, 5)], "x BIGINT, s BIGINT, e BIGINT")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(df, df, "s", "e", "s", "e")
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    left = spark.createDataFrame([(1, 0, 5)], "lid BIGINT, ls BIGINT, le BIGINT")
+    right = spark.createDataFrame([(2, 3, 8)], "rid BIGINT, rs BIGINT, re BIGINT")
+    plan = (
+        interval_join(left, right, "ls", "le", "rs", "re", bucket_width=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
