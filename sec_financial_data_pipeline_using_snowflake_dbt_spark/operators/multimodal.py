@@ -23,7 +23,11 @@ This is the 100 TB-scale plumbing for multimodal training data:
   None/Sub/Up/Average/Paeth scanline unfilter, palette resolution) for
   8-bit non-interlaced images — the one compressed format that needs
   no third-party wheel;
-- only the remaining COMPRESSED codecs (jpeg/gif pixel data, 16-bit or
+- GIF pixels are decoded for REAL with the stdlib alone too (r8 s3:
+  ``gif_pixel_stats`` — block walk, variable-width LZW with clear/EOI/
+  KwKwK handling, local-over-global palette, interlace reorder) for the
+  first frame of any 87a/89a stream;
+- only the remaining COMPRESSED codecs (jpeg pixel data, 16-bit or
   interlaced PNG, mp3 samples, mp4 frames) stay behind a deterministic
   fake, since the actual codecs (PIL/librosa/av) are not in this
   container (``use_real_codecs=True`` raises NotImplementedError). The
@@ -254,7 +258,9 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
     - PPM (P6, 8-bit RGB) and PGM (P5, 8-bit grayscale);
     - PNG, 8-bit gray/RGB/palette/gray+alpha/RGBA non-interlaced —
       REAL stdlib-zlib decode (``png_pixel_stats``: IDAT inflate +
-      scanline unfilter), r8.
+      scanline unfilter), r8;
+    - GIF, first frame, 87a/89a incl. interlaced — REAL pure-Python
+      LZW decode (``gif_pixel_stats``), r8 s3.
 
     Returns {format, width, height, mean_luma} with mean_luma the
     Rec.601 luma (0.299 R + 0.587 G + 0.114 B) normalized to [0, 1].
@@ -264,6 +270,8 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
 
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return png_pixel_stats(payload)
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return gif_pixel_stats(payload)
     if payload[:2] == b"BM":
         hdr = parse_bmp_header(payload)
         if hdr is None or hdr["compression"] != 0 or hdr["bpp"] not in (24, 32):
@@ -463,6 +471,144 @@ def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
         "height": int(h),
         "mean_luma": float(luma.mean()),
     }
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes | None:
+    """GIF-variant LZW decompress (GIF89a spec appendix F): variable
+    code width starting at ``min_code_size + 1`` growing to 12 bits,
+    clear/EOI control codes, KwKwK self-reference case, deferred-clear
+    tolerant (past 4096 entries the dictionary simply stops growing).
+    Returns the palette-index stream, or None on a corrupt code.  Pure
+    Python over one big little-endian integer — a correctness arm, not
+    a throughput path (a 100 TB image pipeline decodes through a codec
+    library; this exists so GIF decode is REAL with zero deps)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    big = int.from_bytes(data, "little")
+    pos, total_bits = 0, len(data) * 8
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + width <= total_bits and len(out) < n_pixels:
+        code = (big >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_pixel_stats(payload: bytes) -> dict[str, Any] | None:
+    """REAL GIF pixel decode with the stdlib alone — the second
+    compressed codec (after PNG, r8) needing no third-party wheel: block
+    walk → first image descriptor → LZW decompress (``_gif_lzw_decode``)
+    → palette resolution (local over global) → interlace reorder →
+    Rec.601 mean luma over the first frame.
+
+    Scope: the FIRST frame only (animation = frame 1 features, the same
+    convention Pillow's default seek(0) applies), transparency treated
+    as its palette color (luma is a raster statistic, not compositing).
+    Corrupt/truncated streams, missing palettes, or >64 MP dimensions
+    return None and stay behind the codec boundary."""
+    import numpy as np
+
+    if not payload.startswith((b"GIF87a", b"GIF89a")) or len(payload) < 13:
+        return None
+    flags = payload[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        gct_len = 2 << (flags & 0x07)
+        if len(payload) < i + 3 * gct_len:
+            return None
+        gct = payload[i : i + 3 * gct_len]
+        i += 3 * gct_len
+    n = len(payload)
+    while i < n:
+        block = payload[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            fw, fh = struct.unpack("<HH", payload[i + 5 : i + 9])
+            iflags = payload[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:  # local color table wins
+                lct_len = 2 << (iflags & 0x07)
+                if n < i + 3 * lct_len:
+                    return None
+                pal = payload[i : i + 3 * lct_len]
+                i += 3 * lct_len
+            if pal is None or fw <= 0 or fh <= 0 or fw * fh > 64_000_000:
+                return None
+            if i >= n:
+                return None
+            min_code_size = payload[i]
+            i += 1
+            if not 2 <= min_code_size <= 8:
+                return None
+            chunks = bytearray()
+            while i < n and payload[i] != 0:
+                size = payload[i]
+                chunks += payload[i + 1 : i + 1 + size]
+                i += 1 + size
+            idx = _gif_lzw_decode(bytes(chunks), min_code_size, fw * fh)
+            if idx is None:
+                return None
+            rows = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, fh, step)
+                ]
+                deinterlaced = np.empty_like(rows)
+                deinterlaced[order] = rows
+                rows = deinterlaced
+            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            if int(rows.max()) >= len(palette):
+                return None  # index out of palette range: corrupt
+            pix = palette[rows].astype(np.float64)
+            luma = (
+                0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]
+            ) / 255.0
+            return {
+                "format": "gif",
+                "width": int(fw),
+                "height": int(fh),
+                "mean_luma": float(luma.mean()),
+            }
+        elif block == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
 
 
 def _decode_image_pil(payload: bytes) -> dict[str, Any] | None:

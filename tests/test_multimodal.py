@@ -647,3 +647,215 @@ def test_decode_image_features_real_luma_for_png(spark, tmp_path_factory):
     assert row.format == "png"
     assert (row.width, row.height) == (2, 1)
     assert row.mean_luma == 1.0
+
+
+# --- GIF: real stdlib LZW decode (r8 s3) ------------------------------------
+
+
+def _gif_pack_codes(codes: list[tuple[int, int]]) -> bytes:
+    """Pack (code, width) pairs LSB-first into GIF data sub-blocks."""
+    big, pos = 0, 0
+    for code, width in codes:
+        big |= code << pos
+        pos += width
+    raw = big.to_bytes((pos + 7) // 8, "little")
+    out = bytearray()
+    for i in range(0, len(raw), 255):
+        chunk = raw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _gif_lzw_encode_literal(indices: bytes, mcs: int) -> bytes:
+    """Uncompressed-style encoder: every index as its own code, a CLEAR
+    re-emitted before the decoder's table could force a width bump —
+    correct BY CONSTRUCTION (no dictionary logic to mirror-bug)."""
+    clear, eoi, width = 1 << mcs, (1 << mcs) + 1, mcs + 1
+    room = (1 << width) - ((1 << mcs) + 2)  # adds before a width bump
+    codes: list[tuple[int, int]] = [(clear, width)]
+    since_clear = 0
+    for c in indices:
+        if since_clear >= room:
+            codes.append((clear, width))
+            since_clear = 0
+        codes.append((c, width))
+        since_clear += 1
+    codes.append((eoi, width))
+    return _gif_pack_codes(codes)
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int, defer_clear: bool = False) -> bytes:
+    """Real greedy-dictionary GIF LZW encoder (width grows 9..12; on a
+    full table either emits CLEAR or — defer_clear — keeps coding from
+    the frozen table, which the spec allows and decoders must accept)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes: list[tuple[int, int]] = []
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    codes.append((clear, width))
+    w = b""
+    for ci in indices:
+        wc = w + bytes([ci])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wc] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        elif not defer_clear:
+            codes.append((clear, width))
+            table, next_code, width = fresh()
+        w = bytes([ci])
+    if w:
+        codes.append((table[w], width))
+    codes.append((eoi, width))
+    return _gif_pack_codes(codes)
+
+
+def _gif(
+    indices: list[list[int]],
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+    local_palette: list[tuple[int, int, int]] | None = None,
+    encoder=_gif_lzw_encode,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    h, w = len(indices), len(indices[0])
+
+    def pal_bytes(pal):
+        size = 2
+        while size < len(pal):
+            size *= 2
+        flat = list(pal) + [(0, 0, 0)] * (size - len(pal))
+        return bytes(v for rgb in flat for v in rgb), size.bit_length() - 2
+
+    gpal, gbits = pal_bytes(palette)
+    out = bytearray(version)
+    out += struct.pack("<HH", w, h) + bytes([0x80 | gbits, 0, 0]) + gpal
+    # a comment extension before the image: the block walk must skip it
+    out += b"\x21\xfe\x05hello\x00"
+    iflags = 0x40 if interlace else 0
+    lpal = b""
+    if local_palette is not None:
+        lpal, lbits = pal_bytes(local_palette)
+        iflags |= 0x80 | lbits
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags]) + lpal
+    rows = indices
+    if interlace:
+        order = [r for s, t in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, h, t)]
+        rows = [indices[r] for r in order]
+    flat = bytes(v for row in rows for v in row)
+    mcs = max(2, (len(local_palette or palette) - 1).bit_length())
+    out += bytes([mcs]) + encoder(flat, mcs) + b"\x3b"
+    return bytes(out)
+
+
+def _luma(pixels_rgb) -> float:
+    vals = [0.299 * r + 0.587 * g + 0.114 * b for row in pixels_rgb for (r, g, b) in row]
+    return sum(vals) / len(vals) / 255.0
+
+
+def test_gif_pixel_stats_known_luma():
+    pal = [(255, 255, 255), (0, 0, 0), (255, 0, 0), (0, 0, 255)]
+    gif = _gif([[0, 1], [2, 3]], pal)
+    assert MM.sniff_format(gif) == ("image", "gif")
+    got = MM.pixel_stats(gif)
+    expect = (1.0 + 0.0 + 0.299 + 0.114) / 4
+    assert (got["format"], got["width"], got["height"]) == ("gif", 2, 2)
+    assert abs(got["mean_luma"] - expect) < 1e-12
+
+
+def test_gif_both_encoders_agree_and_match_source():
+    """The literal-code arm is correct by construction; the compressing
+    arm must land on the identical decode — a mirrored encoder/decoder
+    off-by-one cannot pass both plus the direct mean."""
+    import random
+
+    rng = random.Random(5)
+    pal = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(64)]
+    idx = [[rng.randrange(64) for _ in range(23)] for _ in range(17)]
+    expect = _luma([[pal[i] for i in row] for row in idx])
+    for enc in (_gif_lzw_encode_literal, _gif_lzw_encode):
+        got = MM.pixel_stats(_gif(idx, pal, encoder=enc))
+        assert abs(got["mean_luma"] - expect) < 1e-12, enc.__name__
+
+
+def test_gif_code_width_growth_and_dict_full():
+    """120x120 @ 256 colors pushes the dictionary through the 9->10->11
+    bit widths and past 4096 entries, exercising clear-on-full AND the
+    deferred-clear (frozen table) regime."""
+    import random
+
+    rng = random.Random(11)
+    pal = [(i, 255 - i, (i * 3) % 256) for i in range(256)]
+    idx = [[rng.randrange(256) for _ in range(120)] for _ in range(120)]
+    expect = _luma([[pal[i] for i in row] for row in idx])
+    full = MM.pixel_stats(_gif(idx, pal))
+    frozen = MM.pixel_stats(
+        _gif(idx, pal, encoder=lambda b, m: _gif_lzw_encode(b, m, defer_clear=True))
+    )
+    assert abs(full["mean_luma"] - expect) < 1e-12
+    assert abs(frozen["mean_luma"] - expect) < 1e-12
+
+
+def test_gif_kwkwk_case():
+    # "aaaaa" forces the code==next_code (KwKwK) branch immediately
+    pal = [(10, 20, 30), (200, 100, 50)]
+    gif = _gif([[1, 1, 1, 1, 1]], pal)
+    got = MM.pixel_stats(gif)
+    assert abs(got["mean_luma"] - _luma([[pal[1]] * 5])) < 1e-12
+
+
+def test_gif_interlace_and_local_palette():
+    pal = [(i * 16, i * 8, i * 4) for i in range(16)]
+    idx = [[(x + y) % 16 for x in range(9)] for y in range(11)]
+    expect = _luma([[pal[i] for i in row] for row in idx])
+    inter = MM.pixel_stats(_gif(idx, pal, interlace=True))
+    assert abs(inter["mean_luma"] - expect) < 1e-12
+    # local table overrides the (deliberately wrong) global one
+    wrong = [(0, 0, 0)] * 16
+    local = MM.pixel_stats(_gif(idx, wrong, local_palette=pal))
+    assert abs(local["mean_luma"] - expect) < 1e-12
+    # GIF87a parses identically
+    v87 = MM.pixel_stats(_gif(idx, pal, version=b"GIF87a"))
+    assert abs(v87["mean_luma"] - expect) < 1e-12
+
+
+def test_gif_codec_boundary_stays_none():
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = _gif([[0, 1], [1, 0]], pal)
+    assert MM.pixel_stats(good) is not None
+    # truncated LZW data: decode comes up short -> None -> stub path
+    truncated = good[:-6] + b"\x3b"
+    assert MM.pixel_stats(truncated) is None
+    feats = MM._decode_image(truncated)
+    assert (feats["width"], feats["height"]) == (2, 2)  # header still real
+    # trailer before any image descriptor
+    no_image = good[:13] + good[13 : 13 + 6] + b"\x3b"
+    assert MM.pixel_stats(no_image) is None
+    # out-of-range palette index (index 3, 2-entry palette padded to 4:
+    # index 3 resolves inside the PADDED table, so craft a 2-color table
+    # by hand)
+    hand = bytearray(b"GIF89a" + struct.pack("<HH", 1, 1) + bytes([0x80, 0, 0]))
+    hand += bytes([9, 9, 9, 7, 7, 7])  # 2-entry global table
+    hand += b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+    hand += bytes([2]) + _gif_lzw_encode_literal(bytes([3]), 2) + b"\x3b"
+    assert MM.pixel_stats(bytes(hand)) is None
+
+
+def test_gif_cross_format_agreement():
+    pixels = [
+        [(10, 20, 30), (200, 100, 50)],
+        [(0, 255, 0), (255, 255, 255)],
+    ]
+    pal = [p for row in pixels for p in row]
+    gif = MM.pixel_stats(_gif([[0, 1], [2, 3]], pal))
+    png = MM.pixel_stats(_encode_png(pixels, 2, filters=[4, 1]))
+    assert abs(gif["mean_luma"] - png["mean_luma"]) < 1e-12
