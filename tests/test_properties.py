@@ -1575,3 +1575,177 @@ def test_ngram_diversity_matches_reference(spark, texts, strata):
             row = (n, tot, dist, ratio)
             want.append(((s,) + row) if strata else row)
     assert got == sorted(want)
+
+
+# --- r8 s3: CDC compaction vs sequential reference --------------------------
+
+_cdc_changes = st.lists(
+    st.tuples(
+        st.integers(0, 4),                      # key (dense: collisions)
+        st.integers(0, 30),                     # seq (dense: ties)
+        st.sampled_from(["U", "U", "U", "D"]),  # op, deletes ~25%
+        st.integers(-3, 3),                     # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _py_cdc(rows):
+    """Reference: per key the max (seq, op, payload) wins; 'D' removes."""
+    best: dict[int, tuple] = {}
+    for k, seq, op, val in rows:
+        cand = (seq, op, (val,))
+        if k not in best or cand > best[k]:
+            best[k] = cand
+    return sorted(
+        (k, s, v[0]) for k, (s, op, v) in best.items() if op != "D"
+    )
+
+
+@given(rows=_cdc_changes, cut_seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_cdc_state_merge_matches_reference_under_any_split(spark, rows, cut_seed):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+        cdc_apply,
+        cdc_snapshot,
+        cdc_state_merge,
+    )
+    import random as _random
+
+    df_schema = "k BIGINT, seq INT, op STRING, val INT"
+    rng = _random.Random(cut_seed)
+    shuffled = list(rows)
+    rng.shuffle(shuffled)  # batch boundaries ignore seq order on purpose
+    cut = rng.randint(0, len(shuffled))
+    first, second = shuffled[:cut], shuffled[cut:]
+    state = cdc_apply(
+        spark.createDataFrame(first, df_schema) if first
+        else spark.createDataFrame([], df_schema),
+        ["k"], ["seq"], keep_op=True,
+    )
+    if second:
+        state = cdc_state_merge(
+            state, spark.createDataFrame(second, df_schema), ["k"], ["seq"]
+        )
+    got = sorted(
+        (r["k"], r["seq"], r["val"]) for r in cdc_snapshot(state).collect()
+    )
+    assert got == _py_cdc(rows)
+
+
+# --- r8 s3: SymSpell fuzzy pairs vs brute force ------------------------------
+
+_fuzzy_words = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=6), min_size=0, max_size=25,
+)
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(words=_fuzzy_words, k=st.sampled_from([1, 2]))
+@settings(**_SETTINGS)
+def test_fuzzy_pairs_complete_vs_brute_force(spark, words, k):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.fuzzy import (
+        fuzzy_pairs,
+    )
+
+    words = sorted(set(words))
+    if len(words) < 2:
+        return
+    df = spark.createDataFrame(list(enumerate(words)), "id BIGINT, s STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "s", max_dist=k).collect()
+    }
+    want = {
+        (i, j, _py_lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if _py_lev(words[i], words[j]) <= k
+    }
+    assert got == want
+
+
+# --- r8 s3: z-order key vs Python reference over derived bounds --------------
+
+_z_rows = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.integers(0, 7)),
+    min_size=1, max_size=30,
+)
+
+
+@given(rows=_z_rows, bits=st.sampled_from([4, 10, 16]))
+@settings(**_SETTINGS)
+def test_zorder_key_matches_reference_with_derived_bounds(spark, rows, bits):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.layout import (
+        Z_COL,
+        with_zorder_key,
+    )
+
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+    got = {
+        (r["x"], r["y"]): r[Z_COL]
+        for r in with_zorder_key(df, ["x", "y"], bits).collect()
+    }
+    xs, ys = [r[0] for r in rows], [r[1] for r in rows]
+    m = (1 << bits) - 1
+
+    def scale(v, lo, hi):
+        return (v - lo) * m // max(hi - lo, 1)
+
+    def interleave(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), zv in got.items():
+        want = interleave(
+            scale(x, min(xs), max(xs)), scale(y, min(ys), max(ys))
+        )
+        assert zv == want, (x, y, bits)
+
+
+# --- r8 s3: interval join vs naive quadratic reference -----------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(0, 40)),  # (start, length)
+    min_size=0, max_size=20,
+)
+
+
+@given(lints=_intervals, rints=_intervals, width=st.sampled_from([1, 9, 64]))
+@settings(**_SETTINGS)
+def test_interval_join_matches_naive(spark, lints, rints, width):
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.interval import (
+        interval_join,
+    )
+
+    lrows = [(i, s, s + ln) for i, (s, ln) in enumerate(lints)]
+    rrows = [(i, s, s + ln) for i, (s, ln) in enumerate(rints)]
+    if not lrows or not rrows:
+        return
+    left = spark.createDataFrame(lrows, "lid BIGINT, ls BIGINT, le BIGINT")
+    right = spark.createDataFrame(rrows, "rid BIGINT, rs BIGINT, re BIGINT")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re_ in rrows
+        if ls <= re_ and rs <= le
+    )
+    assert got == want
