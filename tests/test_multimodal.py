@@ -859,3 +859,17 @@ def test_gif_cross_format_agreement():
     gif = MM.pixel_stats(_gif([[0, 1], [2, 3]], pal))
     png = MM.pixel_stats(_encode_png(pixels, 2, filters=[4, 1]))
     assert abs(gif["mean_luma"] - png["mean_luma"]) < 1e-12
+
+
+def test_decode_image_features_real_luma_for_gif(spark, tmp_path_factory):
+    """End-to-end mapInPandas: a REAL LZW-compressed GIF file reports its
+    true pixel luma through decode_image_features — GIF is no longer
+    behind the deterministic fake."""
+    d = tmp_path_factory.mktemp("real_gif")
+    gif = _gif([[0, 0], [0, 0]], [(255, 255, 255), (0, 0, 0)])
+    (d / "white.gif").write_bytes(gif)
+    assets = MM.pack_assets(spark.read.format("binaryFile").load(str(d)))
+    row = MM.decode_image_features(assets).collect()[0]
+    assert row.format == "gif"
+    assert (row.width, row.height) == (2, 2)
+    assert row.mean_luma == 1.0
