@@ -233,6 +233,14 @@ def profile_table(
     """
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
+    # Expand multiplies input by n_cols BEFORE the partial aggregate;
+    # when the scan yields fewer splits than cores (small files on a
+    # big box) that serializes n_cols x the work onto one task — fan
+    # out first (the ngram_diversity lesson, NOTES_r8 §3). At 100 TB
+    # splits >> cores and this branch is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not approx_distinct and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     n_distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
