@@ -56,7 +56,21 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-_OOM_MARKERS = ("Out of Memory", "OutOfMemory", "bad_alloc", "std::bad_alloc")
+_OOM_MARKERS = (
+    "Out of Memory",
+    "OutOfMemory",
+    "bad_alloc",
+    "std::bad_alloc",
+    # a dead Spark JVM mid-chunk surfaces as a refused/te-down py4j
+    # gateway on every subsequent oracle in the chunk — same
+    # retry-in-isolation shape as the DuckDB mmap OOM (r8 s4: chunk 8
+    # lost its JVM under box contention and five green-able oracles
+    # were recorded as hard FAILs)
+    "ConnectionRefused",
+    "Connection refused",
+    "Py4JNetworkError",
+    "Java gateway process",
+)
 
 
 def _duckdb_views(sf_dir: str):
