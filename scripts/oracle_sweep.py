@@ -73,9 +73,12 @@ _OOM_MARKERS = (
 )
 
 
-def _duckdb_views(sf_dir: str):
+def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
     """oracle_harness.duckdb_conn, with directory-table globbing for
-    make_sfN.py output."""
+    make_sfN.py output. ``duck_mem`` raises the buffer-pool cap for the
+    few genuinely memory-hungry oracles at sf10 (recursive-CTE closures)
+    — keep the default for full sweeps: the 8 GB cap is what keeps
+    mmap-block count under vm.max_map_count (NOTES_r6 §13)."""
     import duckdb
 
     from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.common import (
@@ -83,7 +86,7 @@ def _duckdb_views(sf_dir: str):
     )
 
     con = duckdb.connect()
-    con.execute("SET memory_limit = '8GB'")
+    con.execute(f"SET memory_limit = '{duck_mem}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
@@ -107,7 +110,7 @@ def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
     spark = get_spark(
         cpus=threads, extra_conf={"spark.driver.memory": mem}
     )
-    con = _duckdb_views(sf_dir)
+    con = _duckdb_views(sf_dir, duck_mem=os.environ.get("SWEEP_DUCK_MEM", "8GB"))
     for name in names:
         t0 = time.time()
         try:
@@ -131,10 +134,11 @@ def _spawn(names: list[str], args) -> dict[str, dict]:
         "--child", ",".join(names),
         "--mem", args.mem, "--threads", str(args.threads),
     ]
+    env = dict(os.environ, SWEEP_DUCK_MEM=args.duck_mem)
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO,
-            timeout=args.timeout, check=False,
+            timeout=args.timeout, check=False, env=env,
         )
         stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
     except subprocess.TimeoutExpired as exc:
@@ -199,6 +203,7 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--chunk", type=int, default=20)
     ap.add_argument("--mem", default="6g")
+    ap.add_argument("--duck-mem", default="8GB", help="DuckDB memory_limit per child")
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--only", default=None, help="comma-separated oracle names")
     ap.add_argument("--exclude", default=None, help="comma-separated oracle names")
