@@ -83,6 +83,14 @@ def fuzzy_pairs(
     pairs; verification is the built-in ``levenshtein`` (codegen).
     """
     ids = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+    # the variant explode multiplies work (len+1)-fold BEFORE any
+    # shuffle; when the scan yields fewer splits than cores (small files
+    # on a big box) that serializes onto a handful of tasks — fan out
+    # first (the ngram_diversity lesson, NOTES_r8 §3). At 100 TB
+    # splits >> cores and this branch is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
     vars_ = ids.select(
         "__id", "__s", F.explode(deletion_variants(F.col("__s"), max_dist)).alias("__v")
     )
