@@ -156,6 +156,28 @@ def cdc_snapshot(
     return state.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
 
 
+def cdc_expire_tombstones(
+    state: DataFrame,
+    seq_col: str,
+    horizon,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Drop tombstones whose winning sequence is at or below ``horizon``
+    — the retention pass that bounds state growth once the FEED
+    guarantees it can no longer emit sequences ≤ horizon (Kafka
+    retention, a CDC low-watermark, a closed billing period).
+
+    Correctness contract: expiry is safe ONLY under that guarantee — a
+    straggler below the horizon arriving after expiry would resurrect
+    its key exactly as §21 describes (``cdc_state_merge`` keeps being
+    correct for everything above the horizon). Live rows are never
+    touched; one partition-local filter, no shuffle."""
+    return state.where(
+        (F.col(op_col) != F.lit(delete_op)) | (F.col(seq_col) > F.lit(horizon))
+    )
+
+
 def cdc_merge(
     snapshot: DataFrame,
     changes: DataFrame,

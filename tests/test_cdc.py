@@ -185,3 +185,32 @@ def test_stream_cdc_sink_matches_batch_apply(spark, tmp_path):
     versions = sorted(d for d in os.listdir(target) if d.startswith("v="))
     assert versions == ["v=0", "v=1", "v=2"]
     assert read_cdc_snapshot(spark, str(tmp_path / "nowhere")) is None
+
+
+def test_tombstone_expiry_bounds_state(spark):
+    """Expiry drops only tombstones at/below the horizon; live rows and
+    fresh tombstones survive, and the merge stays correct for
+    above-horizon stragglers."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+        cdc_apply,
+        cdc_expire_tombstones,
+        cdc_snapshot,
+        cdc_state_merge,
+    )
+
+    rows = [
+        (1, 5, "D", None, None),    # old tombstone: expirable
+        (2, 50, "D", None, None),   # fresh tombstone: kept
+        (3, 3, "U", "live", 1.0),   # old LIVE row: kept (never expired)
+    ]
+    state = cdc_apply(_df(spark, rows), KEY, SEQ, keep_op=True)
+    trimmed = cdc_expire_tombstones(state, "seq", horizon=10)
+    kept = {r["k"]: r["op"] for r in trimmed.collect()}
+    assert kept == {2: "D", 3: "U"}
+    # the expiry filter itself adds no shuffle over the state build
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert n_ex(trimmed) == n_ex(state)
+    # an above-horizon straggler still can't resurrect the fresh tombstone
+    late = _df(spark, [(2, 30, "U", "stale", 2.0)])
+    merged = cdc_state_merge(trimmed, late, KEY, SEQ)
+    assert sorted(r["k"] for r in cdc_snapshot(merged).collect()) == [3]
