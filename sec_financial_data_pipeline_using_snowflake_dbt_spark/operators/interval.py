@@ -51,12 +51,27 @@ def interval_join(
     by: list[str] | None = None,
     bucket_width: int = 3_600_000_000,
     max_buckets_per_interval: int = 65536,
+    how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose closed numeric intervals
     ``[lstart, lend]`` × ``[rstart, rend]`` intersect (optionally also
     matching on ``by`` keys).  Output: left columns then right columns —
     names must be disjoint.  One shuffle on (by?, bucket); no nested
-    loop; no distinct."""
+    loop; no distinct.
+
+    ``how='left'`` keeps unmatched left rows with NULL right columns.
+    A banded join can't express left-outer directly (each left row
+    explodes into several buckets, and "unmatched" is a property of the
+    WHOLE row, not one bucket), so the caller must name a unique
+    ``left_id`` column: unmatched rows come back via one LEFT ANTI join
+    of ``left`` against the matched ids.  The matched subtree appears
+    twice in the left-outer plan (rows + ids) — persist the result of
+    the inner call first if the band join is expensive at your scale."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and not left_id:
+        raise ValueError("how='left' requires left_id (a unique left key)")
     overlap_cols = set(left.columns) & set(right.columns)
     if overlap_cols - set(by or []):
         raise ValueError(f"column names must be disjoint: {sorted(overlap_cols)}")
@@ -97,4 +112,14 @@ def interval_join(
     out_cols = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}") for c in right.columns if c not in (by or [])
     ]
-    return lexp.join(rexp, cond, "inner").select(*out_cols)
+    matched = lexp.join(rexp, cond, "inner").select(*out_cols)
+    if how == "inner":
+        return matched
+    right_out = [c for c in right.columns if c not in (by or [])]
+    unmatched = left.join(
+        matched.select(left_id).distinct(), on=left_id, how="left_anti"
+    ).select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_out],
+    )
+    return matched.unionByName(unmatched)

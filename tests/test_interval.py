@@ -107,3 +107,44 @@ def test_plan_is_equi_join_not_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_left_outer_keeps_unmatched_with_null_rights(spark):
+    left = spark.createDataFrame(
+        [(1, 0, 5), (2, 100, 110), (3, 7, 8)], "lid BIGINT, ls BIGINT, le BIGINT"
+    )
+    right = spark.createDataFrame([(20, 3, 8)], "rid BIGINT, rs BIGINT, re BIGINT")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=10, how="left", left_id="lid",
+        ).collect()
+    )
+    assert got == [(1, 20), (2, None), (3, 20)]
+    with pytest.raises(ValueError, match="left_id"):
+        interval_join(left, right, "ls", "le", "rs", "re", how="left")
+    with pytest.raises(ValueError, match="how"):
+        interval_join(left, right, "ls", "le", "rs", "re", how="full")
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_left_outer_matches_naive(spark, seed):
+    rng = random.Random(seed)
+    lrows = _rand_intervals(rng, 40)
+    rrows = _rand_intervals(rng, 30)
+    left = spark.createDataFrame(lrows, L_SCHEMA).drop("g")
+    right = spark.createDataFrame(rrows, R_SCHEMA).drop("g")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=16, how="left", left_id="lid",
+        ).collect()
+    )
+    inner = _naive(lrows, rrows)
+    matched_left = {l for l, _ in inner}
+    want = sorted(
+        list(inner) + [(l[0], None) for l in lrows if l[0] not in matched_left]
+    )
+    assert got == want
