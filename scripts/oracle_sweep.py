@@ -177,8 +177,18 @@ def _plan_chunks(names: list[str], args) -> list[list[str]]:
     if not args.order_file:
         return [names[i : i + args.chunk] for i in range(0, len(names), args.chunk)]
     with open(args.order_file) as fh:
-        raw = json.load(fh)
-    # accept either {name: sec} or a --results-out JSONL-derived dict
+        text = fh.read()
+    try:
+        raw = json.loads(text)
+    except json.JSONDecodeError:
+        # a --results-out JSONL file (one record per line): last row wins
+        raw = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if line:
+                rec = json.loads(line)
+                raw[rec["name"]] = rec.get("sec") or 0.0
+    # accept either {name: sec} or a dict of result records
     times = {n: (v if isinstance(v, (int, float)) else v.get("sec") or 0.0)
              for n, v in raw.items()}
     default_t = max(times.values(), default=1.0)  # unknown = assume whale

@@ -12,7 +12,7 @@ the current snapshot is MERGE-style compaction:
 - a winning delete removes the key from the snapshot;
 - a later upsert resurrects a previously deleted key.
 
-Two entry points:
+Entry points:
 
 - :func:`cdc_apply` — compact a full changelog into the current snapshot.
   ONE shuffle: ``groupBy(key).agg(max(struct(seq…, op, payload)))`` — the
@@ -27,6 +27,15 @@ Two entry points:
   append.  The snapshot side is touched only by a key equi-join against the
   (small, broadcastable) batch — at 100 TB the snapshot stays partitioned
   on disk and only matching keys rewrite.
+- :func:`cdc_state_merge` — the sequence-aware, TOMBSTONE-BEARING fold
+  used by the streaming sink: keeps winning deletes as tombstones so a
+  replayed or out-of-order batch can never regress state or resurrect a
+  deleted key.
+- :func:`cdc_snapshot` — the live view of tombstone-bearing state
+  (tombstones filtered, op column dropped).
+- :func:`cdc_expire_tombstones` — retention pass that drops tombstones at
+  or below a feed-guaranteed sequence horizon, bounding state growth for
+  delete-heavy feeds.
 
 Determinism contract: ``seq_cols`` (in order, with ``op_col`` and the
 payload as final tie-breaks) must totally order each key's changes — the

@@ -609,14 +609,40 @@ def minhash_lsh_pairs_delta(
     )
 
 
+#: Corpora whose Catalyst size estimate exceeds this use 64-bit SimHash
+#: when the caller leaves ``n_bits`` unset. ~64 MiB of documents is
+#: roughly the NOTES_r6 ~50k-doc saturation knee for 16-bit signatures
+#: (two unrelated docs collide within hamming<=3 at ~1.06%, so past
+#: n >> 2^16 chance pairs — the OUTPUT — grow quadratically).
+SIMHASH_AUTO_16BIT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _auto_simhash_bits(docs: DataFrame) -> int:
+    """Size-dispatch for the default SimHash width (``asof_join_auto``
+    discipline): 16 bits while the corpus is comfortably inside the
+    16-bit domain, 64 above it or when plan introspection is
+    unavailable (unknown = assume large, take the scale-safe arm)."""
+    from .asof import _plan_size_bytes
+
+    size = _plan_size_bytes(docs)
+    if size is not None and size <= SIMHASH_AUTO_16BIT_MAX_BYTES:
+        return 16
+    return 64
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_bits: int = 16,
+    n_bits: int | None = None,
 ) -> DataFrame:
-    """``n_bits``-bit SimHash per document (default 16 — the oracle-
-    parity width; 32/64 for large corpora, see ``simhash_pairs``).
+    """``n_bits``-bit SimHash per document.
+
+    ``n_bits=None`` (default) size-dispatches: 16 bits — the
+    oracle-parity width — for small corpora, 64 once the corpus leaves
+    the 16-bit saturation domain (see ``SIMHASH_AUTO_16BIT_MAX_BYTES``;
+    callers pin a width explicitly when they need a stable signature
+    across runs or engines).
 
     Bit *i* is the majority vote, over the doc's distinct tokens, of
     the high bit of hex digit ``(i-1) % 32 + 1`` of md5 of the token —
@@ -632,6 +658,8 @@ def simhash(
     explodes n_bits rows per token and shuffles n_bits× the data for
     the same answer.)
     """
+    if n_bits is None:
+        n_bits = _auto_simhash_bits(docs)
     if not 1 <= n_bits <= 64:
         raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     toks = _spread(docs).select(
@@ -693,7 +721,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     band_join: bool | None = None,
     cache_signatures: bool = True,
-    n_bits: int = 16,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -709,8 +737,10 @@ def simhash_pairs(
     row). EXACT, not approximate: the chunk join over-generates value
     candidates and the Hamming filter prunes them.
 
-    ``n_bits`` sizes the fingerprint. 16 (default) is the oracle-parity
-    width, but it SATURATES on large corpora: two unrelated docs
+    ``n_bits`` sizes the fingerprint; unset it size-dispatches (16 for
+    small corpora, 64 past ``SIMHASH_AUTO_16BIT_MAX_BYTES`` or when the
+    plan size is unknown — pin a width for cross-run stability). 16 is
+    the oracle-parity width, but it SATURATES on large corpora: two unrelated docs
     collide within hamming ≤ 3 with probability ~1.06% (sum of
     C(16,0..3) / 2^16), so once n ≫ 2^16 the OUTPUT itself — chance
     pairs, not plan cost — grows quadratically (measured in NOTES_r6:
@@ -730,6 +760,8 @@ def simhash_pairs(
     Same contract as ``minhash_lsh_pairs``: not auto-released
     mid-plan; ``release_dedup_caches()`` frees it between batches.
     """
+    if n_bits is None:
+        n_bits = _auto_simhash_bits(docs)
     sh = simhash(
         docs.select(F.col(id_col), F.col(text_col)), id_col, text_col, n_bits=n_bits
     )

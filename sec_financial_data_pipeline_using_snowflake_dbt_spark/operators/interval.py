@@ -35,10 +35,15 @@ from pyspark.sql import functions as F
 
 
 def _bucket(col: Column, width: int) -> Column:
-    # FLOOR division on possibly-negative epochs: Spark's DIV truncates
-    # toward zero, so use shiftright-free floor(double) only if... no:
-    # exact integer floor-div via (a - pmod(a, w)) / w
-    return ((col - F.pmod(col, F.lit(width))) / F.lit(width)).cast("long")
+    # Exact FLOOR division over the full BIGINT range. pmod is
+    # non-negative, so (a - pmod(a, w)) is the floor multiple even for
+    # negative epochs; the division must then be EXACT — Spark's `/` is
+    # double division, which silently loses precision past 2^53 (unix
+    # nanos land there), so divide as decimal(38,0): the numerator is an
+    # exact multiple of w, the quotient an exact integer, representable
+    # losslessly at any decimal scale.
+    floored = (col.cast("long") - F.pmod(col.cast("long"), F.lit(width)))
+    return (floored.cast("decimal(38,0)") / F.lit(width)).cast("long")
 
 
 def interval_join(
@@ -53,6 +58,7 @@ def interval_join(
     max_buckets_per_interval: int = 65536,
     how: str = "inner",
     left_id: str | None = None,
+    persist_matched: bool = True,
 ) -> DataFrame:
     """All (left, right) pairs whose closed numeric intervals
     ``[lstart, lend]`` × ``[rstart, rend]`` intersect (optionally also
@@ -65,9 +71,11 @@ def interval_join(
     explodes into several buckets, and "unmatched" is a property of the
     WHOLE row, not one bucket), so the caller must name a unique
     ``left_id`` column: unmatched rows come back via one LEFT ANTI join
-    of ``left`` against the matched ids.  The matched subtree appears
-    twice in the left-outer plan (rows + ids) — persist the result of
-    the inner call first if the band join is expensive at your scale."""
+    of ``left`` against the matched ids.  The matched subtree is
+    referenced twice in the left-outer plan (rows + ids), so it is
+    persisted internally (MEMORY_AND_DISK, same discipline as
+    ``funnel_steps``) — the band join executes once, not twice;
+    ``persist_matched=False`` opts out for single-shot small plans."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if how == "left" and not left_id:
@@ -115,6 +123,10 @@ def interval_join(
     matched = lexp.join(rexp, cond, "inner").select(*out_cols)
     if how == "inner":
         return matched
+    if persist_matched:
+        from pyspark.storagelevel import StorageLevel
+
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     right_out = [c for c in right.columns if c not in (by or [])]
     unmatched = left.join(
         matched.select(left_id).distinct(), on=left_id, how="left_anti"

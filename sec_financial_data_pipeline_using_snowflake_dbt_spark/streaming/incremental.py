@@ -23,6 +23,8 @@ construction.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -271,6 +273,7 @@ def stream_cdc_sink(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    expire_horizon=None,
 ) -> None:
     """Streaming CDC apply: maintain a last-writer-wins snapshot of a
     change stream as versioned parquet (the foreachBatch MERGE-INTO
@@ -284,16 +287,29 @@ def stream_cdc_sink(
     the key; batch-split invariance is pytest-enforced). The stored
     versions keep delete tombstones; :func:`read_cdc_snapshot` serves the
     live view. State versions are written to ``{target_path}/v=<batch_id>/``
-    and committed by rewriting the ``_LATEST`` marker — a crash between
-    write and commit leaves the previous state live, and a foreachBatch
-    redelivery overwrites ``v=<batch_id>`` idempotently (same input ⇒
-    same bytes). Old versions are retained for time travel; expire them
-    with a storage lifecycle rule (at 100 TB this layout is exactly the
-    poor-man's Iceberg — the state rewrite per batch is the price of
-    plain parquet, and the reason the real thing uses manifest-level row
-    rewrites).
+    and committed by replacing the single-file ``_LATEST`` marker via
+    Hadoop ``create`` + ``rename``. Commit is crash-safe end to end: a
+    crash before the version's ``_SUCCESS`` leaves the old marker live; a
+    crash inside the marker swap leaves at worst NO marker, and recovery
+    (:func:`_read_cdc_state`) then adopts the newest ``v=*`` directory
+    that has a ``_SUCCESS`` — which is exactly the fully-written new
+    state. A foreachBatch redelivery overwrites ``v=<batch_id>``
+    idempotently (same input ⇒ same bytes). Old versions are retained for
+    time travel; expire them with a storage lifecycle rule (at 100 TB
+    this layout is exactly the poor-man's Iceberg — the state rewrite per
+    batch is the price of plain parquet, and the reason the real thing
+    uses manifest-level row rewrites).
+
+    ``expire_horizon`` bounds tombstone retention for delete-heavy feeds
+    (without it, deleted keys accumulate forever): a static sequence
+    value, or a callable ``(batch_df, batch_id) -> horizon | None``
+    evaluated per batch (e.g. "max seq seen minus the feed's replay
+    lag"). Each state rewrite then applies
+    :func:`~..operators.cdc.cdc_expire_tombstones` on ``seq_cols[0]`` —
+    safe iff the feed can no longer emit sequences ≤ horizon (see that
+    function's contract).
     """
-    from ..operators.cdc import cdc_apply, cdc_state_merge
+    from ..operators.cdc import cdc_apply, cdc_expire_tombstones, cdc_state_merge
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -308,13 +324,20 @@ def stream_cdc_sink(
                 state, batch_df, key_cols, seq_cols,
                 op_col=op_col, delete_op=delete_op,
             )
+        if expire_horizon is not None:
+            horizon = (
+                expire_horizon(batch_df, batch_id)
+                if callable(expire_horizon)
+                else expire_horizon
+            )
+            if horizon is not None:
+                merged = cdc_expire_tombstones(
+                    merged, seq_cols[0], horizon,
+                    op_col=op_col, delete_op=delete_op,
+                )
         vdir = f"{target_path}/v={batch_id}"
         merged.write.mode("overwrite").parquet(vdir)
-        # commit: tiny marker file rewritten last (rename-free but
-        # single-object, so readers see old-or-new, never half)
-        spark.createDataFrame([(str(batch_id),)], "v STRING").coalesce(1).write.mode(
-            "overwrite"
-        ).json(f"{target_path}/_LATEST")
+        _commit_cdc_marker(spark, target_path, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -325,14 +348,100 @@ def stream_cdc_sink(
     q.awaitTermination()
 
 
+def _commit_cdc_marker(spark: SparkSession, target_path: str, batch_id: int) -> None:
+    """Atomically publish ``v=<batch_id>`` as the committed CDC state.
+
+    The marker is ONE file (``_LATEST``), not a Spark JSON directory —
+    a directory rewritten with ``mode('overwrite')`` deletes the old
+    marker before the new part file lands, so a crash mid-commit would
+    silently reset the sink to "first batch" (total state loss). Here
+    the new marker is staged to a temp path and swapped in with Hadoop
+    ``rename``; the only crash window is between ``delete`` and
+    ``rename`` (Hadoop rename won't clobber), which leaves NO marker —
+    and marker absence recovers via the newest ``_SUCCESS``-bearing
+    ``v=*`` directory, never by forgetting state."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{target_path}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps({"v": str(batch_id)}).encode("utf-8")))
+    finally:
+        out.close()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{target_path}/_LATEST")
+    if fs.exists(marker):
+        fs.delete(marker, True)
+    if not fs.rename(tmp, marker):
+        raise IOError(f"CDC commit failed: rename {tmp} -> {marker}")
+
+
+def _read_small_file(fs, path) -> str:
+    """Whole contents of one small Hadoop file as UTF-8 text."""
+    stream = fs.open(path)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _read_cdc_state(spark: SparkSession, target_path: str) -> DataFrame | None:
     """The committed tombstone-bearing state under ``stream_cdc_sink``'s
-    layout, or None before the first commit."""
-    try:
-        v = spark.read.json(f"{target_path}/_LATEST").first()["v"]
+    layout, or None before the first commit.
+
+    Failure discipline: only GENUINE ABSENCE returns None / triggers
+    recovery. A marker that exists but cannot be read, or a committed
+    ``v=<id>`` state that cannot be loaded, PROPAGATES — a transient FS
+    hiccup or corrupt footer must fail the job loudly, not be mistaken
+    for "first batch" and silently reset the snapshot. When the marker
+    is absent but ``v=*`` versions exist (the crash window inside
+    :func:`_commit_cdc_marker`), the newest version with a ``_SUCCESS``
+    is adopted: parquet commits ``_SUCCESS`` last, so that directory is
+    complete, and the largest batch id is by construction the state the
+    lost marker was about to publish (states are cumulative — each
+    ``v=N`` folds every batch ≤ N)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jvm.org.apache.hadoop.fs.Path(f"{target_path}/_LATEST")
+    if fs.exists(marker):
+        # Read the marker through the Hadoop FS, not spark.read.json: a
+        # FILE named `_LATEST` is invisible to Spark's hidden-file
+        # filter (leading underscore). Handles both the single-file
+        # layout (current) and the JSON-directory layout (legacy sinks
+        # written before the atomic-commit fix). Read errors propagate.
+        if fs.getFileStatus(marker).isDirectory():
+            texts = [
+                _read_small_file(fs, s.getPath())
+                for s in fs.listStatus(marker)
+                if s.getPath().getName().startswith("part-")
+            ]
+            text = next(t for t in texts if t.strip())
+        else:
+            text = _read_small_file(fs, marker)
+        v = json.loads(text)["v"]
         return spark.read.parquet(f"{target_path}/v={v}")
-    except Exception:  # noqa: BLE001 — no marker yet: first batch
-        return None
+    if not fs.exists(root):
+        return None  # sink never ran
+    committed = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if (
+            status.isDirectory()
+            and name.startswith("v=")
+            and name[2:].isdigit()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(f"{target_path}/{name}/_SUCCESS"))
+        ):
+            committed.append(int(name[2:]))
+    if not committed:
+        return None  # first batch: directory exists but nothing committed
+    return spark.read.parquet(f"{target_path}/v={max(committed)}")
 
 
 def read_cdc_snapshot(

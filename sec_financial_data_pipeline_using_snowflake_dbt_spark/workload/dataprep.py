@@ -194,8 +194,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_bits pinned: the oracle encodes the 16-bit salted-digest layout;
+    # unset, simhash_pairs size-dispatches to 64 bits on large corpora
     return DD.simhash_pairs(
-        table(spark, sf_dir, "documents"), block_col="lang", max_hamming=3
+        table(spark, sf_dir, "documents"), block_col="lang", max_hamming=3, n_bits=16
     )
 
 

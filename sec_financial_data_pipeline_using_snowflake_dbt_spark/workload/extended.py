@@ -1374,7 +1374,9 @@ def _profile_sql() -> str:
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..checks import profile_table
 
-    return profile_table(table(spark, sf_dir, "lineitem"))
+    # approx_distinct pinned: the oracle compares exact distinct counts;
+    # unset, profile_table size-dispatches to HLL on large inputs
+    return profile_table(table(spark, sf_dir, "lineitem"), approx_distinct=False)
 
 
 # ---------------------------------------------------------------------------

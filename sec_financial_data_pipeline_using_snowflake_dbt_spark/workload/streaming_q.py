@@ -176,7 +176,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_cdc_apply, held to the SAME batch oracle: the
     event changelog is split into three files and streamed one file per
-    micro-batch through stream_cdc_sink (foreachBatch cdc_merge_latest
+    micro-batch through stream_cdc_sink (foreachBatch cdc_state_merge
     into versioned parquet snapshots), then the committed snapshot is
     read back. Micro-batch boundaries don't respect event order —
     round-robin repartition scatters each user's changes across batches

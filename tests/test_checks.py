@@ -128,3 +128,29 @@ def test_profile_table_is_one_scan_and_approx_skips_expand(spark):
     ap = {r["column_name"]: r["n_distinct"] for r in approx.collect()}
     for c in ex:
         assert abs(ap[c] - ex[c]) <= max(3, 0.15 * ex[c]), (c, ex[c], ap[c])
+
+
+def test_profile_table_auto_dispatch(spark):
+    """VERDICT r8 #3: unset approx_distinct must size-dispatch — exact
+    (Expand) on small inputs, HLL (no Expand) once the Expand working
+    set (plan bytes x n_cols) passes the knee. Plan inspection only; no
+    job runs for the large side."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.checks import (
+        PROFILE_AUTO_EXACT_MAX_BYTES,
+        profile_table,
+    )
+
+    small = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sp = profile_table(small)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" in sp  # small -> exact arm
+
+    # spark.range stats: 8 bytes/row -> comfortably past the knee x n_cols
+    n = PROFILE_AUTO_EXACT_MAX_BYTES // 8
+    big = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("a"), (F.col("id") % 11).alias("b")
+    )
+    bp = profile_table(big)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" not in bp  # large -> HLL arm, Expand-free
+    # explicit pin overrides the dispatch (the oracle surface)
+    bpx = profile_table(big, approx_distinct=False)
+    assert "Expand" in bpx._jdf.queryExecution().optimizedPlan().toString()

@@ -1404,3 +1404,29 @@ def test_minhash_plan_advisor():
     assert plan["capture_at_threshold"] == max(
         c["capture_at_threshold"] for c in cands
     )
+
+
+def test_simhash_auto_width_dispatch(spark, docs):
+    """VERDICT r8 #3: unset n_bits size-dispatches — 16 bits inside the
+    small-corpus domain, 64 past the saturation knee (or when the plan
+    size is unknown). Explicit widths are untouched (the oracle pins
+    them)."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.dedup import (
+        SIMHASH_AUTO_16BIT_MAX_BYTES,
+        _auto_simhash_bits,
+    )
+
+    assert _auto_simhash_bits(docs) == 16  # tiny fixture -> parity width
+
+    # a corpus whose Catalyst estimate exceeds the knee -> 64-bit arm
+    n = SIMHASH_AUTO_16BIT_MAX_BYTES // 8
+    big = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    assert _auto_simhash_bits(big) == 64
+
+    # the dispatched default equals the explicit 16-bit run on the
+    # small fixture — the switch is invisible inside its domain
+    auto = {r["id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    pinned = {r["id"]: r["simhash"] for r in DD.simhash(docs, n_bits=16).collect()}
+    assert auto == pinned
