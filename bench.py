@@ -244,20 +244,28 @@ def main() -> None:
         timings[n] = round(min(v["recorded"], v["remeasured"]), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": BENCH_REPS,
-                "over_budget": over,
-                "noise_spikes": noise,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": BENCH_REPS,
+        "over_budget": over,
+        "noise_spikes": noise,
+    }
+    print(json.dumps(result))
+    # Also land the full JSON on disk: the driver captures stdout with a
+    # bounded tail, so one long suite would otherwise lose per-query
+    # data (BENCH_r08 recorded "parsed": null from exactly that).
+    try:
+        art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        with open(os.path.join(art_dir, "bench_latest.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError as exc:  # a read-only checkout must not fail the bench
+        print(f"WARNING: could not write artifacts/bench_latest.json: {exc}",
+              file=sys.stderr)
     spark.stop()
     if over and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(2)

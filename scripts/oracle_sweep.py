@@ -87,6 +87,11 @@ def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
 
     con = duckdb.connect()
     con.execute(f"SET memory_limit = '{duck_mem}'")
+    # Per-process spill dir: DuckDB's default CWD-relative `.tmp` uses
+    # non-unique spill file names, so two concurrent children (or a
+    # sweep overlapping a pytest/verify run) corrupt each other's
+    # spills and die rc=-6/-11 — the r9 q_dedup_recall/keep_best FAILs.
+    con.execute(f"SET temp_directory = '.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):

@@ -123,10 +123,28 @@ FINANCIAL_DATA_FIELDS = (
 
 
 def financial_statements_json(
-    staged: DataFrame, deterministic: bool = True
+    staged: DataFrame,
+    deterministic: bool = True,
+    max_facts_per_doc: int | None = None,
 ) -> DataFrame:
     """reference financial_statements_json.sql:1-34: per-filing nested doc
-    {filing_id, company_info{...}, financial_data[{...}×9], ...}."""
+    {filing_id, company_info{...}, financial_data[{...}×9], ...}.
+
+    ``max_facts_per_doc`` bounds each filing's ``financial_data`` array
+    to the first N entries IN THE DETERMINISTIC ENTRY ORDER (the same
+    total order ``array_sort`` produces, so the kept set is the prefix
+    of the sorted array and multiset-stable under ties). Real SEC
+    filings carry at most a few thousand facts, so a bound in that range
+    is a no-op on realistic data; it exists because ``collect_list``
+    materializes a filing's whole array in one aggregation buffer, and
+    an UNREALISTIC feed (the synthetic sf10 replication fans 60k facts
+    into each of a fixed 1000 filings) otherwise builds ~12 MB arrays
+    and kills the executor. The filter runs BEFORE the groupBy — a
+    post-hoc ``slice`` would bound the output but not the buffer.
+    Requires ``deterministic=True`` (the cap is defined by that order).
+    """
+    if max_facts_per_doc is not None and not deterministic:
+        raise ValueError("max_facts_per_doc requires deterministic=True")
     entry = F.struct(
         F.col("tag"),
         F.col("tag_label"),
@@ -138,14 +156,27 @@ def financial_statements_json(
         F.col("statement_type"),
         F.col("presentation_label"),
     )
+    group_keys = [
+        "adsh", "cik", "company_name", "sic", "filing_date", "fiscal_year",
+        "fiscal_period",
+    ]
+    if max_facts_per_doc is not None:
+        from pyspark.sql.window import Window
+
+        # row_number over the entry struct's natural ordering — the same
+        # comparator array_sort uses — so keeping rn <= N keeps exactly
+        # the sorted array's prefix
+        w = Window.partitionBy(*group_keys).orderBy(entry.asc())
+        staged = (
+            staged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.lit(max_facts_per_doc))
+            .drop("__rn")
+        )
     arr = F.collect_list(entry)
     if deterministic:
         arr = F.array_sort(arr)
     return (
-        staged.groupBy(
-            "adsh", "cik", "company_name", "sic", "filing_date", "fiscal_year",
-            "fiscal_period",
-        )
+        staged.groupBy(*group_keys)
         .agg(arr.alias("financial_data"))
         .select(
             F.col("adsh").alias("filing_id"),

@@ -252,6 +252,17 @@ SEC_ORACLES["q_sec_fact_bs"] = _SEC_FACT_BS_SQL
 # Spark's array_sort compares struct fields NULLS FIRST, hence the
 # explicit NULLS FIRST on every ROW_NUMBER sort key below.
 # ---------------------------------------------------------------------------
+# Per-filing fact cap (VERDICT r8 #2): real SEC filings carry at most a
+# few thousand facts, so 8000 is a no-op at every realistic scale
+# (sf0.001–sf1 max out at 6000 facts/filing) — it exists so the
+# UNREALISTIC synthetic sf10 replication (60k facts fanned into a fixed
+# 1000 filings) can't build ~12 MB collect_list buffers and kill the
+# executor. Applied identically on both engines: Spark filters with a
+# row_number window BEFORE the groupBy (json_doc.financial_statements_json
+# max_facts_per_doc), the oracle with QUALIFY over the same entry order,
+# so the kept set is the sorted array's prefix on both sides.
+MAX_FACTS_PER_DOC = 8000
+
 _ENTRY_ORDER = ", ".join(
     f"{c} NULLS FIRST"
     for c in (
@@ -319,12 +330,16 @@ SELECT adsh AS filing_id, company_name,
        CAST(fiscal_year AS BIGINT) AS fiscal_year, fiscal_period,
        CAST(ROW_NUMBER() OVER (PARTITION BY adsh ORDER BY {_ENTRY_ORDER}) - 1
             AS BIGINT) AS entry_idx,
+       -- MAX_FACTS_PER_DOC cap, same prefix-of-sorted-order as Spark's
+       -- pre-groupBy row_number filter
        tag, tag_label, tag_description,
        CAST(numeric_value AS DOUBLE) AS value, unit_of_measure,
        CAST(period_end_date AS VARCHAR) AS period_end_date,
        CAST(quarters_duration AS BIGINT) AS quarters_duration,
        statement_type, presentation_label
 FROM staged
+QUALIFY ROW_NUMBER() OVER (PARTITION BY adsh ORDER BY {_ENTRY_ORDER})
+        <= {MAX_FACTS_PER_DOC}
 """
 
 
@@ -333,7 +348,9 @@ def q_sec_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub, tag, num, pre = synth_sec_raw(spark, sf_dir)
     staged = JD.stg_financial_data(sub, num, tag, pre)
-    docs = JD.financial_statements_json(staged, deterministic=True)
+    docs = JD.financial_statements_json(
+        staged, deterministic=True, max_facts_per_doc=MAX_FACTS_PER_DOC
+    )
     return docs.select(
         "filing_id",
         F.col("company_info.company_name").alias("company_name"),

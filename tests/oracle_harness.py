@@ -23,6 +23,15 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # map count stays far under the kernel limit; every oracle in the
     # registry runs comfortably inside 8 GB (verified incl. ivfpq).
     con.execute("SET memory_limit = '8GB'")
+    # Per-process spill directory: an in-memory DuckDB defaults its
+    # temp_directory to CWD-relative `.tmp` with NON-UNIQUE file names
+    # (duckdb_temp_storage-0.tmp), so two concurrent harness processes
+    # in the same repo corrupt each other's spills — one cleaning up on
+    # close aborts the other mid-query (rc=-6 IOException, seen in the
+    # r9 sf10 sweep when a sf0.01 verify run overlapped it).
+    import os
+
+    con.execute(f"SET temp_directory = '.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -84,18 +84,27 @@ def test_oracle_queries_inside_driver_window():
         # aggregation surface stays in-window via q_hybrid_rrf's
         # embedded BM25 chain, md5 token-bucketing via q_dsir_select
         # and q_hashed_classifier itself)
-        "q_hashed_classifier",
+        # (q_hashed_classifier re-parked in r9 after green rows
+        # r7-r8; the md5 token-bucket pin returns to q_dsir_select,
+        # rotated back this round)
+        "q_dsir_select",
         # r8 session 3: q_stream_join re-parked after green rows r6+r7
         # (window room for the new CDC/z-order/fuzzy operators without
         # displacing the SEC flagships); the watermarked streaming
         # surface keeps its in-window pin via q_stream_hourly, and the
         # interval-join batch-equivalence oracle stays in
         # test_workload_oracle every run
-        "q_stream_hourly",
+        # (q_stream_hourly re-parked in r9 after green rows r6-r8;
+        # the watermarked streaming pin returns to q_stream_join,
+        # rotated back this round)
+        "q_stream_join",
         # r8 session 3: q_ann_pq re-parked after green rows r6+r7 — the
         # PQ codebook/ADC surface stays in-window composed via
         # q_ann_ivfpq and q_ann_ivfpq_res (pinned below)
-        "q_ann_ivfpq_res",
+        # (q_ann_ivfpq_res re-parked in r9 after green rows r7-r8;
+        # the PQ pin returns to q_ann_pq, rotated back this round,
+        # composed PQ stays via q_ann_ivfpq below)
+        "q_ann_pq",
         # r8 session 3 new operators: the CDC compaction, z-order layout
         # key, and SymSpell fuzzy matcher earn the hard signal at birth
         "q_cdc_apply",
@@ -106,7 +115,10 @@ def test_oracle_queries_inside_driver_window():
         # the identical md5-threshold resample machinery runs inside
         # q_temperature_mix and q_training_mix keeps mixture_resample
         # in-window)
-        "q_temperature_mix",
+        # (q_temperature_mix re-parked in r9 after green rows r7-r8;
+        # the md5-threshold resample pin returns to q_training_mix,
+        # rotated back this round)
+        "q_training_mix",
         # r7: quality-aware canonical selection (q_dedup_clusters
         # parked in exchange after green rows r3-r6 — the full
         # pairs -> recursive-components chain runs inside
@@ -152,6 +164,22 @@ def test_oracle_queries_inside_driver_window():
         # parked in exchange after green rows r6+r7 — rationale in
         # registry.py; the oracle contains the sessionization chain)
         "q_interval_join",
+        # r9 rotation (VERDICT r8 #4): the remaining named returns
+        # re-earn their hard signal this round
+        "q_asof_join",
+        "q_pricing_summary",
+        "q_chunk_docs",
+        "q_dedup_substrings",
+        "q_pii_scrub",
+        "q_multi_distinct",
+        "q_percentiles",
+        "q_set_ops",
+        # r9: four of the OLDEST parks (last driver rows r5) re-earn
+        # theirs per the rotation policy
+        "q_join_agg",
+        "q_rollup",
+        "q_window_topk",
+        "q_anti_join",
         # r6 continuation: deterministic training-order shuffle
         # (q_expr_key_join parked in exchange — the identical
         # expression-key join runs inside q_sec_fact_bs's build_fact).
