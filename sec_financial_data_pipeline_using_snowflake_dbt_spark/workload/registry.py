@@ -263,6 +263,15 @@ TAIL_QUERIES: tuple[str, ...] = (
     # (in-window, pinned), so the id-emitting encoder stays inside the
     # driver signal through its successor.
     "q_bpe_encode_ids",
+    # r9: the sf10-scale verification arm of q_bpe_encode_ids (VERDICT
+    # r8 #8) — full-corpus train + vocab, id emission on a deterministic
+    # md5 1/16 document stratum so the oracle's per-symbol explode stays
+    # inside DuckDB's cap at sf10. Parked at birth BY DESIGN: it exists
+    # for the sweep harness (pytest-oracled every run via
+    # test_workload_oracle; sf10 row in the r9 sweep artifact), not to
+    # displace a window row — the full-corpus id emission keeps its
+    # driver history via q_bpe_encode_ids' green r7 row.
+    "q_bpe_encode_ids_sampled",
     # r8: parked after their first (rows-only by design: binary decode
     # has no DuckDB-expressible oracle) driver rows in r7. The decode
     # paths are golden-byte pytest-verified — including, from r8, REAL
