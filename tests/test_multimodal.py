@@ -873,3 +873,35 @@ def test_decode_image_features_real_luma_for_gif(spark, tmp_path_factory):
     assert row.format == "gif"
     assert (row.width, row.height) == (2, 2)
     assert row.mean_luma == 1.0
+
+
+def test_decode_image_features_real_codecs_end_to_end(spark, tmp_path_factory):
+    """VERDICT r8 #9: with Pillow present, the FULL mapInPandas path —
+    binaryFile scan → pack_assets → decode_image_features(
+    use_real_codecs=True) — must emit real dimensions AND real pixel
+    luma for compressed formats (PNG and JPEG), not the hash stub.
+    Skipped when the optional dependency is absent, so the arm is
+    verified automatically in any environment that can run it."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("real_codec_media")
+    arr = np.zeros((8, 12, 3), dtype=np.uint8)
+    arr[..., 1] = 255  # pure green: Rec.601 luma 0.587
+    for fmt, name in (("PNG", "g.png"), ("JPEG", "g.jpg")):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format=fmt)
+        (d / name).write_bytes(buf.getvalue())
+    packed = MM.pack_assets(spark.read.format("binaryFile").load(str(d)))
+    rows = {
+        r.format: r
+        for r in MM.decode_image_features(packed, use_real_codecs=True).collect()
+    }
+    assert set(rows) == {"png", "jpeg"}
+    for fmt, r in rows.items():
+        assert (r.width, r.height) == (12, 8), fmt
+        # JPEG is lossy; allow a wider band than the PNG exact decode
+        assert abs(r.mean_luma - 0.587) < 0.02, (fmt, r.mean_luma)
