@@ -272,6 +272,13 @@ TAIL_QUERIES: tuple[str, ...] = (
     # displace a window row — the full-corpus id emission keeps its
     # driver history via q_bpe_encode_ids' green r7 row.
     "q_bpe_encode_ids_sampled",
+    # r9: the sf10-scale verification arm of q_sec_json_doc (same
+    # harness-bound pattern) — deterministic md5 1/16 filing stratum so
+    # the oracle's 60M-row window input stays inside DuckDB's pool.
+    # Parked at birth BY DESIGN for the sweep harness; pytest-oracled
+    # every run; the full build keeps its in-window row via
+    # q_sec_json_doc (pinned).
+    "q_sec_json_doc_sampled",
     # r8: parked after their first (rows-only by design: binary decode
     # has no DuckDB-expressible oracle) driver rows in r7. The decode
     # paths are golden-byte pytest-verified — including, from r8, REAL

@@ -905,3 +905,301 @@ def test_decode_image_features_real_codecs_end_to_end(spark, tmp_path_factory):
         assert (r.width, r.height) == (12, 8), fmt
         # JPEG is lossy; allow a wider band than the PNG exact decode
         assert abs(r.mean_luma - 0.587) < 0.02, (fmt, r.mean_luma)
+
+
+# ---------------------------------------------------------------------------
+# JPEG golden tests (r9): jpeg_pixel_stats is verified against an
+# INDEPENDENT test-side baseline encoder — forward DCT + canonical
+# Huffman built here from the T.81 spec (fixed-length code tables of our
+# own construction, NOT the decoder's), with all-ones quant tables so
+# the roundtrip is near-lossless and golden values are analytic.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_dct_basis():
+    import numpy as np
+
+    u = np.arange(8)
+    B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    B[0, :] /= np.sqrt(2.0)
+    return B
+
+
+# encoder-side canonical tables: every DC symbol at 4 bits, every
+# standard AC (run, size) symbol at 8 bits — valid canonical tables the
+# decoder must rebuild identically from the DHT counts/symbols
+_ENC_DC_SYMS = bytes(range(12))
+_ENC_DC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)
+_ENC_AC_SYMS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_COUNTS = bytes([0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_SYMS)] + [0] * 8)
+
+
+def _enc_huff_codes(counts, syms):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s (T.81 F.1.2.3)
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _encode_block(bw, block, pred, dc_codes, ac_codes, zigzag):
+    """Level-shifted 8x8 -> DCT -> round (q=1) -> huffman. Returns new
+    DC predictor."""
+    import numpy as np
+
+    B = _jpeg_dct_basis()
+    co = B @ (block - 128.0) @ B.T
+    q = np.rint(co).astype(int)
+    dc = int(q[0, 0])
+    diff = dc - pred
+    s = diff.bit_length() if diff else 0
+    length, code = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    seq = [int(q.flat[zigzag[k]]) for k in range(64)]
+    for k in range(1, 64):
+        if seq[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = seq[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            length, code = ac_codes[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        length, code = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return dc
+
+
+def _pad_blocks(plane, bh, bw_):
+    """Edge-replicate to multiples of (bh, bw_)."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -(-h // bh) * bh, -(-w // bw_) * bw_
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[-1:, :]
+    out[:h, w:] = plane[:, -1:]
+    out[h:, w:] = plane[-1, -1]
+    return out
+
+
+def _encode_jpeg(arr, subsample="444", restart_every=0):
+    """Independent baseline JPEG encoder for golden tests. ``arr`` is
+    HxW float/uint8 grayscale or HxWx3 RGB. All-ones quant tables."""
+    import numpy as np
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    if gray:
+        planes = [arr]
+        samp = [(1, 1)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "420":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = _pad_blocks(cb, ph, pw)[:ph, :pw]
+            crp = _pad_blocks(cr, ph, pw)[:ph, :pw]
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = [
+        _pad_blocks(p, mcuy * vs * 8, mcux * hs * 8)
+        for p, (hs, vs) in zip(planes, samp)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # q table 0: all 1s
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    for tc, th in ((0, 0), (1, 0)) if gray else ((0, 0), (1, 0), (0, 1), (1, 1)):
+        counts = _ENC_DC_COUNTS if tc == 0 else _ENC_AC_COUNTS
+        syms = _ENC_DC_SYMS if tc == 0 else _ENC_AC_SYMS
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + counts + syms)
+    if restart_every:
+        out += _seg(0xDD, restart_every.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_codes = _enc_huff_codes(_ENC_DC_COUNTS, _ENC_DC_SYMS)
+    ac_codes = _enc_huff_codes(_ENC_AC_COUNTS, _ENC_AC_SYMS)
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_every and mcu and mcu % restart_every == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    r0, c0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                    preds[ci] = _encode_block(
+                        bw, block, preds[ci], dc_codes, ac_codes, _JPEG_ZIGZAG
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_pixel_stats_grayscale_gradient():
+    """q=1 grayscale roundtrip: decoded mean luma equals the source
+    mean within DCT rounding, at non-block-multiple dimensions."""
+    import numpy as np
+
+    arr = np.linspace(0, 255, 13 * 10).reshape(10, 13)
+    payload = _encode_jpeg(arr)
+    feats = MM.jpeg_pixel_stats(payload)
+    assert feats is not None
+    assert (feats["width"], feats["height"]) == (13, 10)
+    assert abs(feats["mean_luma"] - arr.mean() / 255.0) < 0.004
+    # the pixel_stats dispatcher routes jpeg to the real decoder now
+    assert MM.pixel_stats(payload) == feats
+
+
+def test_jpeg_pixel_stats_color_444_known_luma():
+    """Pure green 4:4:4: Rec.601 luma is 0.587 — and the luma plane IS
+    the Y component, so chroma content cannot perturb it."""
+    import numpy as np
+
+    arr = np.zeros((16, 24, 3), dtype=np.float64)
+    arr[..., 1] = 255.0
+    feats = MM.jpeg_pixel_stats(_encode_jpeg(arr, subsample="444"))
+    assert feats is not None
+    assert (feats["width"], feats["height"]) == (24, 16)
+    assert abs(feats["mean_luma"] - 0.587) < 0.01
+
+
+def test_jpeg_pixel_stats_420_with_restarts():
+    """4:2:0 sampling (2x2 luma blocks per MCU, interleaved chroma to
+    Huffman-advance past) plus restart markers (DC predictor resets),
+    on a random image at non-MCU-multiple dimensions."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(21, 35, 3)).astype(np.float64)
+    y_mean = (
+        0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    ).mean()
+    payload = _encode_jpeg(arr, subsample="420", restart_every=2)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload  # restarts real
+    feats = MM.jpeg_pixel_stats(payload)
+    assert feats is not None
+    assert (feats["width"], feats["height"]) == (35, 21)
+    assert abs(feats["mean_luma"] - y_mean / 255.0) < 0.005
+
+
+def test_jpeg_codec_boundary_stays_none():
+    """Out-of-scope streams must return None (fall through to the
+    stub), never garbage: progressive SOF2, truncated scan, garbage."""
+    import numpy as np
+
+    arr = np.full((8, 8), 99.0)
+    good = _encode_jpeg(arr)
+    assert MM.jpeg_pixel_stats(good) is not None
+    # flip SOF0 to SOF2 (progressive)
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    assert MM.jpeg_pixel_stats(prog) is None
+    # truncate mid-scan
+    assert MM.jpeg_pixel_stats(good[: len(good) // 2]) is None
+    # the legacy garbage fixture stays behind the boundary
+    assert MM.jpeg_pixel_stats(_jpeg()) is None
+
+
+def test_jpeg_cross_check_against_pillow():
+    """Strongest check where available: PILLOW encodes (a real
+    third-party encoder, quality 95), our decoder must agree with
+    Pillow's own decode on dimensions and luma."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(24, 31, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    payload = buf.getvalue()
+    feats = MM.jpeg_pixel_stats(payload)
+    assert feats is not None
+    assert (feats["width"], feats["height"]) == (31, 24)
+    with Image.open(io.BytesIO(payload)) as im:
+        pil_luma = np.asarray(im.convert("L"), dtype=np.float64).mean() / 255.0
+    assert abs(feats["mean_luma"] - pil_luma) < 0.01
