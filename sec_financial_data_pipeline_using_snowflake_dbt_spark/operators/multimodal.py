@@ -27,7 +27,11 @@ This is the 100 TB-scale plumbing for multimodal training data:
   ``gif_pixel_stats`` — block walk, variable-width LZW with clear/EOI/
   KwKwK handling, local-over-global palette, interlace reorder) for the
   first frame of any 87a/89a stream;
-- only the remaining COMPRESSED codecs (jpeg pixel data, 16-bit or
+- JPEG pixels are decoded for REAL with the stdlib alone as well (r9:
+  ``jpeg_pixel_stats`` — canonical Huffman, dequantize, 8x8 IDCT of
+  the luma plane, restart markers) for baseline/extended sequential
+  scans;
+- only the remaining COMPRESSED codecs (progressive JPEG, 16-bit or
   interlaced PNG, mp3 samples, mp4 frames) stay behind a deterministic
   fake, since the actual codecs (PIL/librosa/av) are not in this
   container (``use_real_codecs=True`` raises NotImplementedError). The
