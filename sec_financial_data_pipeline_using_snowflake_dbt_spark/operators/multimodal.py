@@ -718,7 +718,10 @@ def jpeg_pixel_stats(payload: bytes) -> dict[str, Any] | None:
         if payload[i] != 0xFF:
             return None  # lost marker sync
         marker = payload[i + 1]
-        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): FF* precedes a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
             i += 2
             continue
         seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
@@ -747,7 +750,10 @@ def jpeg_pixel_stats(payload: bytes) -> dict[str, Any] | None:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if not w or not h or w * h > _JPEG_MAX_PIXELS or ncomp not in (1, 3, 4):
+            # 4-component (Adobe CMYK/YCCK) is out of scope: component 0
+            # is NOT Rec.601 luma there, so reporting it would be wrong,
+            # not merely unsupported
+            if not w or not h or w * h > _JPEG_MAX_PIXELS or ncomp not in (1, 3):
                 return None
             comps = []
             for c in range(ncomp):

@@ -1203,3 +1203,19 @@ def test_jpeg_cross_check_against_pillow():
     with Image.open(io.BytesIO(payload)) as im:
         pil_luma = np.asarray(im.convert("L"), dtype=np.float64).mean() / 255.0
     assert abs(feats["mean_luma"] - pil_luma) < 0.01
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; the marker walk must absorb them one at a time (an odd run
+    stepped by two lands mid-marker and loses sync)."""
+    import numpy as np
+
+    arr = np.full((8, 8), 150.0)
+    good = _encode_jpeg(arr)
+    i = good.index(b"\xff\xc0")
+    for fill in (b"\xff", b"\xff\xff\xff"):  # odd runs both ways
+        padded = good[:i] + fill + good[i:]
+        feats = MM.jpeg_pixel_stats(padded)
+        assert feats is not None
+        assert abs(feats["mean_luma"] - 150.0 / 255.0) < 0.004
