@@ -350,7 +350,9 @@ def _sec_json_doc_build(
 
     sub, tag, num, pre = synth_sec_raw(spark, sf_dir)
     if filing_sample:
-        sub = sub.where(F.substring(F.md5(F.col("adsh")), 1, 1) == "0")
+        sub = sub.where(
+            F.substring(F.md5(F.col("adsh")), 1, 1).isin("0", "1", "2", "3")
+        )
     staged = JD.stg_financial_data(sub, num, tag, pre)
     docs = JD.financial_statements_json(
         staged, deterministic=True, max_facts_per_doc=MAX_FACTS_PER_DOC
@@ -400,7 +402,7 @@ def q_sec_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sec_json_doc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sf10-scale verification arm of q_sec_json_doc: restrict to a
-    deterministic md5 1/16 stratum of FILINGS (sub-side filter; the
+    deterministic md5 1/4 stratum of FILINGS (wide enough that even the 10-filing sf0.001 fixture keeps rows) (sub-side filter; the
     left joins preserve per-filing content exactly), so the oracle's
     window input is bounded while every stage — staging joins, null
     handling, the per-filing cap, deterministic array order, posexplode
@@ -411,7 +413,7 @@ def q_sec_json_doc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEC_JSON_DOC_SAMPLED_SQL = _SEC_JSON_DOC_SQL.replace(
     "LEFT JOIN pre p ON n.adsh = p.adsh AND n.tag = p.tag\n)",
     "LEFT JOIN pre p ON n.adsh = p.adsh AND n.tag = p.tag\n"
-    "  WHERE SUBSTR(MD5(s.adsh), 1, 1) = '0'\n)",
+    "  WHERE SUBSTR(MD5(s.adsh), 1, 1) IN ('0', '1', '2', '3')\n)",
 )
 assert _SEC_JSON_DOC_SAMPLED_SQL != _SEC_JSON_DOC_SQL  # surgery must land
 
