@@ -70,7 +70,39 @@ _OOM_MARKERS = (
     "Connection refused",
     "Py4JNetworkError",
     "Java gateway process",
+    # DuckDB spill-disk exhaustion / cross-process spill-dir races are
+    # box conditions, not parity failures (r9: a leaked 15 GB temp dir
+    # from a crashed child plus two concurrent spilling whales ENOSPC'd
+    # the box; a sibling process cleaning up yanked spill files out
+    # from under a child before per-pid temp dirs landed)
+    "No space left on device",
+    "Could not remove file",
+    "Could not write file",
 )
+
+
+def _sweep_stale_tempdirs(base: str = ".tmp") -> None:
+    """Remove per-pid DuckDB spill dirs (``.tmp/duck_<pid>``) whose
+    owner is dead — a crashed child never cleans its own, and leaked
+    spills (15 GB+ per whale) eventually ENOSPC the box."""
+    import shutil
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("duck_"):
+            continue
+        pid_s = name[5:]
+        if not pid_s.isdigit():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid: leave it
 
 
 def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
@@ -85,6 +117,7 @@ def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
         TABLES,
     )
 
+    _sweep_stale_tempdirs()
     con = duckdb.connect()
     con.execute(f"SET memory_limit = '{duck_mem}'")
     # Per-process spill dir: DuckDB's default CWD-relative `.tmp` uses
