@@ -1335,6 +1335,54 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FZ.fuzzy_neighbor_counts(cust, "c_custkey", "c_name", max_dist=1)
 
 
+@q(
+    "q_fuzzy_match_sampled",
+    """
+    WITH names AS (
+      SELECT c_custkey AS id, c_name AS s FROM customer
+      WHERE SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    vars AS (
+      SELECT DISTINCT id, s,
+             CASE WHEN p = 0 THEN s
+                  ELSE substr(s, 1, p - 1) || substr(s, p + 1) END AS v
+      FROM names, UNNEST(range(0, length(s) + 1)) AS t(p)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+    ),
+    match AS (SELECT * FROM cand WHERE levenshtein(s_a, s_b) <= 1),
+    mirrored AS (
+      SELECT s_a AS name, s_b AS other FROM match
+      UNION ALL
+      SELECT s_b AS name, s_a AS other FROM match
+    )
+    SELECT name, CAST(COUNT(*) AS BIGINT) AS n_neighbors, MIN(other) AS nearest
+    FROM mirrored GROUP BY name
+    """,
+)
+def q_fuzzy_match_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-scale verification arm of q_fuzzy_match (the sampled-
+    arm pattern of q_bpe_encode_ids_sampled / q_sec_json_doc_sampled):
+    the IDENTICAL variant-explode → banded equi-join → levenshtein →
+    neighbor-audit pipeline over a deterministic md5 1/4 stratum of
+    customers. The synthetic customer names are dense in edit space, so
+    the full query's OUTPUT (and both engines' pair join) grows
+    superlinearly with corpus size — the stratum keeps the sf10 run
+    inside a sweep chunk while exercising every stage cross-engine;
+    candidate COMPLETENESS vs brute force stays pytest-enforced on the
+    full operator."""
+    from ..operators import fuzzy as FZ
+
+    cust = table(spark, sf_dir, "customer").where(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    return FZ.fuzzy_neighbor_counts(cust, "c_custkey", "c_name", max_dist=1)
+
+
 # ---------------------------------------------------------------------------
 # Column profiler (checks.profile_table): the dbt-docs/catalog statistics
 # page over lineitem — one scan, every aggregate in one agg, stack() to

@@ -279,6 +279,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # every run; the full build keeps its in-window row via
     # q_sec_json_doc (pinned).
     "q_sec_json_doc_sampled",
+    # r9: the large-scale verification arm of q_fuzzy_match (same
+    # pattern) — md5 1/4 customer stratum bounds the output-superlinear
+    # pair join at sf10 within a sweep chunk. Parked at birth BY DESIGN
+    # as a harness arm; pytest-oracled every run; the full matcher keeps
+    # its in-window row via q_fuzzy_match (pinned).
+    "q_fuzzy_match_sampled",
     # r8: parked after their first (rows-only by design: binary decode
     # has no DuckDB-expressible oracle) driver rows in r7. The decode
     # paths are golden-byte pytest-verified — including, from r8, REAL
