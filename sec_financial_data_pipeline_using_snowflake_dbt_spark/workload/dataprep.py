@@ -250,9 +250,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs, blocked by lang.
+
+    Largest-scale harness bound: the ENGINE computes the 64 bit votes
+    as aggregate COLUMNS of one groupBy, but the ORACLE must explode 64
+    rows per (doc, token) — tens of billions of rows at the largest
+    test scale, beyond any DuckDB spill budget this box has (ENOSPC at
+    40+ GB of spill). Green through sf1; the sampled arm below carries
+    the larger-scale cross-engine signal."""
     return DD.simhash_pairs(
         table(spark, sf_dir, "documents"), block_col="lang", max_hamming=3, n_bits=64
     )
+
+
+_SIMHASH64_SAMPLED_SQL = PREP_ORACLES["q_dedup_simhash64"].replace(
+    f"SELECT DISTINCT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents",
+    f"SELECT DISTINCT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents\n"
+    "      WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
+)
+assert _SIMHASH64_SAMPLED_SQL != PREP_ORACLES["q_dedup_simhash64"]
+
+
+@q("q_dedup_simhash64_sampled", _SIMHASH64_SAMPLED_SQL)
+def q_dedup_simhash64_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-scale verification arm of q_dedup_simhash64 (the
+    sampled-arm pattern): the identical 64-bit salted-digest signature
+    build and value-level pigeonhole band join over a deterministic md5
+    1/16 stratum of documents, which keeps the oracle's 64-rows-per-
+    token explode inside the box's spill budget at the largest scale.
+    Within-stratum pairs on both engines; the full-width query stays
+    the contract through sf1."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    return DD.simhash_pairs(docs, block_col="lang", max_hamming=3, n_bits=64)
 
 
 # ---------------------------------------------------------------------------

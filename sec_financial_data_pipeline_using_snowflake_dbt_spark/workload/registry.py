@@ -285,6 +285,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     # as a harness arm; pytest-oracled every run; the full matcher keeps
     # its in-window row via q_fuzzy_match (pinned).
     "q_fuzzy_match_sampled",
+    # r9: the large-scale verification arm of q_dedup_simhash64 (same
+    # pattern) — md5 1/16 doc stratum keeps the oracle's 64-rows-per-
+    # token explode inside the spill budget. Parked at birth BY DESIGN
+    # as a harness arm; pytest-oracled every run; the full-width query
+    # keeps its signal via the green sf1 sweep rows + pytest.
+    "q_dedup_simhash64_sampled",
     # r8: parked after their first (rows-only by design: binary decode
     # has no DuckDB-expressible oracle) driver rows in r7. The decode
     # paths are golden-byte pytest-verified — including, from r8, REAL
