@@ -1329,6 +1329,13 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy neighbor audit over customer names.
+
+    Largest-scale harness bound: the synthetic names are dense in edit
+    space, so the OUTPUT pair set (and both engines' banded join) grows
+    superlinearly with corpus size — the full sf10 run exceeds a sweep
+    chunk on this box. Green through sf1 (817 s parity run, r8);
+    q_fuzzy_match_sampled carries the sf10 cross-engine signal."""
     from ..operators import fuzzy as FZ
 
     cust = table(spark, sf_dir, "customer")
