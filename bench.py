@@ -122,6 +122,18 @@ HEADLINE = [
     "q_corpus_stats",
     "q_training_mix",
     "q_corpus_pipeline",
+    # r10 additions (VERDICT r9 #6; suite total NOT comparable to r9's
+    # 78-query total — compare per-query): the sampled verification
+    # arms. Each is the sf10 cross-engine signal for a full query whose
+    # oracle has a documented capacity bound; benching them gives the
+    # stratum plans the same regression tracking as every other query.
+    "q_bpe_encode_ids_sampled",
+    "q_sec_json_doc_sampled",
+    "q_fuzzy_match_sampled",
+    "q_dedup_simhash64_sampled",
+    "q_dedup_jaccard_sampled",
+    "q_dedup_recall_sampled",
+    "q_dedup_semantic_sampled",
 ]
 
 
@@ -135,6 +147,49 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def contending_processes() -> list[str]:
+    """Other harness processes alive on the box right now.
+
+    VERDICT r9 What's wrong #2: BENCH_r09 was measured while a
+    serialized sf10 oracle_sweep child (49 min of CPU) ran, inflating
+    the suite ~13% uniformly and making r8→r9 comparison impossible
+    from the driver's numbers alone.  The measurement-hygiene rule is
+    now enforced in the harness itself: scan /proc for oracle_sweep /
+    pytest / other bench.py cmdlines (excluding our own process tree)
+    and surface them.  The artifact gains a ``contended_by`` field and
+    a loud stderr warning; under SPARK_GRAFT_BENCH_STRICT=1 a contended
+    run refuses to measure at all (rc=3)."""
+    markers = ("oracle_sweep", "pytest", "bench.py", "make_sfN")
+    # exclude our own ancestor chain: the shell that launched this
+    # bench.py carries "bench.py" in its own cmdline
+    ancestors = set()
+    pid = os.getpid()
+    while pid > 1 and pid not in ancestors:
+        ancestors.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    hits: list[str] = []
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit() or int(pid_s) in ancestors:
+            continue
+        try:
+            with open(f"/proc/{pid_s}/cmdline", "rb") as fh:
+                argv = fh.read().split(b"\x00")
+        except OSError:
+            continue
+        cmd = b" ".join(a for a in argv if a).decode(errors="replace")
+        # only a python PROCESS counts (argv[0] is the interpreter) — a
+        # shell whose -c string merely mentions a marker is not load
+        if not argv or b"python" not in argv[0]:
+            continue
+        if any(m in cmd for m in markers):
+            hits.append(f"pid={pid_s}: {cmd[:160]}")
+    return hits
 
 
 def load_budgets() -> dict[str, float]:
@@ -198,6 +253,23 @@ def main() -> None:
     # full suite is what the driver records
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
+
+    contended_by = contending_processes()
+    if contended_by:
+        for h in contended_by:
+            print(f"BENCH CONTENTION: {h}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            print(
+                "refusing to measure on a contended box "
+                "(SPARK_GRAFT_BENCH_STRICT=1)",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+        print(
+            "WARNING: measuring anyway - artifact will carry contended_by",
+            file=sys.stderr,
+        )
+
     spark = get_spark("secspark-bench")
 
     # warm-up: JVM/codegen/parquet-footer costs land here, not in the
@@ -253,6 +325,7 @@ def main() -> None:
         "reps": BENCH_REPS,
         "over_budget": over,
         "noise_spikes": noise,
+        "contended_by": contended_by,
     }
     print(json.dumps(result))
     # Also land the full JSON on disk: the driver captures stdout with a

@@ -133,6 +133,30 @@ def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
     return con
 
 
+def _describe_exc(exc: Exception, max_len: int = 4000) -> str:
+    """Full diagnostic string for a child-side failure.
+
+    ``repr()`` of a Py4JJavaError loses the Java cause entirely — r9
+    banked three 40-minute q_dedup_jaccard deaths as the useless
+    ``Py4JJavaError('... calling o198.getResult', JavaObject id=o199)``
+    (VERDICT r9 What's wrong #1).  Pull the JVM exception's toString()
+    plus its top stack frames (and chained causes) when present; fall
+    back to repr for plain Python exceptions."""
+    parts = [repr(exc)]
+    jexc = getattr(exc, "java_exception", None)
+    depth = 0
+    while jexc is not None and depth < 4:
+        try:
+            parts.append(("caused by: " if depth else "java: ") + jexc.toString())
+            frames = jexc.getStackTrace()
+            parts.extend(f"  at {frames[i].toString()}" for i in range(min(8, len(frames))))
+            jexc = jexc.getCause()
+        except Exception:  # noqa: BLE001 — gateway may be dead; keep what we have
+            break
+        depth += 1
+    return "\n".join(parts)[:max_len]
+
+
 def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
     """Child entrypoint: run the named oracles in THIS process, print
     one JSON line per oracle."""
@@ -159,7 +183,11 @@ def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
             )
             rec = {"name": name, "ok": not problems, "problems": problems}
         except Exception as exc:  # noqa: BLE001 — report, don't die mid-chunk
-            rec = {"name": name, "ok": False, "problems": [f"{name}: {exc!r}"]}
+            rec = {
+                "name": name,
+                "ok": False,
+                "problems": [f"{name}: {_describe_exc(exc)}"],
+            }
         rec["sec"] = round(time.time() - t0, 3)
         print("@@RESULT " + json.dumps(rec), flush=True)
 

@@ -253,6 +253,20 @@ def profile_table(
         approx_distinct = (
             size is None or size * len(cols) > PROFILE_AUTO_EXACT_MAX_BYTES
         )
+        if size is None:
+            # ADVICE r9 (low): under Spark Connect plan introspection is
+            # unavailable, so the default silently lands on HLL for
+            # every input regardless of size — a behavior change a
+            # caller relying on exact counts must get to DISCOVER.
+            import warnings
+
+            warnings.warn(
+                "profile_table: plan size unknown (Spark Connect?) - "
+                "auto-dispatch chose APPROXIMATE distinct counts; pin "
+                "approx_distinct=False if you need exact ones",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     dtypes = dict(df.dtypes)
     # Expand multiplies input by n_cols BEFORE the partial aggregate;
     # when the scan yields fewer splits than cores (small files on a

@@ -621,11 +621,30 @@ def _auto_simhash_bits(docs: DataFrame) -> int:
     """Size-dispatch for the default SimHash width (``asof_join_auto``
     discipline): 16 bits while the corpus is comfortably inside the
     16-bit domain, 64 above it or when plan introspection is
-    unavailable (unknown = assume large, take the scale-safe arm)."""
+    unavailable (unknown = assume large, take the scale-safe arm).
+
+    ADVICE r9 (low): auto-width makes signatures a function of CORPUS
+    SIZE — the same document hashes to 16 bits in a small batch and 64
+    once the corpus crosses the knee, so any workflow that PERSISTS or
+    DIFFS signatures across runs (delta dedup, incremental indexes)
+    must pin ``n_bits`` explicitly. The silent flip is loudest when
+    plan introspection is unavailable (Spark Connect): every call lands
+    on 64 regardless of input, so that case warns."""
     from .asof import _plan_size_bytes
 
     size = _plan_size_bytes(docs)
-    if size is not None and size <= SIMHASH_AUTO_16BIT_MAX_BYTES:
+    if size is None:
+        import warnings
+
+        warnings.warn(
+            "simhash: plan size unknown (Spark Connect?) - auto-dispatch "
+            "chose the 64-bit width regardless of corpus size; pin n_bits "
+            "explicitly, especially for persisted/diffed signatures",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return 64
+    if size <= SIMHASH_AUTO_16BIT_MAX_BYTES:
         return 16
     return 64
 
@@ -640,9 +659,11 @@ def simhash(
 
     ``n_bits=None`` (default) size-dispatches: 16 bits — the
     oracle-parity width — for small corpora, 64 once the corpus leaves
-    the 16-bit saturation domain (see ``SIMHASH_AUTO_16BIT_MAX_BYTES``;
-    callers pin a width explicitly when they need a stable signature
-    across runs or engines).
+    the 16-bit saturation domain (see ``SIMHASH_AUTO_16BIT_MAX_BYTES``).
+    PIN a width explicitly whenever signatures are persisted or diffed
+    across runs (delta dedup, incremental indexes): auto-width is a
+    function of corpus size, so the same document silently changes
+    signature once the corpus crosses the knee (ADVICE r9).
 
     Bit *i* is the majority vote, over the doc's distinct tokens, of
     the high bit of hex digit ``(i-1) % 32 + 1`` of md5 of the token —

@@ -682,6 +682,23 @@ _JPEG_MAX_PIXELS = 64 * 1024 * 1024  # same per-asset cap as PNG/GIF
 
 
 def jpeg_pixel_stats(payload: bytes) -> dict[str, Any] | None:
+    """Guarded entry for :func:`_jpeg_pixel_stats_unguarded` (see its
+    docstring for the decode itself). ADVICE r9 (medium): a JPEG whose
+    header is self-consistent at the segment-length level but
+    semantically short (an SOS with seg_len=2 so ``seg[0]`` IndexErrors,
+    an SOF declaring 3 components over a truncated body, an SOS
+    repeating a component id so the luma lookup StopIterations) must
+    return None like every other corrupt stream — not throw and kill
+    the whole mapInPandas task on one bad asset. The entropy-coded
+    section already has EOFError discipline inside; this guard gives
+    the MARKER-WALK the same boundary."""
+    try:
+        return _jpeg_pixel_stats_unguarded(payload)
+    except (IndexError, StopIteration, ValueError, OverflowError):
+        return None
+
+
+def _jpeg_pixel_stats_unguarded(payload: bytes) -> dict[str, Any] | None:
     """REAL baseline-JPEG pixel decode with the stdlib alone — the
     third compressed codec (after PNG r8 and GIF r8 s3) needing no
     third-party wheel: marker walk → canonical Huffman decode (T.81

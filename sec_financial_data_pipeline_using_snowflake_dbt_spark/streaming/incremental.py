@@ -293,8 +293,11 @@ def stream_cdc_sink(
     crash inside the marker swap leaves at worst NO marker, and recovery
     (:func:`_read_cdc_state`) then adopts the newest ``v=*`` directory
     that has a ``_SUCCESS`` — which is exactly the fully-written new
-    state. A foreachBatch redelivery overwrites ``v=<batch_id>``
-    idempotently (same input ⇒ same bytes). Old versions are retained for
+    state. A foreachBatch redelivery of an ALREADY-COMMITTED batch
+    (state version ≥ batch id) is detected and skipped — the committed
+    state already folds it (the seq-aware merge is idempotent), and a
+    rewrite would read from the directory it overwrites, which Spark
+    refuses; only the marker is re-published. Old versions are retained for
     time travel; expire them with a storage lifecycle rule (at 100 TB
     this layout is exactly the poor-man's Iceberg — the state rewrite per
     batch is the price of plain parquet, and the reason the real thing
@@ -313,7 +316,19 @@ def stream_cdc_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        state = _read_cdc_state(spark, target_path)
+        state, state_version = _read_cdc_state_versioned(spark, target_path)
+        if state_version is not None and state_version >= batch_id:
+            # foreachBatch REDELIVERY after a crash in the commit window
+            # (marker already at v=<batch_id>, or the no-marker recovery
+            # adopted it): the committed state already folds this batch —
+            # the seq-aware merge is idempotent, so a rewrite would
+            # produce the same bytes while reading the very directory it
+            # overwrites (Spark refuses: "Cannot overwrite a path that is
+            # also being read from"). Re-publish the marker (a no-op when
+            # it survived, the missing half of the swap when it didn't)
+            # and let the checkpoint commit complete.
+            _commit_cdc_marker(spark, target_path, state_version)
+            return
         if state is None:
             merged = cdc_apply(
                 batch_df, key_cols, seq_cols,
@@ -392,8 +407,18 @@ def _read_small_file(fs, path) -> str:
 
 
 def _read_cdc_state(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """:func:`_read_cdc_state_versioned` without the version."""
+    return _read_cdc_state_versioned(spark, target_path)[0]
+
+
+def _read_cdc_state_versioned(
+    spark: SparkSession, target_path: str
+) -> tuple[DataFrame | None, int | None]:
     """The committed tombstone-bearing state under ``stream_cdc_sink``'s
-    layout, or None before the first commit.
+    layout as ``(state, version)``, or ``(None, None)`` before the first
+    commit. The version lets the sink detect a foreachBatch REDELIVERY
+    of an already-committed batch (state version ≥ batch id) and skip
+    the rewrite instead of overwriting the directory it is reading.
 
     Failure discipline: only GENUINE ABSENCE returns None / triggers
     recovery. A marker that exists but cannot be read, or a committed
@@ -426,9 +451,9 @@ def _read_cdc_state(spark: SparkSession, target_path: str) -> DataFrame | None:
         else:
             text = _read_small_file(fs, marker)
         v = json.loads(text)["v"]
-        return spark.read.parquet(f"{target_path}/v={v}")
+        return spark.read.parquet(f"{target_path}/v={v}"), int(v)
     if not fs.exists(root):
-        return None  # sink never ran
+        return None, None  # sink never ran
     committed = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()
@@ -440,8 +465,9 @@ def _read_cdc_state(spark: SparkSession, target_path: str) -> DataFrame | None:
         ):
             committed.append(int(name[2:]))
     if not committed:
-        return None  # first batch: directory exists but nothing committed
-    return spark.read.parquet(f"{target_path}/v={max(committed)}")
+        return None, None  # first batch: directory exists but nothing committed
+    newest = max(committed)
+    return spark.read.parquet(f"{target_path}/v={newest}"), newest
 
 
 def read_cdc_snapshot(

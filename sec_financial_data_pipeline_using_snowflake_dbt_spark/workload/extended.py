@@ -729,11 +729,49 @@ def _dedup_semantic_sql(
 
 @q("q_dedup_semantic", _dedup_semantic_sql())
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the full embeddings table.
+
+    Largest-scale harness bound: the oracle's ``near`` CTE is a
+    within-cell all-pairs cosine join — with 8 cells over the full
+    corpus its DuckDB replay is a documented TIME bound (7200 s, not a
+    crash) at the largest test scale; q_dedup_semantic_sampled below
+    carries the sf10 cross-engine signal."""
     from ..operators import dedup as DD
 
     return DD.semantic_dedup(
         table(spark, sf_dir, "embeddings"), dim=64, n_cells=8, threshold=0.4,
         n_iters=2, round_means=6,
+    )
+
+
+_SEMANTIC_SAMPLED_SQL = _dedup_semantic_sql().replace(
+    "CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    "CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+    "      WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'",
+)
+assert _SEMANTIC_SAMPLED_SQL != _dedup_semantic_sql()
+assert _SEMANTIC_SAMPLED_SQL.count("FROM embeddings") == 1
+
+
+@q("q_dedup_semantic_sampled", _SEMANTIC_SAMPLED_SQL)
+def q_dedup_semantic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-scale verification arm of q_dedup_semantic (VERDICT r9
+    #2, the sampled-arm pattern): the identical SemDeDup chain — Lloyd
+    quantizer, within-cell cosine pruning, keep-lowest-id — over a
+    deterministic md5 1/16 stratum of embeddings, which bounds the
+    oracle's within-cell all-pairs cosine replay (~1/256 of the pair
+    work) inside a sweep chunk at the largest scale. The Lloyd init and
+    means are stratum-local on BOTH engines (lowest-id init within the
+    stratum), so every stage stays cross-engine hash-checked; the
+    full-corpus query stays the contract at the scales the oracle can
+    replay."""
+    from ..operators import dedup as DD
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    )
+    return DD.semantic_dedup(
+        emb, dim=64, n_cells=8, threshold=0.4, n_iters=2, round_means=6
     )
 
 

@@ -19,613 +19,145 @@ from .sec_star import SEC_ORACLES, SEC_QUERIES
 from .streaming_q import STREAM_ORACLES, STREAM_QUERIES
 
 #: Queries deliberately placed AFTER the driver's 50-entry correctness window.
-#: q_multimodal_* are rows-only (no SQL oracle exists for binary decode);
-#: the rest are scalar/window batteries whose functions are exercised by other
-#: in-window queries and by the pytest suite, and whose oracle rows were green
-#: in CORRECTNESS_r01 and CORRECTNESS_r02.
 #:
 #: ROTATION POLICY (VERDICT r5 #4): parked queries are not retired — they
-#: re-earn a hard driver signal on a rotation. Each round, 3-5 of the
-#: longest-parked oracle-bearing queries swap back into the window in place
-#: of long-stable in-window batteries (green every round since r1), so
-#: every oracle query gets a driver-recorded CORRECTNESS row at least every
-#: ~4 rounds. A query is eligible to park only when (a) its oracle row was
-#: green in at least one prior CORRECTNESS artifact and (b) its functions
-#: remain exercised by in-window neighbors or pytest.
+#: re-earn a hard driver signal on a rotation. Each round, the
+#: longest-parked oracle-bearing queries swap back into the window in
+#: place of long-stable in-window batteries, so every oracle query gets a
+#: driver-recorded CORRECTNESS row at least every ~4 rounds. A query is
+#: eligible to park only when (a) its oracle row was green in at least
+#: one prior CORRECTNESS artifact and (b) its functions remain exercised
+#: by in-window neighbors or pytest. ``*_sampled`` arms are parked AT
+#: BIRTH by design: they exist for the sf10 sweep harness and are
+#: pytest-oracled every run; their full-query twins carry the driver
+#: history.
+#:
+#: Per-entry annotations below: last driver-green round + where the
+#: surface keeps a hard signal NOW. The full r6–r9 rotation narrative
+#: (which successor took each slot, round by round) moved verbatim to
+#: NOTES_parks.md (VERDICT r9 #5).
+#:
+#: r10 rotation (VERDICT r9 #4): the twelve oldest parks return to the
+#: window (q_projection, q_distinct, q_semi_join, q_pagination, q_pivot,
+#: q_json_extract, q_case_quarter, q_collect_list, q_array_ops,
+#: q_filter_compose, q_watermark, q_validation_stats — all last
+#: driver-green r5). Parked in exchange, each with a green r9 row:
 TAIL_QUERIES: tuple[str, ...] = (
-    # ----- r9 rotation (VERDICT r8 #4): the twelve VERDICT-named parks
-    # return to the window (q_asof_join, q_pricing_summary,
-    # q_chunk_docs, q_ann_pq, q_dedup_substrings, q_stream_join,
-    # q_training_mix, q_dsir_select, q_pii_scrub, q_multi_distinct,
-    # q_percentiles, q_set_ops) plus four of the OLDEST parks
-    # (q_join_agg, q_rollup, q_window_topk, q_anti_join — last driver
-    # rows r5). Parked in exchange, each with a green r8 driver row and
-    # its surface held in-window or by a containing successor oracle:
-    #
-    # q_window_running re-earned its row in r8 after the r4 park;
-    # running-frame windows stay in-window via q_pack_token_ids'
-    # per-shard cumulative sums and the returning q_percentiles
-    # battery; pytest-oracled every run.
-    "q_window_running",
-    # q_dedup_embedding re-earned its row in r8; the embedding
-    # near-dup surface stays in-window via q_cluster_sample (identical
-    # Lloyd chain) and q_ann_recall, and the exact blocked-cosine arm
-    # stays pytest-oracled every run + HEADLINE-benched.
-    "q_dedup_embedding",
-    # q_ann_topk re-earned its row in r8; brute-force cosine top-k is
-    # the truth arm INSIDE in-window q_ann_recall's oracle (recall is
-    # measured against it), so the surface keeps a hard signal through
-    # the successor; also pytest-oracled + HEADLINE-benched.
-    "q_ann_topk",
-    # q_text_quality re-earned its row in r8; the quality-signal chain
-    # stays in-window via q_corpus_stats (whose oracle nests the
-    # quality_filter pass-rate column verbatim); pytest-oracled.
-    "q_text_quality",
-    # q_language_id re-earned its row in r8; the n-gram langid scorer
-    # runs inside in-window q_corpus_pipeline's cleaning chain and
-    # stays pytest-oracled every run.
-    "q_language_id",
-    # q_fingerprint re-earned its row in r8; rolling-hash document
-    # fingerprints stay covered by the returning q_dedup_substrings
-    # (the same shingle-hash machinery at span grain) and pytest.
-    "q_fingerprint",
-    # q_heavy_hitters earned its birth row in r8 (sf10-green in the
-    # committed sweep artifact); the Misra-Gries + exact-verify output
-    # equals a plain HAVING, whose groupBy surface saturates the
-    # window; pytest-oracled every run + HEADLINE-benched.
-    "q_heavy_hitters",
-    # q_kn_logprob earned its birth row in r8 (sf10-green, 127 s); the
-    # bigram count tables it smooths are the same _bigram chain inside
-    # in-window q_perplexity_buckets' oracle; pytest-oracled.
-    "q_kn_logprob",
-    # q_sessionization re-earned its row in r8; its full CTE chain is
-    # CONTAINED verbatim in in-window q_interval_join's oracle (the
-    # intervals under test are the sessions), so the pin moves there.
-    "q_sessionization",
-    # q_retention re-earned its row in r8; the min-groupBy cohort
-    # reduction is the same single-scan shape as in-window q_funnel
-    # (shared module + plan pins) and stays pytest-oracled.
-    "q_retention",
-    # q_scd2_history earned its birth row in r8 (green sf0.001-sf10);
-    # the window-tie determinism discipline it pinned stays regression-
-    # tested in test_scd every run; HEADLINE-benched.
-    "q_scd2_history",
-    # q_pagerank earned its birth row in r8 (sf10-green, 128 s);
-    # integer fixed-point iteration is pytest-pinned (bit-identical
-    # across partitionings) every run; HEADLINE-benched.
-    "q_pagerank",
-    # q_stream_hourly re-parked after green rows r6-r8: the
-    # watermarked streaming surface returns to the window via
-    # q_stream_join (the stream-stream interval join it had covered
-    # for), and q_cdc_stream keeps foreachBatch in the hard signal.
-    "q_stream_hourly",
-    # q_temperature_mix re-parked after green rows r7-r8: the
-    # md5-threshold floor(w)+Bernoulli(frac(w)) resample returns to
-    # the window via q_training_mix (mixture_resample itself), which
-    # it had covered for; pytest-oracled every run.
-    "q_temperature_mix",
-    # q_hashed_classifier re-parked after green rows r7-r8: the md5
-    # token-bucket feature construction returns to the window via
-    # q_dsir_select (the same hashed features), which it had covered
-    # for; pytest-oracled every run.
-    "q_hashed_classifier",
-    # q_ann_ivfpq_res re-parked after green rows r7-r8: the PQ
-    # codebook/ADC surface stays in-window TWICE via q_ann_ivfpq and
-    # the returning q_ann_pq (whose slot it had been holding), and the
-    # residual arm stays pytest-oracled + HEADLINE-benched.
-    "q_ann_ivfpq_res",
-    # ----- end r9 rotation -----
-    # r8 rotation (VERDICT r7 #1): the longest-parked oracle-bearing
-    # queries return to the window — q_window_running (last driver row
-    # r4, the single oldest), q_date_dim + q_dedup_jaccard (last r5),
-    # and the seven VERDICT-named r7 parks q_language_id /
-    # q_text_quality / q_fingerprint / q_sessionization /
-    # q_dedup_embedding / q_ann_topk / q_stream_hourly (last r6).
-    # Parked in exchange, each with a green r7 driver row and its
-    # surface held in-window (rationales at each entry below):
-    # q_set_ops, q_percentiles, q_multi_distinct, q_explode_pos,
-    # q_null_safe_join, q_date_arith, q_dedup_verify, q_bpe_encode_ids,
-    # and the two rows-only multimodal demos.
-    #
-    # r8 (mid-round): parked for q_pagerank's window slot — the new
-    # integer fixed-point PageRank earns the hard signal first, per
-    # policy. q_ann_lsh has green driver rows in every window since r5;
-    # the ANN surface stays in-window five ways (q_ann_topk, q_ann_pq,
-    # q_ann_ivfpq, q_ann_ivfpq_res, q_ann_recall), the md5-derived
-    # hyperplane bucketing stays oracle-verified every pytest run (its
-    # SQL embeds the planes as literals), and dedup-side banded LSH
-    # stays in-window via q_dedup_recall.
-    "q_ann_lsh",
-    # r8 (session 3): parked for q_fuzzy_match's window slot — the new
-    # SymSpell edit-distance matcher earns the hard signal first, per
-    # policy (q_cdc_apply and q_zorder_cells took the two free slots the
-    # same session). q_ann_pq has green driver rows r6+r7; the PQ surface
-    # stays in-window THREE ways — q_ann_ivfpq and q_ann_ivfpq_res both
-    # train the same codebooks and score through the same ADC literal
-    # LUTs (composed with IVF), and q_ann_recall embeds the full IVF
-    # chain — while raw-PQ stays oracle-verified every pytest run and
-    # HEADLINE-benched.
-    # (q_ann_pq rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (session 3): parked so q_cdc_apply's window slot doesn't push
-    # the flagship SEC queries out (the contract test pins them). The
-    # repeated-substring DETECTION chain is CONTAINED verbatim in
-    # in-window q_dedup_span_removal's oracle (the removal pass starts
-    # from the same shingle/min-of-struct detection CTEs and then
-    # performs the surgery), so the Lee-et-al. surface keeps its hard
-    # signal through the successor; q_dedup_substrings earned its first
-    # green row r7 and stays pytest-oracled every run.
-    # (q_dedup_substrings rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (session 3): parked so q_zorder_cells's window slot doesn't push
-    # the flagship SEC queries out. q_stream_join has green driver rows
-    # r6+r7; the watermarked stream-stream interval join is the most
-    # pytest-enforced streaming surface (test_registry_streaming runs the
-    # full micro-batch pipeline every run), time-conditioned joins stay
-    # in-window via q_asof_join's successor pin in q_stream_hourly's
-    # windowed aggregation, and the batch-equivalence oracle stays in
-    # test_workload_oracle.
-    # (q_stream_join rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (session 3): parked for q_cdc_stream's window slot — the
-    # streaming CDC twin earns the hard signal at birth (its oracle is
-    # the batch q_cdc_apply SQL, so a hash match proves the
-    # foreachBatch tombstone-merge path lands on the batch-identical
-    # snapshot). q_training_mix has green driver rows r6+r7; the
-    # md5-threshold mixture resample stays in-window via
-    # q_temperature_mix (the IDENTICAL floor(w)+Bernoulli(frac(w))
-    # machinery with derived weights) and the packing surface via
-    # q_pack_token_ids; the end-to-end assembly oracle stays in
-    # test_workload_oracle every run and HEADLINE-benched.
-    # (q_training_mix rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (session 3): parked for q_profile's window slot — the column
-    # profiler earns the hard signal at birth, per policy.
-    # q_dsir_select has green driver rows r6+r7; its md5 token-bucket
-    # features stay in-window via q_hashed_classifier (the same hashed
-    # feature construction), the md5-threshold Bernoulli resample via
-    # q_temperature_mix, and the full DSIR oracle stays in
-    # test_workload_oracle every run and HEADLINE-benched.
-    # (q_dsir_select rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (session 3): parked for q_interval_join's window slot — the
-    # bucketized interval-overlap join earns the hard signal at birth,
-    # per policy (and its oracle CONTAINS the full sessionization CTE
-    # chain, reinforcing in-window q_sessionization). q_pii_scrub has
-    # green driver rows r6+r7; the F1/F7-F9 regex surface stays
-    # in-window via q_dedup_span_removal's HOF surgery and
-    # q_corpus_pipeline's C4 regex line filters, stays pytest-enforced
-    # in test_checks (matches_regex) and test_workload_oracle every
-    # run, and stays HEADLINE-benched. The older park rationales that
-    # cite q_pii_scrub (q_string_funcs, q_validation_stats) remain
-    # covered through those same in-window chains.
-    # (q_pii_scrub rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (mid-round): parked for q_kn_logprob's window slot — the new
-    # Kneser-Ney bigram scorer earns the hard signal first, per policy.
-    # q_pricing_summary is the stablest row in the registry (green in
-    # EVERY driver window r1-r7 and hash-matched at five scales to sf10,
-    # NOTES_r7 §39); its A1/F4 decimal sum+ROUND surface stays in-window
-    # via q_sec_fact_bs (pinned — the same cents-ROUND-before-cast money
-    # convention over the same lineitem columns) and it stays
-    # pytest-oracled every run and HEADLINE-benched.
-    # (q_pricing_summary rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (mid-round): parked for q_heavy_hitters' window slot — the new
-    # Misra-Gries + exact-verify heavy-hitters operator earns the hard
-    # signal first, per policy. q_asof_join has green driver rows in
-    # every window since r5; the as-of machinery is the most
-    # pytest-enforced operator in the repo (test_asof: range-join /
-    # bucketized / pandas-merge_asof 3-way agreement + bucket-width
-    # invariance + NULL-key parity, every run), the q_asof_join oracle
-    # stays in test_workload_oracle's per-run hash check, and the
-    # time-conditioned join surface stays in-window via q_stream_join's
-    # watermarked stream-stream interval join.
-    # (q_asof_join rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8 (mid-round): parked for q_scd2_history's window slot — the new
-    # dbt-snapshot SCD2 operator earns the hard signal first, per
-    # policy. q_chunk_docs has green driver rows r6+r7; the sequence
-    # explode/slice surface stays in-window via q_pack_token_ids
-    # (pinned: the same doc-grained slicing windows feed its blocks)
-    # and the chunker stays pytest-oracled every run and
-    # HEADLINE-benched.
-    # (q_chunk_docs rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8: parked after re-earning its green row in r7 (first rotated
-    # back in r7 after the r4 park). §2.7 set-op semantics stay
-    # oracle-verified every pytest run; distinct/union surfaces stay
-    # in-window via q_dedup_exact-family groupBys and q_window_running's
-    # union-free frames.
-    # (q_set_ops rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8: parked after its green r7 row (rotated back in r7 after the
-    # r4 park); the percentile/stats surface stays pytest-oracled every
-    # run and decimal aggregate math stays in-window via
-    # q_pricing_summary.
-    # (q_percentiles rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8: parked after its green r7 row (rotated back in r7 after the
-    # r3 park); multi-distinct aggregation stays in-window via
-    # q_corpus_stats' count-distinct battery.
-    # (q_multi_distinct rotated back into the window in r9 — r9 (VERDICT r8 #4))
-    # r8: parked after its green r7 row (rotated back in r7 after the
-    # r3 park); positional-explode machinery stays in-window via
-    # q_chunk_docs' sequence explode and q_window_running's frames.
-    "q_explode_pos",
-    # r8: parked after its green r7 row (rotated back in r7 after the
-    # r4 park); null-safe equality stays pytest-oracled every run, and
-    # null-key join discipline stays in-window via q_sec_fact_bs's
-    # null-rejection joins.
-    "q_null_safe_join",
-    # r8: parked after green rows r6+r7 (the battery re-earned its
-    # signal in the r6 rotation); the F2/F3 CASE/date surface moves to
-    # q_date_dim, rotated back in THIS round after its r5 park (the
-    # contract-test pin moves with it).
-    "q_date_arith",
-    # r8: parked after its first green row r7 (the operator earned the
-    # hard signal at birth, per policy); its oracle's banded candidate
-    # chain is CONTAINED in q_dedup_recall (in-window, pinned) and the
-    # exact per-pair Jaccard surface returns to the window via
-    # q_dedup_jaccard, rotated back in THIS round after its r5 park.
-    "q_dedup_verify",
-    # r8: parked after its first green row r7; its train+encode chain
-    # is nested VERBATIM inside q_tokenizer_fertility's oracle
-    # (in-window, pinned), so the id-emitting encoder stays inside the
-    # driver signal through its successor.
-    "q_bpe_encode_ids",
-    # r9: the sf10-scale verification arm of q_bpe_encode_ids (VERDICT
-    # r8 #8) — full-corpus train + vocab, id emission on a deterministic
-    # md5 1/16 document stratum so the oracle's per-symbol explode stays
-    # inside DuckDB's cap at sf10. Parked at birth BY DESIGN: it exists
-    # for the sweep harness (pytest-oracled every run via
-    # test_workload_oracle; sf10 row in the r9 sweep artifact), not to
-    # displace a window row — the full-corpus id emission keeps its
-    # driver history via q_bpe_encode_ids' green r7 row.
+    # ----- r10 parks (green r9; coverage stories per entry) -----
+    # green r1-r7+r9 (most rows of any query); A1/F4 decimal-agg surface
+    # stays in-window via q_sec_fact_bs' DecimalType(28,4) measures;
+    # HEADLINE-benched + pytest-oracled every run.
+    "q_pricing_summary",
+    # green r1-r5+r9; J11 equi-join+agg saturates the window via
+    # q_sec_fact_bs (J1-J5 composite/expression joins); pytest-oracled.
+    "q_join_agg",
+    # green r1-r5+r9; the left-anti surface stays via test_checks'
+    # fk_orphans every run and the returning q_semi_join battery (the
+    # semi/anti pair).
+    "q_anti_join",
+    # green r1-r5+r9; O1 global ordering returns via the returning
+    # q_pagination (deterministic global sort + LIMIT/OFFSET).
+    "q_window_topk",
+    # green r1-r5,r8,r9; W1 generator stays pytest-pinned; the F2/F3
+    # CASE/date surface returns via the returning q_case_quarter.
+    "q_date_dim",
+    # green r1-r3,r7,r9; §2.7 out-of-parity battery; pytest-oracled.
+    "q_set_ops",
+    # green r1-r5+r9; A5 rollup stays in-window via q_corpus_stats'
+    # per-source report card; pytest-oracled.
+    "q_rollup",
+    # green r1-r3,r7,r9; quantile machinery stays in-window via
+    # q_perplexity_buckets' bounded-histogram buckets; decimal agg via
+    # q_sec_fact_bs; pytest-oracled.
+    "q_percentiles",
+    # green r1,r2,r7,r9; the multi-distinct Expand surface stays
+    # in-window via q_profile's oracle-pinned exact arm and the
+    # returning q_distinct.
+    "q_multi_distinct",
+    # green r1-r7+r9; as-of semantics stay covered by the test_asof
+    # property suite + HEADLINE bench; temporal joins stay in-window via
+    # q_interval_join and q_stream_join.
+    "q_asof_join",
+    # green r3-r9 (7 consecutive); the P9 SELECT-only gate and S12
+    # bounded fetch stay covered by test_serve every run.
+    "q_sql_gate",
+    # green r3-r9 (7 consecutive); the A6 value_counts surface returns
+    # via the returning q_pivot (the same counts, pivot direction).
+    "q_unpivot",
+    # ----- sampled verification arms (birth-parked harness arms) -----
+    # sf10 rows: bpe_encode_ids 138s / sec_json_doc 134s /
+    # fuzzy_match 1155s / simhash64 32s (r9 sweep artifact);
+    # jaccard 26s / recall 54s / semantic 29s (r10 sweep artifact).
     "q_bpe_encode_ids_sampled",
-    # r9: the sf10-scale verification arm of q_sec_json_doc (same
-    # harness-bound pattern) — deterministic md5 1/16 filing stratum so
-    # the oracle's 60M-row window input stays inside DuckDB's pool.
-    # Parked at birth BY DESIGN for the sweep harness; pytest-oracled
-    # every run; the full build keeps its in-window row via
-    # q_sec_json_doc (pinned).
     "q_sec_json_doc_sampled",
-    # r9: the large-scale verification arm of q_fuzzy_match (same
-    # pattern) — md5 1/4 customer stratum bounds the output-superlinear
-    # pair join at sf10 within a sweep chunk. Parked at birth BY DESIGN
-    # as a harness arm; pytest-oracled every run; the full matcher keeps
-    # its in-window row via q_fuzzy_match (pinned).
     "q_fuzzy_match_sampled",
-    # r9: the large-scale verification arm of q_dedup_simhash64 (same
-    # pattern) — md5 1/16 doc stratum keeps the oracle's 64-rows-per-
-    # token explode inside the spill budget. Parked at birth BY DESIGN
-    # as a harness arm; pytest-oracled every run; the full-width query
-    # keeps its signal via the green sf1 sweep rows + pytest.
     "q_dedup_simhash64_sampled",
-    # r8: parked after their first (rows-only by design: binary decode
-    # has no DuckDB-expressible oracle) driver rows in r7. The decode
-    # paths are golden-byte pytest-verified — including, from r8, REAL
-    # stdlib-zlib PNG pixel decode — and the mapInPandas plumbing is
-    # exercised by test_multimodal every run.
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    #
-    # r7 rotation (VERDICT r6 #2), kept for history: q_explode_pos +
-    # q_multi_distinct + q_set_ops + q_null_safe_join + q_percentiles
-    # returned to the r7 window; the multimodal demos earned their
-    # first driver rows. Parked in exchange were the entries below.
-    # r7: parked for q_bpe_encode_ids' window slot (the id-emitting
-    # tokenizer output — the new operator earns the hard signal first,
-    # per policy); the greatest/least + scalar-math battery re-earned
-    # its green row in r6 after the r2-r6 park, stays oracle-verified
-    # every pytest run at sf0.001, and F4 decimal math stays in-window
-    # via q_pricing_summary / q_stats_agg.
-    "q_greatest_least",
-    # r7: parked for q_pack_token_ids' window slot (the writer-side
-    # block packer — the new operator earns the hard signal first);
-    # the window-frames battery re-earned its green row in r6 after
-    # the r2-r6 park, stays oracle-verified every pytest run, and
-    # running-window surfaces stay in-window via q_pack_token_ids'
-    # own per-shard cumulative sums and q_line_dedup's windows.
-    "q_window_frames",
-    # r7: parked for q_dedup_span_removal's window slot (the
-    # ExactSubstr removal pass — the new operator earns the hard
-    # signal first); the string-function battery re-earned its green
-    # row in r6 after the r2-r6 park, stays oracle-verified every
-    # pytest run, and the F1 string surface stays in-window via
-    # q_pii_scrub / q_c4-family regex+split chains and
-    # q_dedup_span_removal's own array_join/md5 surgery.
-    "q_string_funcs",
-    # r7: parked for q_dedup_recall's window slot (the MinHash
-    # candidate-recall harness — the new operator earns the hard
-    # signal first); the stats/stddev battery re-earned its green row
-    # in r6 after the r2-r6 park and stays oracle-verified every
-    # pytest run. r8 note: q_percentiles (the r7 in-window holder of
-    # the aggregate-statistics surface) parked again this round after
-    # its green r7 row — decimal aggregate math stays in-window via
-    # q_pricing_summary and quantile-cut machinery via
-    # q_perplexity_buckets' bounded histogram.
-    "q_stats_agg",
-    # (the r7 parks q_language_id / q_text_quality / q_fingerprint /
-    # q_sessionization / q_dedup_embedding / q_ann_topk /
-    # q_stream_hourly all rotated back into the window in r8)
-    # r7: parked for q_ann_ivfpq_res's window slot (the new
-    # residual-encoding arm earns the hard signal first, per policy);
-    # J2's broadcast hint stays in-window via q_sec_fact_bs, whose fact
-    # build runs the reference's own X1 broadcast hint
-    # (operators/facts.py:72), golden-tested. q_broadcast_star was
-    # green in every window r1-r6.
-    "q_broadcast_star",
-    # r7: parked for q_hybrid_rrf's window slot (the RRF hybrid-
-    # retrieval fusion earns the hard signal first, per policy).
-    # q_hybrid_rrf's oracle CONTAINS the entire BM25 chain — the
-    # shared _bm25_ctes() spelling at the larger arm cut (k=20 ⊃
-    # k=10) — so the BM25 scorer itself stays inside the driver
-    # signal through its successor. q_bm25 earned its green row in
-    # r6; pytest-oracle every run.
-    "q_bm25",
-    # r7: parked for q_perplexity_buckets' window slot (the CCNet
-    # perplexity-tier operator earns the hard signal first, per
-    # policy). q_perplexity_buckets' oracle CONTAINS the entire
-    # bigram-LM chain (shared _bigram_lp_ctes() spelling), so the
-    # scorer stays inside the driver signal through its successor.
-    # q_bigram_logprob earned its green row in r6; pytest-oracle
-    # every run.
-    "q_bigram_logprob",
-    # r7: parked for q_temperature_mix's window slot (the derived-
-    # weight temperature mixture earns the hard signal first, per
-    # policy). q_temperature_mix runs the IDENTICAL md5-threshold
-    # resample machinery (floor(w) copies + Bernoulli(frac(w)) by the
-    # same hex8 uniform) with the weight table derived-and-joined
-    # instead of literal, and q_training_mix keeps mixture_resample
-    # itself in-window. q_data_mixture was green r6; pytest-oracle
-    # every run.
-    "q_data_mixture",
-    # r7: parked for q_dedup_keep_best's window slot (the quality-
-    # aware canonical selector earns the hard signal first, per
-    # policy). q_dedup_keep_best's oracle CONTAINS the entire
-    # pairs -> recursive-components chain (shared
-    # _neardup_canon_sql_from), so the connected-components
-    # machinery stays inside the driver signal through its successor
-    # (and in the bench HEADLINE). q_dedup_clusters was green in
-    # every window r3-r6; pytest-oracle every run.
-    "q_dedup_clusters",
-    # r7: parked for q_budget_select's window slot (the token-budget
-    # corpus selector earns the hard signal first, per policy).
-    # q_budget_select's oracle CONTAINS the entire unigram-LM chain
-    # (shared _unigram_lp_ctes() spelling), so the scorer stays
-    # inside the driver signal through its successor. The histogram
-    # cut machinery is also in-window via q_perplexity_buckets.
-    # q_unigram_logprob was green r6; pytest-oracle every run.
-    "q_unigram_logprob",
-    # r7: parked for q_contamination_report's window slot (the
-    # contamination AUDIT report earns the hard signal first, per
-    # policy). q_contamination_report's oracle CONTAINS the shared
-    # shingle CTEs (_DECON_CTES) and its n_hits column IS
-    # decontaminate's n_hits per doc — the flag query is a strict
-    # projection of the successor. q_decontaminate was green in
-    # every window r4-r6; pytest-oracle every run.
-    "q_decontaminate",
-    # r7: parked for q_oov_rate's window slot (the OOV-rate vocab
-    # metric earns the hard signal first, per policy). q_oov_rate's
-    # oracle CONTAINS the token-count + (freq DESC, token) top-V cut
-    # machinery (the q_vocab_topk core); the coverage-curve cumsum
-    # stays exercised by q_pack_token_ids' per-shard window cumsums
-    # and the pytest oracle every run. q_vocab_topk was green r6.
-    "q_vocab_topk",
-    # r7: parked for q_dedup_verify's window slot (the candidate-pair
-    # verification stage earns the hard signal first, per policy).
-    # q_dedup_verify's oracle CONTAINS the entire banded chain
-    # (shared _minhash_pairs_ctes — also inside q_dedup_recall and
-    # q_dedup_keep_best, both in-window) and its input IS nd_pairs,
-    # so the candidate surface stays driver-checked three ways; it
-    # also puts EXACT per-pair Jaccard in-window, strengthening the
-    # q_dedup_jaccard park rationale. q_dedup_minhash was green in
-    # every window r1-r6 (and stays in the bench HEADLINE).
-    "q_dedup_minhash",
-    # r7: parked for q_dedup_delta's window slot (the delta-dedup
-    # candidate join — new batch vs existing corpus — earns the hard
-    # signal first, per policy). The banded-signature surface stays
-    # in-window FOUR ways (q_dedup_delta/q_dedup_verify/
-    # q_dedup_recall/q_dedup_keep_best all contain the shared
-    # _minhash_pairs_ctes chain); the SimHash operator itself stays
-    # oracle-verified every pytest run at both widths (q_dedup_simhash
-    # and q_dedup_simhash64 rows in test_workload_oracle) and in the
-    # bench HEADLINE. q_dedup_simhash64 was green r6.
-    "q_dedup_simhash64",
-    # r6 rotation: q_greatest_least / q_stats_agg / q_date_arith /
-    # q_window_frames / q_string_funcs return to the window (parked since
-    # r2 — the longest-stale hard signal); parked in exchange are five
-    # batteries green in every window r1-r5 whose surfaces stay covered
-    # in-window: q_projection (rename/derive — covered by q_surrogate_key
-    # + q_case_quarter), q_distinct (covered by q_dedup_exact's groupBy
-    # and pytest), q_semi_join (adjacent to in-window q_anti_join),
-    # q_pagination (ORDER/LIMIT/OFFSET — covered by q_window_topk's sort
-    # + serve pytest), q_pivot (value_counts — covered by q_rollup).
-    "q_projection",
-    "q_distinct",
-    "q_semi_join",
-    "q_pagination",
-    "q_pivot",
-    # r6: parked to make window room for q_dedup_simhash64 (the new
-    # large-corpus-width simhash query earns the hard signal first);
-    # json extraction stays covered in-window by q_json_doc and
-    # q_sec_json_doc, and q_json_extract was green r1-r5.
-    "q_json_extract",
-    # r6: parked to make window room for q_pii_scrub (new redaction
-    # operator earns the hard signal); CASE/quarter derivation stays
-    # covered in-window by q_date_dim, and q_case_quarter was green
-    # r1-r5.
-    "q_case_quarter",
-    # r6: parked to make window room for q_chunk_docs (new chunking
-    # operator earns the hard signal); A3 collect_list stays covered
-    # in-window by q_sec_json_doc's ARRAY_AGG(OBJECT_CONSTRUCT), and
-    # q_collect_list was green r1-r5.
-    "q_collect_list",
-    # r6 (second rotation, for the four NEW oracle-bearing queries
-    # q_vocab_topk / q_tfidf / q_stream_join / q_ann_pq — new operators
-    # earn the hard driver signal first; each parked battery was green
-    # in every window r1-r5 and stays covered in-window:
-    # q_array_ops (slice/sequence/posexplode now in-window via
-    # q_chunk_docs, HOF folds via q_text_repetition), q_filter_compose
-    # (dynamic predicates covered by q_sql_gate's gated plan + serve
-    # pytest), q_watermark (incremental high-watermark covered by
-    # q_stream_hourly + streaming pytest), q_validation_stats
-    # (regex/range/length checks covered by test_checks pytest +
-    # q_pii_scrub's regex surface).
-    "q_array_ops",
-    "q_filter_compose",
-    "q_watermark",
-    "q_validation_stats",
-    # r6: parked for q_data_mixture's window slot (the new mixture-
-    # resampling operator earns the hard signal); ranked-window top-k
-    # stays covered in-window by q_tfidf's per-doc rank and q_ann_pq's
-    # per-query rank, plus the serve-layer pagination pytest.
-    # q_window_topk was green in every window r1-r5.
-    # (q_window_topk rotated back into the window in r9 — r9 oldest-park batch)
-    # r6: parked for q_unigram_logprob's window slot (the new LM
-    # quality-filter operator earns the hard signal); S8/F6 row-records
-    # JSON stays covered in-window by q_sec_json_doc (the same
-    # collect_list(struct) + to_json construction over the SEC star)
-    # and the test_tsv_read sink tests. q_json_doc was green r1-r5.
-    "q_json_doc",
-    # r6: parked for q_ann_ivfpq's window slot (the composed IVF+PQ
-    # architecture earns the hard signal); F5's MD5 surrogate macro
-    # stays covered in-window by q_sec_fact_bs, whose fact build runs
-    # the identical dbt_utils-parity surrogate-key expression, plus the
-    # test_functions byte-parity pytest. q_surrogate_key was green
-    # r1-r5.
-    "q_surrogate_key",
-    # (q_window_running rotated back into the window in r8 — last
-    # driver row r4, the oldest park)
-    # r6: parked for q_quality_filter's window slot (the new composite
-    # quality-filter operator earns the hard signal); J10 left-anti
-    # semantics stay exercised by test_checks' fk_orphans pytest (the
-    # identical left_anti build at checks.py:57), and q_anti_join was
-    # green in every window r1-r5.
-    # (q_anti_join rotated back into the window in r9 — r9 oldest-park batch)
-    # r6: parked for q_bm25's window slot (the new sparse-retrieval
-    # scorer earns the hard signal); J1/J11 composite-key inner joins
-    # stay in-window via q_sec_fact_bs's fact build and A5 SUM rollups
-    # via q_pricing_summary/q_rollup. q_join_agg was green in every
-    # window r1-r5.
-    # (q_join_agg rotated back into the window in r9 — r9 oldest-park batch)
-    # r6: parked for q_dedup_semantic's window slot (the new SemDeDup
-    # operator earns the hard signal); P5's constant-filter fact shape
-    # stays in-window via q_sec_fact_bs (the same filtered star build,
-    # golden-tested) and q_broadcast_star. q_fact_star_shape was green
-    # in every window r1-r5.
-    "q_fact_star_shape",
-    # r6: parked for q_dsir_select's window slot (the new DSIR
-    # importance-resampling operator earns the hard signal); J3/J4
-    # left-join semantics stay in-window via q_sec_fact_bs's
-    # null-rejection post-left-join and q_sec_json_doc's multi-way
-    # left flattening. q_left_join_counts was green in every window
-    # r1-r5.
-    "q_left_join_counts",
-    # r6: parked for q_global_shuffle's window slot (the new
-    # training-order shuffle earns the hard signal); J5's
-    # expression-key join (to_date ≙ TRY_TO_DATE, ANSI off) stays
-    # in-window because q_sec_fact_bs runs the IDENTICAL join inside
-    # build_fact (operators/facts.py:121-124), golden-tested.
-    # q_expr_key_join was green in every window r1-r5.
-    "q_expr_key_join",
-    # (q_date_dim rotated back into the window in r8 after its r5
-    # park; it re-takes the F2/F3 CASE/date pin from q_date_arith)
-    # r6: parked for q_corpus_stats's window slot (the new per-source
-    # report-card aggregate earns the hard signal); A5 SUM rollups
-    # stay in-window via q_pricing_summary, A6 value-counts via
-    # q_vocab_topk's frequency counting and q_corpus_stats's own
-    # count-distinct aggregates. q_rollup was green in every window
-    # r1-r5.
-    # (q_rollup rotated back into the window in r9 — r9 oldest-park batch)
-    # (q_dedup_jaccard rotated back into the window in r8 after its
-    # r5 park; exact token-set Jaccard re-earns the hard signal while
-    # q_dedup_verify parks)
-    # r6: parked for q_training_mix's window slot (the end-to-end
-    # mixture->shuffle->pack assembly earns the hard signal); the
-    # SimHash surface stays in-window via q_dedup_simhash64 — the SAME
-    # operator at the large-corpus fingerprint width, with its own full
-    # banded-join oracle — and the 16-bit query stays oracle-verified
-    # every pytest run. q_dedup_simhash was green in every window
-    # r1-r5 (and stays in the bench HEADLINE for perf tracking).
-    "q_dedup_simhash",
-    # r6: parked for q_line_dedup's window slot (the new corpus-wide
-    # line dedup earns the hard signal); the line-stage family runs
-    # over the SAME synthetic pages (shared _c4_pages/_c4_pages_ctes
-    # construction) and q_c4_clean stays oracle-verified every pytest
-    # run. Green in every window r3-r5 (added r3).
-    "q_c4_clean",
-    # r6: parked for q_bigram_logprob's window slot (the n-gram LM
-    # scorer earns the hard signal); the packing surface stays
-    # in-window via q_training_mix, which runs the IDENTICAL
-    # pack_sequences chain over its mixture examples (generalized
-    # _pack_sql_from oracle). q_pack_sequences was green in every
-    # window r3-r5.
-    "q_pack_sequences",
-    # r6: parked for q_bpe_train's window slot (the distributed BPE
-    # trainer earns the hard signal); the md5-hash-threshold sampling
-    # construct stays in-window via q_data_mixture (the identical
-    # u < threshold Bernoulli arm) and q_corpus_split (the same md5
-    # bucket machinery). q_stratified_sample was green in every window
-    # r1-r5.
-    "q_stratified_sample",
-    # r6: parked for q_bpe_encode's window slot (the encoder side of
-    # the BPE pair earns the hard signal); the md5-bucket assignment
-    # machinery stays in-window via q_global_shuffle (the same
-    # hex-prefix bucketing), q_data_mixture, and q_training_mix's pack
-    # shards. q_corpus_split was green in every window r1-r5.
-    "q_corpus_split",
-    # r7 (late batch): parked for q_bloom_dedup's window slot — the new
-    # operator earns the hard signal first, and its oracle CONTAINS the
-    # exact-dedup surface (md5 content hashes + the exact-dup ground
-    # truth it measures false positives against). q_dedup_exact has
-    # been green in every round since r1 and stays pytest-oracled.
-    "q_dedup_exact",
-    # r7 (late batch): parked for q_cluster_sample's window slot — the
-    # successor query shares the IDENTICAL _lloyd_chain_ctes unroll the
-    # semantic-dedup oracle replays (the containment-rotation pattern),
-    # and the Lloyd chain stays in-window three more ways (q_ann_ivf,
-    # q_ann_ivfpq, q_ann_ivfpq_res). The within-cell cosine-pair
-    # surface stays pytest-oracled every run (q_dedup_embedding's
-    # oracle runs the same rounded-cosine compare). Green r6.
-    "q_dedup_semantic",
-    # r7 (late batch): parked for q_hashed_classifier's window slot —
-    # the tf/df aggregation surface stays in-window via q_hybrid_rrf,
-    # whose oracle embeds the full BM25 chain (tf groupBy + idf), and
-    # the md5 token-bucket surface via q_dsir_select and
-    # q_hashed_classifier itself. Green r6; pytest-oracled every run.
-    "q_tfidf",
-    # r7 (final batch): parked for q_ngram_diversity's window slot —
-    # the corpus-level distinct-n diversity table earns the hard
-    # signal first, per policy. The per-doc sorted-run fold surface
-    # stays pytest-oracled every run (q_text_repetition row in
-    # test_workload_oracle + the counting property test) and
-    # barrier-staged HOF folds stay in-window via q_corpus_stats
-    # (composes quality_filter's fold chain) and q_dedup_span_removal's
-    # HOF surgery; the operator stays in the bench HEADLINE. Green in
-    # every window r6-r7-candidate (r6 row green; barrier win
-    # re-verified r7 §30).
-    "q_text_repetition",
-    # r7 (final batch): parked for q_tokenizer_fertility's window
-    # slot — the successor's oracle CONTAINS the entire q_bpe_encode
-    # body verbatim (nested-WITH: train chain + doc merge chain +
-    # per-doc counts), so the encoder stays in the hard signal through
-    # its successor; the counts arm also feeds q_bpe_encode_ids, still
-    # in-window. Green r6.
-    "q_bpe_encode",
-    # r7 (final batch): parked for q_kmeans_quality's window slot — the
-    # successor replays the IDENTICAL _lloyd_chain_ctes unroll at TWO
-    # widths (k=4 and k=8 vs q_ann_ivf's single k=8), so the Lloyd
-    # chain stays in-window five ways (q_kmeans_quality, q_ann_ivfpq,
-    # q_ann_ivfpq_res, q_cluster_sample, q_dedup_semantic-successor
-    # q_cluster_sample), and ivf_topk itself — probe + score — stays
-    # EXECUTED in-window by q_ann_recall, whose oracle embeds the full
-    # _ann_ivf_sql() body. Green in every window r3-r6.
-    "q_ann_ivf",
-    # r7 (final batch): parked for q_funnel's window slot — the md5
-    # sort-key + per-shard ordered-window machinery stays in-window via
-    # q_pack_token_ids (identical hex-prefix shard assignment + per-
-    # shard ordered cumsum windows) and q_training_mix (the same
-    # machinery over its mixture examples); the shuffle operator stays
-    # pytest-oracled every run and HEADLINE-benched. Green r6.
-    "q_global_shuffle",
-    # r7 (final batch): parked for q_retention's window slot — the full
-    # quality_filter signal chain runs inside q_corpus_stats's
-    # in-window oracle (PREP_ORACLES['q_quality_filter'] is nested
-    # verbatim for the pass-rate column), so every rule and ratio stays
-    # driver-checked through the successor. Green r6; pytest-oracled
-    # every run and HEADLINE-benched.
-    "q_quality_filter",
+    "q_dedup_jaccard_sampled",
+    "q_dedup_recall_sampled",
+    "q_dedup_semantic_sampled",
+    # ----- rows-only multimodal demos (no DuckDB oracle for binary
+    # decode; golden-byte pytest-verified incl. real PNG/GIF/JPEG) -----
+    "q_multimodal_features",   # driver rows r7
+    "q_multimodal_frames",     # driver rows r7
+    # ----- r9 parks (green r8; stories in NOTES_parks.md) -----
+    "q_window_running",        # r8; windows via q_pack_token_ids + pytest
+    "q_dedup_embedding",       # r8; via q_cluster_sample + q_ann_recall
+    "q_ann_topk",              # r8; truth arm inside q_ann_recall's oracle
+    "q_text_quality",          # r8; nested in q_corpus_stats' oracle
+    "q_language_id",           # r8; runs inside q_corpus_pipeline
+    "q_fingerprint",           # r8; shingle-hash via q_dedup_substrings
+    "q_heavy_hitters",         # r8 birth row; sf10-green r8; pytest-oracled
+    "q_kn_logprob",            # r8 birth row; chain in q_perplexity_buckets
+    "q_sessionization",        # r8; CTE chain inside q_interval_join oracle
+    "q_retention",             # r8; same single-scan shape as q_funnel
+    "q_scd2_history",          # r8 birth row; test_scd pins determinism
+    "q_pagerank",              # r8 birth row; pytest bit-identity pin
+    "q_stream_hourly",         # r8; streaming via q_stream_join/q_cdc_stream
+    "q_temperature_mix",       # r8; resample via q_training_mix
+    "q_hashed_classifier",     # r8; hashed features via q_dsir_select
+    "q_ann_ivfpq_res",         # r8; PQ surface via q_ann_pq + q_ann_ivfpq
+    # ----- r8 parks (stories in NOTES_parks.md) -----
+    "q_ann_lsh",               # r7; bucketed-ANN via q_ann_recall; HEADLINE
+    "q_explode_pos",           # r7; explode via q_chunk_docs
+    "q_null_safe_join",        # r7; null-key discipline via q_sec_fact_bs
+    "q_date_arith",            # r7; F2/F3 via returning q_case_quarter
+    "q_dedup_verify",          # r7; chain contained in q_dedup_recall
+    "q_bpe_encode_ids",        # r7; nested in q_tokenizer_fertility oracle
+    # ----- r7 parks (stories in NOTES_parks.md) -----
+    "q_greatest_least",        # r6; F4 math via q_pricing_summary's family
+    "q_window_frames",         # r6; frames via q_pack_token_ids cumsums
+    "q_string_funcs",          # r6; F1 via q_pii_scrub + span-removal HOFs
+    "q_stats_agg",             # r6; stddev battery; pytest-oracled
+    "q_broadcast_star",        # r6; J2 hint via q_sec_fact_bs (golden)
+    "q_bm25",                  # r6; full chain inside q_hybrid_rrf oracle
+    "q_bigram_logprob",        # r6; chain inside q_perplexity_buckets
+    "q_data_mixture",          # r6; resample via q_training_mix
+    "q_dedup_clusters",        # r6; components chain in q_dedup_keep_best
+    "q_unigram_logprob",       # r6; chain inside q_budget_select oracle
+    "q_decontaminate",         # r6; projection of q_contamination_report
+    "q_vocab_topk",            # r6; top-V cut inside q_oov_rate oracle
+    "q_dedup_minhash",         # r6; banded chain in 3 in-window oracles
+    "q_dedup_simhash64",       # r6; sampled arm + sf1 sweep + HEADLINE
+    "q_dedup_exact",           # r6; surface inside q_bloom_dedup oracle
+    "q_dedup_semantic",        # r6; Lloyd chain via q_cluster_sample;
+    #                            sampled arm carries the sf10 signal
+    "q_tfidf",                 # r6; tf/df via q_hybrid_rrf's BM25 chain
+    "q_text_repetition",       # r6; HOF folds via q_corpus_stats; HEADLINE
+    "q_bpe_encode",            # r6; nested in q_tokenizer_fertility oracle
+    "q_ann_ivf",               # r6; Lloyd unroll in 4 in-window oracles
+    "q_global_shuffle",        # r6; shard machinery via q_pack_token_ids
+    "q_quality_filter",        # r6; nested in q_corpus_stats oracle
+    # ----- r6 and earlier parks (stories in NOTES_parks.md) -----
+    "q_json_doc",              # r5; A3/F6 via q_sec_json_doc (in-window)
+    "q_surrogate_key",         # r5; F5 byte-parity via q_sec_fact_bs
+    "q_fact_star_shape",       # r5; star joins via q_sec_fact_bs
+    "q_left_join_counts",      # r5; J3/J4 via q_sec_fact_bs left joins
+    "q_expr_key_join",         # r5; J5 runs inside q_sec_fact_bs build
+    "q_dedup_simhash",         # r5; 16-bit parity arm; pytest + HEADLINE
+    "q_c4_clean",              # r5; line stage inside q_line_dedup
+    "q_pack_sequences",        # r5; pack chain via q_pack_token_ids
+    "q_stratified_sample",     # r5; md5-threshold via q_training_mix
+    "q_corpus_split",          # r5; hex-prefix bucketing via q_training_mix
 )
 
 _ALL_QUERIES: dict[str, object] = {

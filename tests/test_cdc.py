@@ -362,3 +362,67 @@ def test_stream_cdc_sink_expire_horizon_bounds_state(spark, tmp_path):
     assert _snap(read_cdc_snapshot(spark, t_cb)) == _snap(
         read_cdc_snapshot(spark, t_unbounded)
     )
+
+
+def test_stream_cdc_sink_survives_redelivery(spark, tmp_path):
+    """ADVICE r9 (medium): a foreachBatch REDELIVERY after a crash in
+    the commit window (state already committed at v=<batch_id>, Spark
+    checkpoint commit lost) must not fail with 'Cannot overwrite a path
+    that is also being read from' — the sink detects state version >=
+    batch id, skips the rewrite (the merge is idempotent; the committed
+    state already folds the batch) and re-publishes the marker."""
+    import os
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.cdc import (
+        cdc_apply,
+    )
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.streaming.incremental import (
+        read_cdc_snapshot,
+        stream_cdc_sink,
+    )
+
+    rng = random.Random(1234)
+    rows = _random_changelog(rng, n_keys=10, n_changes=60)
+    rng.shuffle(rows)
+    df = _df(spark, rows)
+    src = str(tmp_path / "in")
+    df.repartition(2).write.parquet(src)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+
+    target = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream_cdc_sink(make_stream(), target, ckpt, KEY, SEQ)
+    want = _snap(read_cdc_snapshot(spark, target))
+
+    # simulate the crash window: the state and marker committed for the
+    # final batch, but the STREAM's checkpoint commit was lost -> on
+    # restart Spark redelivers that batch to apply_batch
+    def drop_last_commit():
+        commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+        last = [c for c in commits if c.isdigit()][-1]
+        os.remove(os.path.join(ckpt, "commits", last))
+        crc = os.path.join(ckpt, "commits", f".{last}.crc")
+        if os.path.exists(crc):  # local ChecksumFs sidecar
+            os.remove(crc)
+        return last
+
+    drop_last_commit()
+
+    # marker present (crash after marker swap): restart must succeed
+    stream_cdc_sink(make_stream(), target, ckpt, KEY, SEQ)
+    assert _snap(read_cdc_snapshot(spark, target)) == want
+
+    # marker lost too (crash inside the swap): recovery adopts the
+    # newest _SUCCESS version, skip-path re-publishes the marker
+    drop_last_commit()
+    os.remove(os.path.join(target, "_LATEST"))
+    stream_cdc_sink(make_stream(), target, ckpt, KEY, SEQ)
+    assert os.path.isfile(os.path.join(target, "_LATEST"))
+    assert _snap(read_cdc_snapshot(spark, target)) == want

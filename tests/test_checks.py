@@ -154,3 +154,26 @@ def test_profile_table_auto_dispatch(spark):
     # explicit pin overrides the dispatch (the oracle surface)
     bpx = profile_table(big, approx_distinct=False)
     assert "Expand" in bpx._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_profile_table_warns_when_plan_size_unknown(spark, monkeypatch):
+    """ADVICE r9 (low): under Spark Connect _plan_size_bytes is always
+    None, so the default silently flips every profile to HLL — the flip
+    must WARN so callers relying on exact counts discover it."""
+    import warnings
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark import checks
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import asof
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    monkeypatch.setattr(asof, "_plan_size_bytes", lambda _df: None)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = checks.profile_table(df)
+        out.collect()
+    assert any("approx_distinct=False" in str(w.message) for w in rec)
+    # pinning either arm stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        checks.profile_table(df, approx_distinct=False).collect()
+    assert not [w for w in rec if "approx_distinct" in str(w.message)]

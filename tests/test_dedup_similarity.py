@@ -1430,3 +1430,29 @@ def test_simhash_auto_width_dispatch(spark, docs):
     auto = {r["id"]: r["simhash"] for r in DD.simhash(docs).collect()}
     pinned = {r["id"]: r["simhash"] for r in DD.simhash(docs, n_bits=16).collect()}
     assert auto == pinned
+
+
+def test_simhash_auto_width_warns_when_plan_size_unknown(spark, monkeypatch):
+    """ADVICE r9 (low): when plan introspection is unavailable the
+    simhash auto-width always lands on 64 bits regardless of corpus
+    size — that silent flip must WARN and point at pinning n_bits."""
+    import warnings
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators import (
+        asof,
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(asof, "_plan_size_bytes", lambda _df: None)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dedup.simhash(docs).collect()
+    assert any("pin n_bits" in str(w.message) for w in rec)
+    # an explicit width stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dedup.simhash(docs, n_bits=16).collect()
+    assert not [w for w in rec if "n_bits" in str(w.message)]

@@ -34,231 +34,65 @@ def test_oracle_queries_inside_driver_window():
     window = set(list(qs)[:DRIVER_WINDOW])
     stranded = [k for k in osql if k not in window and k not in TAIL_QUERIES]
     assert stranded == [], f"oracle-bearing queries outside driver window: {stranded}"
-    # The flagship queries called out by the judge must be in the hard signal.
+    # The flagship queries called out by the judge must be in the hard
+    # signal, plus every query holding a containment PIN (a parked
+    # predecessor's surface rides its oracle) and this round's returns.
+    # Historical per-round pin rationales moved to NOTES_parks.md
+    # (VERDICT r9 #5) — each name below is annotated with what it holds.
     for k in (
+        # flagships (the two SEC dbt-project builds)
         "q_sec_fact_bs",
-        "q_sql_gate",
-        "q_unpivot",
-        # r7 final batch: q_ann_ivf parked in exchange for the k-means
-        # quality report after green rows r3-r6 — its pin moves to the
-        # successor, whose oracle replays the identical
-        # _lloyd_chain_ctes unroll at two widths, and ivf_topk itself
-        # stays EXECUTED in-window by q_ann_recall (whose oracle embeds
-        # the full _ann_ivf_sql body)
-        "q_kmeans_quality",
-        # rotated in for r4 (VERDICT r3, task 1): the newest corpus
-        # operators get the driver's hard signal. r6 rotation:
-        # q_c4_clean and q_pack_sequences earned green rows r3-r5 and
-        # parked in exchange for q_line_dedup / q_bigram_logprob (their
-        # pins moved with them — the line stage and the pack chain stay
-        # in-window through the successors).
-        # r7: q_decontaminate parked in exchange after green rows
-        # r4-r6 — its n_hits/flag output is a strict projection of
-        # the successor's audit report, whose oracle contains the
-        # shared _DECON_CTES shingle chain
-        "q_contamination_report",
-        "q_corpus_pipeline",
-        # r6 rotation (VERDICT r5 #4): the longest-parked
-        # oracle-bearing batteries re-earn a driver-recorded green row
-        # (q_greatest_least re-parked in r7 for q_bpe_encode_ids' slot
-        # and q_window_frames for q_pack_token_ids', each after its r6
-        # green row)
-        # (q_stats_agg re-parked in r7 for q_dedup_recall's slot
-        # after its r6 green row)
-        # r8: q_date_arith re-parked after green rows r6+r7; the
-        # F2/F3 CASE/date pin moves back to q_date_dim, rotated into
-        # the window this round after its r5 park
-        "q_date_dim",
-        # (q_string_funcs re-parked in r7 for q_dedup_span_removal's
-        # slot after its r6 green row)
-        # r6 new operators take the hard signal first (q_array_ops'
-        # r5 pin rotated out in exchange — array slicing/explode stays
-        # in-window via q_chunk_docs, HOF folds via q_text_repetition)
-        # r7: per-doc OOV rate (q_vocab_topk parked in exchange after
-        # green rows r6 — the token-count + top-V frequency-cut core
-        # runs inside q_oov_rate's oracle; the coverage cumsum stays
-        # via q_pack_token_ids' windows + pytest)
-        "q_oov_rate",
-        # r7 late batch: hashed-linear classifier inference (q_tfidf
-        # parked in exchange after its r6 green row — the tf/df
-        # aggregation surface stays in-window via q_hybrid_rrf's
-        # embedded BM25 chain, md5 token-bucketing via q_dsir_select
-        # and q_hashed_classifier itself)
-        # (q_hashed_classifier re-parked in r9 after green rows
-        # r7-r8; the md5 token-bucket pin returns to q_dsir_select,
-        # rotated back this round)
-        "q_dsir_select",
-        # r8 session 3: q_stream_join re-parked after green rows r6+r7
-        # (window room for the new CDC/z-order/fuzzy operators without
-        # displacing the SEC flagships); the watermarked streaming
-        # surface keeps its in-window pin via q_stream_hourly, and the
-        # interval-join batch-equivalence oracle stays in
-        # test_workload_oracle every run
-        # (q_stream_hourly re-parked in r9 after green rows r6-r8;
-        # the watermarked streaming pin returns to q_stream_join,
-        # rotated back this round)
-        "q_stream_join",
-        # r8 session 3: q_ann_pq re-parked after green rows r6+r7 — the
-        # PQ codebook/ADC surface stays in-window composed via
-        # q_ann_ivfpq and q_ann_ivfpq_res (pinned below)
-        # (q_ann_ivfpq_res re-parked in r9 after green rows r7-r8;
-        # the PQ pin returns to q_ann_pq, rotated back this round,
-        # composed PQ stays via q_ann_ivfpq below)
-        "q_ann_pq",
-        # r8 session 3 new operators: the CDC compaction, z-order layout
-        # key, and SymSpell fuzzy matcher earn the hard signal at birth
+        "q_sec_json_doc",
+        # r10 returns (VERDICT r9 #4): the twelve r5-era parks re-earn
+        # their driver rows this round
+        "q_projection",
+        "q_distinct",
+        "q_semi_join",
+        "q_pagination",
+        "q_pivot",
+        "q_json_extract",
+        "q_case_quarter",
+        "q_collect_list",
+        "q_array_ops",
+        "q_filter_compose",
+        "q_watermark",
+        "q_validation_stats",
+        # containment pins: each holds one or more parked predecessors'
+        # surfaces inside its own oracle (see registry.py annotations)
+        "q_kmeans_quality",        # q_ann_ivf's Lloyd unroll (2 widths)
+        "q_contamination_report",  # q_decontaminate's _DECON_CTES chain
+        "q_corpus_pipeline",       # q_language_id's cleaning chain
+        "q_oov_rate",              # q_vocab_topk's top-V cut
+        "q_dsir_select",           # q_hashed_classifier's md5 buckets
+        "q_stream_join",           # q_stream_hourly's watermark surface
+        "q_ann_pq",                # q_ann_ivfpq_res's PQ codebook/ADC
+        "q_ann_ivfpq",             # composed IVF+PQ
+        "q_ann_recall",            # q_ann_topk truth arm + q_ann_lsh/ivf
+        "q_cluster_sample",        # q_dedup_semantic's Lloyd chain
+        "q_bloom_dedup",           # q_dedup_exact's content-hash surface
+        "q_dedup_keep_best",       # q_dedup_clusters' components chain
+        "q_dedup_recall",          # q_dedup_verify's banded chain
+        "q_dedup_jaccard",         # exact per-pair Jaccard surface
+        "q_dedup_delta",           # q_dedup_minhash's banded chain
+        "q_dedup_span_removal",    # q_dedup_substrings' detection chain
+        "q_budget_select",         # q_unigram_logprob's LM chain
+        "q_perplexity_buckets",    # q_bigram_logprob + q_kn chain
+        "q_hybrid_rrf",            # q_bm25's full chain
+        "q_corpus_stats",          # q_quality_filter + q_text_quality
+        "q_training_mix",          # q_temperature_mix/q_data_mixture
+        "q_pack_token_ids",        # q_pack_sequences/q_window_frames
+        "q_tokenizer_fertility",   # q_bpe_encode(_ids) nested verbatim
+        "q_line_dedup",            # q_c4_clean's line stage
+        "q_interval_join",         # q_sessionization's CTE chain
+        "q_funnel",                # q_retention's single-scan shape
+        # r8s3 operators that earned the signal at birth and keep it
         "q_cdc_apply",
         "q_zorder_cells",
         "q_fuzzy_match",
-        # r7: temperature-scaled mixture with derived weights
-        # (q_data_mixture parked in exchange after its r6 green row —
-        # the identical md5-threshold resample machinery runs inside
-        # q_temperature_mix and q_training_mix keeps mixture_resample
-        # in-window)
-        # (q_temperature_mix re-parked in r9 after green rows r7-r8;
-        # the md5-threshold resample pin returns to q_training_mix,
-        # rotated back this round)
-        "q_training_mix",
-        # r7: quality-aware canonical selection (q_dedup_clusters
-        # parked in exchange after green rows r3-r6 — the full
-        # pairs -> recursive-components chain runs inside
-        # q_dedup_keep_best's oracle via _neardup_canon_sql_from)
-        "q_dedup_keep_best",
-        # r7: token-budget corpus selection (q_unigram_logprob parked
-        # in exchange after its r6 green row — the whole unigram-LM
-        # chain runs inside q_budget_select's oracle via the shared
-        # _unigram_lp_ctes spelling)
-        "q_budget_select",
-        "q_ann_ivfpq",
-        # r6 continuation: the Gopher-style composite filter decision
-        # stage (q_anti_join parked in exchange — left-anti stays
-        # exercised by test_checks' fk_orphans pytest). r7 final batch:
-        # q_quality_filter itself parked for the retention-cohort slot
-        # after its r6 green row — its entire oracle is NESTED verbatim
-        # inside q_corpus_stats' in-window oracle (the pass-rate
-        # column), so the pin moves to the successor.
-        "q_corpus_stats",
-        # r7: RRF hybrid retrieval (q_bm25 parked in exchange after
-        # its r6 green row — q_hybrid_rrf's oracle contains the whole
-        # shared _bm25_ctes() chain, so BM25 stays in the hard signal
-        # through its successor)
-        "q_hybrid_rrf",
-        # r7 late batch: cluster-balanced prototype selection
-        # (q_dedup_semantic parked in exchange after its r6 green row —
-        # q_cluster_sample's oracle shares the IDENTICAL
-        # _lloyd_chain_ctes unroll, and the Lloyd chain stays in-window
-        # via q_kmeans_quality / q_ann_ivfpq / q_ann_ivfpq_res as well)
-        "q_cluster_sample",
-        # r7 late batch: Bloom-filter ingest dedup (q_dedup_exact
-        # parked in exchange after green rows r1-r6 — q_bloom_dedup's
-        # oracle contains the exact-dedup surface: md5 content hashes
-        # plus the exact-dup ground truth it measures FPs against)
-        "q_bloom_dedup",
-        # r8 session 3: q_dsir_select re-parked after green rows r6+r7
-        # for the column profiler's slot — md5 token-bucketing stays
-        # in-window via q_hashed_classifier, the md5-threshold Bernoulli
-        # resample via q_temperature_mix, and the DSIR oracle stays in
-        # test_workload_oracle every run
         "q_profile",
-        # r8 session 3: bucketized interval-overlap join (q_pii_scrub
-        # parked in exchange after green rows r6+r7 — rationale in
-        # registry.py; the oracle contains the sessionization chain)
-        "q_interval_join",
-        # r9 rotation (VERDICT r8 #4): the remaining named returns
-        # re-earn their hard signal this round
-        "q_asof_join",
-        "q_pricing_summary",
-        "q_chunk_docs",
-        "q_dedup_substrings",
-        "q_pii_scrub",
-        "q_multi_distinct",
-        "q_percentiles",
-        "q_set_ops",
-        # r9: four of the OLDEST parks (last driver rows r5) re-earn
-        # theirs per the rotation policy
-        "q_join_agg",
-        "q_rollup",
-        "q_window_topk",
-        "q_anti_join",
-        # r6 continuation: deterministic training-order shuffle
-        # (q_expr_key_join parked in exchange — the identical
-        # expression-key join runs inside q_sec_fact_bs's build_fact).
-        # r7 final batch: q_global_shuffle itself parked for the
-        # conversion-funnel slot after its r6 green row — the md5
-        # sort-key + per-shard ordered-window machinery stays in-window
-        # via q_pack_token_ids and q_training_mix; the pin moves to the
-        # new event-funnel operator.
-        "q_funnel",
-        # r6 continuation: ANN recall harness + corpus report card
-        # (q_date_dim / q_rollup parked in exchange, rationale in
-        # registry.py; q_corpus_stats pinned above)
-        "q_ann_recall",
-        # r6 continuation: repeated-substring detection
-        # (q_dedup_jaccard parked in exchange — Jaccard semantics stay
-        # in-window via q_dedup_verify's EXACT per-pair Jaccard and
-        # q_dedup_recall's truth arm; q_dedup_minhash itself parked
-        # r7 for q_dedup_verify's slot after green rows r1-r6, its
-        # banded chain contained in three in-window oracles)
-        # r8 session 3: q_dedup_substrings re-parked after its r7 green
-        # row — the detection chain is CONTAINED in the removal pass's
-        # oracle, so the Lee-et-al. surface pin moves to the successor
-        "q_dedup_span_removal",
-        # r8: q_dedup_verify parked after its first green row r7 — its
-        # banded chain is contained in q_dedup_recall (pinned below)
-        # and exact per-pair Jaccard returns via q_dedup_jaccard,
-        # rotated back in this round
-        "q_dedup_jaccard",
-        # r7: delta dedup — new batch vs existing corpus
-        # (q_dedup_simhash64 parked in exchange after its r6 green
-        # row; both SimHash widths stay oracle-verified every pytest
-        # run and in the bench HEADLINE)
-        "q_dedup_delta",
-        # r8 session 3: q_training_mix re-parked after green rows r6+r7
-        # for the streaming CDC twin's slot — the md5-threshold resample
-        # machinery stays in-window via q_temperature_mix (identical
-        # construction) and the pack chain via q_pack_token_ids; the
-        # assembly oracle stays in test_workload_oracle every run
         "q_cdc_stream",
-        # r6 continuation: line dedup + bigram LM (q_c4_clean /
-        # q_pack_sequences parked in exchange, rationale in
-        # registry.py)
-        "q_line_dedup",
-        # r7: CCNet perplexity tiers (q_bigram_logprob parked in
-        # exchange after its r6 green row — q_perplexity_buckets'
-        # oracle contains the whole shared _bigram_lp_ctes() chain,
-        # so the bigram LM stays in the hard signal through its
-        # successor)
-        "q_perplexity_buckets",
-        # r6 continuation: distributed BPE trainer
-        # (q_stratified_sample parked in exchange — the md5-threshold
-        # construct stays in-window via q_data_mixture/q_corpus_split)
         "q_bpe_train",
-        # r6 continuation: the BPE encoder (q_corpus_split parked in
-        # exchange — md5-bucket machinery stays via q_data_mixture /
-        # q_training_mix / q_pack_token_ids). r7 final batch: the
-        # corpus distinct-n diversity table (q_text_repetition parked
-        # in exchange after green rows r6-r7; the per-doc fold stays
-        # pytest-oracled + HEADLINE-benched).
         "q_ngram_diversity",
-        # r7 final batch:
-        # q_bpe_encode itself parked for the fertility-report slot
-        # after green rows r6 — its oracle body is nested VERBATIM
-        # inside q_tokenizer_fertility's, so the pin moves to the
-        # successor.
-        "q_tokenizer_fertility",
-        # r8: q_bpe_encode_ids parked after its first green row r7 —
-        # its train+encode chain is nested verbatim inside
-        # q_tokenizer_fertility's oracle (pinned above), so the
-        # encoder pin rides the successor
-        # r7: the writer-side block packer (q_window_frames parked in
-        # exchange after its fresh r6 green row)
-        "q_pack_token_ids",
-        # r7: the ExactSubstr span-removal pass (q_string_funcs parked
-        # in exchange after its fresh r6 green row)
-        "q_dedup_span_removal",
-        # r7: the MinHash candidate-recall harness (q_stats_agg parked
-        # in exchange after its fresh r6 green row)
-        "q_dedup_recall",
     ):
         assert k in window, k
 

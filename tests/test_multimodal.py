@@ -1219,3 +1219,46 @@ def test_jpeg_fill_bytes_before_markers():
         feats = MM.jpeg_pixel_stats(padded)
         assert feats is not None
         assert abs(feats["mean_luma"] - 150.0 / 255.0) < 0.004
+
+
+def test_jpeg_short_but_self_consistent_segments_return_none():
+    """ADVICE r9 (medium): a segment whose declared length is internally
+    consistent (len(seg) == seg_len - 2) but semantically SHORT must
+    return None, not raise and kill the mapInPandas task — an SOS with
+    seg_len=2 (seg[0] IndexError), an SOF declaring 3 components over a
+    2-component body, and an SOS repeating a component id (the luma
+    next() StopIteration)."""
+    import numpy as np
+
+    arr = np.full((8, 8), 120.0)
+    good = _encode_jpeg(arr)
+
+    # 1) SOS with seg_len=2: empty body, seg[0] used to IndexError
+    i = good.index(b"\xff\xda")
+    bad_sos = good[: i + 2] + b"\x00\x02" + good[i + 4 :]
+    assert MM.jpeg_pixel_stats(bad_sos) is None
+
+    # 2) SOF whose declared component count exceeds its body: take the
+    # real SOF segment, bump ncomp to 3 but keep (and re-declare) a
+    # body holding only one component spec
+    i = good.index(b"\xff\xc0")
+    seg_len = int.from_bytes(good[i + 2 : i + 4], "big")
+    sof_body = good[i + 4 : i + 2 + seg_len]
+    short_body = sof_body[:6] + sof_body[6:9]  # header + 1 comp spec
+    short_body = short_body[:5] + b"\x03" + short_body[6:]  # ncomp=3
+    new_len = (len(short_body) + 2).to_bytes(2, "big")
+    bad_sof = good[: i + 2] + new_len + short_body + good[i + 2 + seg_len :]
+    assert MM.jpeg_pixel_stats(bad_sof) is None
+
+    # 3) color image whose SOS repeats one component id: the luma
+    # component never appears in the scan -> next() used to raise
+    rgb = np.zeros((8, 8, 3), dtype=np.float64)
+    rgb[:, :, 0] = 200.0
+    cgood = _encode_jpeg(rgb, subsample="444")
+    i = cgood.index(b"\xff\xda")
+    seg_len = int.from_bytes(cgood[i + 2 : i + 4], "big")
+    body = bytearray(cgood[i + 4 : i + 2 + seg_len])
+    # scan component ids live at body[1], body[3], body[5]
+    body[1] = body[3]  # repeat component 2's id; luma id vanishes
+    bad_scan = cgood[: i + 4] + bytes(body) + cgood[i + 2 + seg_len :]
+    assert MM.jpeg_pixel_stats(bad_scan) is None
