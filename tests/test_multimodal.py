@@ -1262,3 +1262,399 @@ def test_jpeg_short_but_self_consistent_segments_return_none():
     body[1] = body[3]  # repeat component 2's id; luma id vanishes
     bad_scan = cgood[: i + 4] + bytes(body) + cgood[i + 2 + seg_len :]
     assert MM.jpeg_pixel_stats(bad_scan) is None
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG golden tests (r10): _jpeg_progressive_stats is verified
+# against an INDEPENDENT test-side progressive encoder — spectral
+# selection + successive approximation (T.81 Annex G) built here, with
+# EOB-run accumulation on both first and refinement AC passes. All-ones
+# quant tables make the progressive decode bit-identical to the baseline
+# decode of the same image, which the golden asserts directly.
+# ---------------------------------------------------------------------------
+
+
+def _prog_quantized_planes(arr, subsample="444"):
+    """Quantized (q=1) DCT coefficient blocks per component, zigzag
+    order: list of (blocks[bh*bw, 64], bw, bh, hs, vs) — reusing the
+    baseline encoder's color transform and padding."""
+    import numpy as np
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    if gray:
+        planes, samp = [arr], [(1, 1)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "420":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = _pad_blocks(cb, ph, pw)[:ph, :pw]
+            crp = _pad_blocks(cr, ph, pw)[:ph, :pw]
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    B = _jpeg_dct_basis()
+    out = []
+    for p, (hs, vs) in zip(planes, samp):
+        # TRUE grid (ceil of the sampled extent) — interleaved DC scans
+        # need the MCU-PADDED grid, handled by the caller
+        cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        padded = _pad_blocks(p[:ch, :cw], bh_ * 8, bw_ * 8)
+        blocks = []
+        for by in range(bh_):
+            for bx in range(bw_):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.rint(B @ (blk - 128.0) @ B.T).astype(int)
+                blocks.append([int(q.flat[_JPEG_ZIGZAG[k]]) for k in range(64)])
+        out.append((blocks, bw_, bh_, hs, vs))
+    return out, w, h, samp
+
+
+# progressive AC symbols additionally need the EOBn codes (r<<4 for
+# r>=1: end-of-band runs of 2^r..2^(r+1)-1 blocks); one flat 8-bit
+# canonical table holds all 176 symbols
+_ENC_AC_SYMS_PROG = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)
+_ENC_AC_COUNTS_PROG = bytes([0] * 7 + [len(_ENC_AC_SYMS_PROG)] + [0] * 8)
+
+
+class _ProgEncoder:
+    """Progressive scan emitters sharing one bit writer per scan."""
+
+    def __init__(self):
+        self.dc_codes = _enc_huff_codes(_ENC_DC_COUNTS, _ENC_DC_SYMS)
+        self.ac_codes = _enc_huff_codes(_ENC_AC_COUNTS_PROG, _ENC_AC_SYMS_PROG)
+
+    def dc_first(self, bw, comps_blocks, al):
+        """Interleaved (MCU order over padded grids) DC first scan."""
+        preds = [0] * len(comps_blocks)
+        hmax = max(c[3] for c in comps_blocks)
+        vmax = max(c[4] for c in comps_blocks)
+        # padded MCU geometry from the luma component
+        _, ybw, ybh, yhs, yvs = comps_blocks[0]
+        mcux, mcuy = -(-ybw // yhs), -(-ybh // yvs)
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (blocks, cbw, cbh, hs, vs) in enumerate(comps_blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        row, col = my * vs + by, mx * hs + bx
+                        # padded grid: replicate edge blocks
+                        r_, c_ = min(row, cbh - 1), min(col, cbw - 1)
+                        dc = blocks[r_ * cbw + c_][0] >> al  # arith shift
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = abs(diff).bit_length()
+                        length, code = self.dc_codes[s]
+                        bw.put(code, length)
+                        if s:
+                            bw.put(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+
+    def dc_refine(self, bw, comps_blocks, al):
+        """Interleaved DC refinement: one raw bit per block."""
+        _, ybw, ybh, yhs, yvs = comps_blocks[0]
+        mcux, mcuy = -(-ybw // yhs), -(-ybh // yvs)
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for blocks, cbw, cbh, hs, vs in comps_blocks:
+                for by in range(vs):
+                    for bx in range(hs):
+                        r_ = min(my * vs + by, cbh - 1)
+                        c_ = min(mx * hs + bx, cbw - 1)
+                        bw.put((blocks[r_ * cbw + c_][0] >> al) & 1, 1)
+
+    def ac_first(self, bw, blocks, ss, se, al):
+        """Single-component AC first pass with EOB-run accumulation.
+        Decoder semantics: EOBn -> eobrun = (1<<r) - 1 + bits, i.e. a
+        run of N end-of-band blocks emits r=floor(log2 N), bits=N-2^r."""
+        eob_count = 0
+
+        def flush():
+            nonlocal eob_count
+            if not eob_count:
+                return
+            r = eob_count.bit_length() - 1
+            length, code = self.ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eob_count - (1 << r), r)
+            eob_count = 0
+
+        for band in blocks:
+            vals = [
+                (1 if band[k] > 0 else -1) * (abs(band[k]) >> al)
+                for k in range(ss, se + 1)
+            ]
+            last_nz = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last_nz = i
+            if last_nz < 0:
+                eob_count += 1
+                continue
+            flush()
+            run = 0
+            for i in range(last_nz + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    length, code = self.ac_codes[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                s = abs(v).bit_length()
+                length, code = self.ac_codes[(run << 4) | s]
+                bw.put(code, length)
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < se - ss:
+                eob_count += 1
+        flush()
+
+    def ac_refine(self, bw, blocks, ss, se, al):
+        """Single-component AC refinement with EOB-run accumulation and
+        buffered correction bits (T.81 G.1.2.3 encoder mirror). Decoder
+        semantics: EOBn -> eobrun = (1<<r) + bits covers N whole
+        blocks, so r=floor(log2 N), bits=N-2^r."""
+        eob_count = 0
+        eob_bits: list[int] = []
+
+        def flush():
+            nonlocal eob_count, eob_bits
+            if not eob_count:
+                return
+            r = eob_count.bit_length() - 1
+            length, code = self.ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eob_count - (1 << r), r)
+            for b in eob_bits:
+                bw.put(b, 1)
+            eob_count, eob_bits = 0, []
+
+        for band in blocks:
+            vals = [band[k] for k in range(ss, se + 1)]
+            temps = [abs(v) >> al for v in vals]
+            if not any(t == 1 for t in temps):
+                # no NEW coefficient: whole block joins the EOB run,
+                # correction bits for nonzero-history coeffs buffered
+                eob_count += 1
+                eob_bits += [t & 1 for t in temps if t > 1]
+                continue
+            flush()
+            run, br = 0, []
+            last_new = max(i for i, t in enumerate(temps) if t == 1)
+            for i in range(last_new + 1):
+                t = temps[i]
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRLs must flush as soon as the zero-history run tops
+                # 15 at ANY nonzero position — a history coefficient's
+                # buffered bit belongs to the ZRL span that covers its
+                # position, so deferring the flush past it would put
+                # the bit after the wrong symbol
+                while run > 15:
+                    length, code = self.ac_codes[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                length, code = self.ac_codes[(run << 4) | 1]
+                bw.put(code, length)
+                bw.put(1 if vals[i] > 0 else 0, 1)
+                for b in br:
+                    bw.put(b, 1)
+                br, run = [], 0
+            # remainder after the last new coefficient joins an EOB run
+            tail = [t & 1 for t in temps[last_new + 1 :] if t > 1]
+            if last_new < len(temps) - 1:
+                eob_count += 1
+                eob_bits += tail
+        flush()
+
+
+def _encode_jpeg_progressive(arr, subsample="444", al_dc=1, al_ac=1):
+    """Independent progressive (SOF2) encoder: interleaved DC first at
+    Al=al_dc + DC refinements down to 0; luma AC split into two spectral
+    bands at Al=al_ac + refinements down to 0; chroma AC in single full
+    scans (which the decoder must SKIP). All-ones quant tables."""
+    comps_blocks, w, h, samp = _prog_quantized_planes(arr, subsample)
+    ncomp = len(comps_blocks)
+    enc = _ProgEncoder()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    if ncomp > 1:
+        out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    tcths = ((0, 0), (1, 0)) if ncomp == 1 else ((0, 0), (1, 0), (0, 1), (1, 1))
+    for tc, th in tcths:
+        counts = _ENC_DC_COUNTS if tc == 0 else _ENC_AC_COUNTS_PROG
+        syms = _ENC_DC_SYMS if tc == 0 else _ENC_AC_SYMS_PROG
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + counts + syms)
+
+    def scan(comp_specs, ss, se, ah, al, emit):
+        nonlocal out
+        sos = bytes([len(comp_specs)])
+        for ci, td, ta in comp_specs:
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _JpegBitWriter()
+        emit(bw)
+        bw.flush()
+        out += bw.out
+
+    # DC: interleaved first scan + successive refinements
+    all_dc = [(ci, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    scan(all_dc, 0, 0, 0, al_dc, lambda bw: enc.dc_first(bw, comps_blocks, al_dc))
+    for a in range(al_dc - 1, -1, -1):
+        scan(all_dc, 0, 0, a + 1, a, lambda bw, a=a: enc.dc_refine(bw, comps_blocks, a))
+    yblocks = comps_blocks[0][0]
+    # luma AC: two spectral bands, coarse first
+    scan([(0, 0, 0)], 1, 5, 0, al_ac, lambda bw: enc.ac_first(bw, yblocks, 1, 5, al_ac))
+    # chroma AC: full single scans between luma scans (decoder skips them)
+    for ci in range(1, ncomp):
+        cblocks = comps_blocks[ci][0]
+        scan([(ci, 1, 1)], 1, 63, 0, 0,
+             lambda bw, cb=cblocks: enc.ac_first(bw, cb, 1, 63, 0))
+    scan([(0, 0, 0)], 6, 63, 0, al_ac,
+         lambda bw: enc.ac_first(bw, yblocks, 6, 63, al_ac))
+    # luma AC refinements down to full precision
+    for a in range(al_ac - 1, -1, -1):
+        scan([(0, 0, 0)], 1, 63, a + 1, a,
+             lambda bw, a=a: enc.ac_refine(bw, yblocks, 1, 63, a))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_grayscale_matches_baseline():
+    """With all-ones quant tables, progressive and baseline encodings of
+    the same image carry IDENTICAL quantized coefficients — so the two
+    decoders must reconstruct the identical luma plane."""
+    import numpy as np
+
+    arr = np.tile(np.linspace(40.0, 215.0, 24), (16, 1))
+    base = MM.jpeg_pixel_stats(_encode_jpeg(arr))
+    prog = MM.jpeg_pixel_stats(_encode_jpeg_progressive(arr))
+    assert base is not None and prog is not None
+    assert (prog["width"], prog["height"]) == (24, 16)
+    assert prog["format"] == "jpeg"
+    assert abs(prog["mean_luma"] - base["mean_luma"]) < 1e-9
+
+
+def test_jpeg_progressive_color_444_skips_chroma_scans():
+    """3-component progressive: the luma result must match baseline
+    while the decoder skips both chroma AC scans outright."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(17, 23, 3)).astype(np.float64)
+    base = MM.jpeg_pixel_stats(_encode_jpeg(arr, subsample="444"))
+    prog = MM.jpeg_pixel_stats(_encode_jpeg_progressive(arr, subsample="444"))
+    assert base is not None and prog is not None
+    assert (prog["width"], prog["height"]) == (23, 17)
+    assert abs(prog["mean_luma"] - base["mean_luma"]) < 1e-9
+
+
+def test_jpeg_progressive_420_interleaved_dc_geometry():
+    """4:2:0 sampling: the interleaved DC scan walks the MCU-PADDED luma
+    grid (2x2 blocks per MCU) while AC scans walk the TRUE grid — the
+    decode must agree with the baseline decoder on the same image."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(21, 35, 3)).astype(np.float64)
+    base = MM.jpeg_pixel_stats(_encode_jpeg(arr, subsample="420"))
+    prog = MM.jpeg_pixel_stats(_encode_jpeg_progressive(arr, subsample="420"))
+    assert base is not None and prog is not None
+    assert (prog["width"], prog["height"]) == (35, 21)
+    assert abs(prog["mean_luma"] - base["mean_luma"]) < 1e-9
+
+
+def test_jpeg_progressive_deep_successive_approximation():
+    """al_ac=3 forces three AC refinement passes over sparse blocks —
+    long EOB runs (eobrun > 1 on both first and refinement passes),
+    ZRL-in-refinement, and correction bits all get exercised."""
+    import numpy as np
+
+    arr = np.full((40, 48), 128.0)
+    arr[3, 5] = 250.0   # a few isolated impulses -> sparse coefficients
+    arr[20, 30] = 10.0
+    arr[36, 2] = 200.0
+    base = MM.jpeg_pixel_stats(_encode_jpeg(arr))
+    prog = MM.jpeg_pixel_stats(
+        _encode_jpeg_progressive(arr, al_dc=2, al_ac=3)
+    )
+    assert base is not None and prog is not None
+    assert abs(prog["mean_luma"] - base["mean_luma"]) < 1e-9
+
+
+def test_jpeg_progressive_boundary_still_guarded():
+    """Corrupt/truncated progressive streams return None; a baseline
+    stream whose SOF was flipped to SOF2 (Ss=0,Se=63 — illegal for a
+    progressive DC scan) stays behind the boundary."""
+    import numpy as np
+
+    arr = np.full((8, 8), 99.0)
+    good_prog = _encode_jpeg_progressive(arr)
+    assert MM.jpeg_pixel_stats(good_prog) is not None
+    # truncate mid-scan
+    assert MM.jpeg_pixel_stats(good_prog[: len(good_prog) * 2 // 3]) is None
+    # flipped baseline (the r9 boundary fixture) is NOT valid progressive
+    good_base = _encode_jpeg(arr)
+    i = good_base.index(b"\xff\xc0")
+    flipped = good_base[:i] + b"\xff\xc2" + good_base[i + 2 :]
+    assert MM.jpeg_pixel_stats(flipped) is None
+
+
+def test_jpeg_progressive_cross_check_against_pillow():
+    """Strongest check where available: Pillow's progressive encoder
+    (a real third-party implementation, quality 95) — our decoder must
+    agree with Pillow's own decode on dimensions and luma."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(26, 33, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95, progressive=True)
+    payload = buf.getvalue()
+    assert b"\xff\xc2" in payload  # really progressive
+    feats = MM.jpeg_pixel_stats(payload)
+    assert feats is not None
+    assert (feats["width"], feats["height"]) == (33, 26)
+    with Image.open(io.BytesIO(payload)) as im:
+        pil_luma = np.asarray(im.convert("L"), dtype=np.float64).mean() / 255.0
+    assert abs(feats["mean_luma"] - pil_luma) < 0.01
