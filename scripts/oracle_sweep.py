@@ -170,7 +170,18 @@ def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
     from tests.oracle_harness import compare
 
     spark = get_spark(
-        cpus=threads, extra_conf={"spark.driver.memory": mem}
+        cpus=threads,
+        extra_conf={
+            "spark.driver.memory": mem,
+            # cross-engine compare must MATERIALIZE both result sets;
+            # at sf10 an output-huge oracle (q_dedup_jaccard: >1 GiB of
+            # >=0.8 pairs) dies on the 1g default long after the query
+            # itself succeeded (the r9 undiagnosed whale, root-caused in
+            # r10 once the harness recorded real Java stacks)
+            "spark.driver.maxResultSize": os.environ.get(
+                "SWEEP_MAX_RESULT", "8g"
+            ),
+        },
     )
     con = _duckdb_views(sf_dir, duck_mem=os.environ.get("SWEEP_DUCK_MEM", "8GB"))
     for name in names:

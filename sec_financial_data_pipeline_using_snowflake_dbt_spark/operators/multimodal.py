@@ -20,9 +20,10 @@ This is the 100 TB-scale plumbing for multimodal training data:
   ``pixel_stats``);
 - PNG pixels are decoded for REAL with the stdlib alone (r8:
   ``png_pixel_stats`` — chunk walk, bounded IDAT zlib inflate,
-  None/Sub/Up/Average/Paeth scanline unfilter, palette resolution) for
-  8-bit non-interlaced images — the one compressed format that needs
-  no third-party wheel;
+  None/Sub/Up/Average/Paeth scanline unfilter, palette resolution;
+  r10: the full integer matrix — depths 1/2/4/8/16 and Adam7
+  interlace) — the one compressed format that needs no third-party
+  wheel;
 - GIF pixels are decoded for REAL with the stdlib alone too (r8 s3:
   ``gif_pixel_stats`` — block walk, variable-width LZW with clear/EOI/
   KwKwK handling, local-over-global palette, interlace reorder) for the
@@ -32,8 +33,8 @@ This is the 100 TB-scale plumbing for multimodal training data:
   the luma plane, restart markers) for baseline/extended sequential
   scans, and (r10) for PROGRESSIVE scans too (``_jpeg_progressive_stats``
   — spectral selection + successive approximation per T.81 Annex G);
-- only the remaining COMPRESSED codecs (16-bit or
-  interlaced PNG, mp3 samples, mp4 frames) stay behind a deterministic
+- only the remaining COMPRESSED codecs (mp3 samples, mp4 frames — both
+  with REAL metadata/frame-walk parsing) stay behind a deterministic
   fake, since the actual codecs (PIL/librosa/av) are not in this
   container (``use_real_codecs=True`` raises NotImplementedError). The
   Spark-side contract — schemas, batch iteration, partitioning — is
@@ -261,9 +262,10 @@ def pixel_stats(payload: bytes) -> dict[str, Any] | None:
     - BMP, 24/32-bpp BI_RGB (rows 4-byte padded, BGR(A) order,
       bottom-up or top-down — row order doesn't change the mean);
     - PPM (P6, 8-bit RGB) and PGM (P5, 8-bit grayscale);
-    - PNG, 8-bit gray/RGB/palette/gray+alpha/RGBA non-interlaced —
-      REAL stdlib-zlib decode (``png_pixel_stats``: IDAT inflate +
-      scanline unfilter), r8;
+    - PNG, gray/RGB/palette/gray+alpha/RGBA at depths 1/2/4/8/16,
+      interlaced or not — REAL stdlib-zlib decode (``png_pixel_stats``:
+      IDAT inflate + scanline unfilter; Adam7 + the full depth matrix
+      landed r10), r8;
     - GIF, first frame, 87a/89a incl. interlaced — REAL pure-Python
       LZW decode (``gif_pixel_stats``), r8 s3;
     - JPEG, baseline/extended sequential — REAL pure-Python Huffman +
@@ -388,6 +390,45 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> "Any":
     return out
 
 
+#: Adam7 interlace passes (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_decode_samples(raw: bytes, w: int, h: int, depth: int, channels: int):
+    """Unfilter + sample-extract one (sub)image of ``h`` scanlines of
+    ``w`` pixels at ``depth`` bits per channel. Returns an
+    (h, w, channels) int array of raw sample values (0..2^depth-1), or
+    None on corrupt filters. The PNG filter unit is max(1, bytes per
+    pixel) — for sub-byte depths filters operate on whole BYTES."""
+    import numpy as np
+
+    stride = (w * channels * depth + 7) // 8
+    if depth >= 8:
+        bpp = channels * depth // 8
+        pix = _png_unfilter(raw, w, h, bpp)
+    else:
+        pix = _png_unfilter(raw, stride, h, 1)
+    if pix is None:
+        return None
+    pix = pix.reshape(h, stride)
+    if depth == 8:
+        return pix.reshape(h, w, channels).astype(np.int64)
+    if depth == 16:
+        vals = (
+            pix[:, 0::2].astype(np.int64) << 8
+        ) | pix[:, 1::2].astype(np.int64)
+        return vals.reshape(h, w, channels)
+    # sub-byte depths (1/2/4, gray or palette only): unpack bits MSB
+    # first, regroup ``depth`` bits per sample, drop row padding
+    bits = np.unpackbits(pix, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return (per * weights).sum(axis=2).reshape(h, w, 1)
+
+
 def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
     """REAL PNG pixel decode with the stdlib alone (VERDICT r7 #2 —
     PNG is the one compressed format that needs no third-party wheel):
@@ -395,13 +436,15 @@ def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
     (``_png_unfilter``) → Rec.601 mean luma, the same statistic
     ``pixel_stats`` reports for raw rasters.
 
-    Scope: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
-    gray+alpha, RGBA), non-interlaced — the overwhelmingly common PNG
-    shape. 16-bit, interlaced, or undecodable streams return None and
-    stay behind the codec boundary (callers fall through to Pillow /
-    the deterministic stub). The inflate is bounded to the raster size
-    (a zip-bomb IDAT cannot balloon past the declared dimensions) and
-    dimensions are capped at 64 MP per asset."""
+    Scope (r10 — the full integer-PNG matrix): bit depths 1/2/4/8/16
+    where the spec allows them, color types 0/2/3/4/6 (gray, RGB,
+    palette, gray+alpha, RGBA), interlace methods 0 AND 1 (Adam7:
+    seven filtered sub-images, each unfiltered at its own stride and
+    scattered back on the pass grid). Undecodable streams return None
+    and stay behind the codec boundary (callers fall through to
+    Pillow / the deterministic stub). The inflate is bounded to the
+    raster size (a zip-bomb IDAT cannot balloon past the declared
+    dimensions) and dimensions are capped at 64 MP per asset."""
     import zlib
 
     import numpy as np
@@ -433,20 +476,33 @@ def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
         return None
     w, h, depth, color, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
     if (
         channels is None
-        or depth != 8
+        or depth not in valid_depths
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or (color == 3 and plte is None)
         or w <= 0
         or h <= 0
         or w * h > 64_000_000
     ):
         return None
-    stride = w * channels
-    expect = (stride + 1) * h
+
+    def row_bytes(width_px: int) -> int:
+        return (width_px * channels * depth + 7) // 8
+
+    if interlace == 0:
+        regions = [(0, 0, 1, 1, w, h)]
+    else:
+        regions = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                regions.append((x0, y0, dx, dy, pw, ph))
+    expect = sum((row_bytes(pw) + 1) * ph for *_, pw, ph in regions)
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expect)
@@ -454,14 +510,21 @@ def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
         return None
     if len(raw) < expect:
         return None
-    pix = _png_unfilter(raw, w, h, channels)
-    if pix is None:
-        return None
-    pix = pix.reshape(h, w, channels).astype(np.float64)
-    if color == 3:  # palette indices -> RGB through PLTE
+    samples = np.zeros((h, w, channels), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in regions:
+        size = (row_bytes(pw) + 1) * ph
+        sub = _png_decode_samples(raw[off : off + size], pw, ph, depth, channels)
+        if sub is None:
+            return None
+        samples[y0::dy, x0::dx] = sub
+        off += size
+    pix = samples.astype(np.float64)
+    maxval = float((1 << depth) - 1)
+    if color == 3:  # palette indices -> RGB through PLTE (always 8-bit)
         pal = np.frombuffer(plte, dtype=np.uint8)
         pal = pal[: len(pal) // 3 * 3].reshape(-1, 3).astype(np.float64)
-        idx = pix[..., 0].astype(np.int64)
+        idx = samples[..., 0]
         if idx.max() >= pal.shape[0]:
             return None
         rgb = pal[idx]
@@ -469,11 +532,11 @@ def png_pixel_stats(payload: bytes) -> dict[str, Any] | None:
             0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         ) / 255.0
     elif color in (0, 4):  # grayscale (alpha ignored for luma)
-        luma = pix[..., 0] / 255.0
+        luma = pix[..., 0] / maxval
     else:  # RGB / RGBA (alpha ignored)
         luma = (
             0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]
-        ) / 255.0
+        ) / maxval
     return {
         "format": "png",
         "width": int(w),

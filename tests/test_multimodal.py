@@ -481,53 +481,90 @@ def _encode_png(
     depth: int = 8,
     interlace: int = 0,
 ) -> bytes:
-    """pixels: rows of per-pixel tuples (or ints for 1-channel types)."""
+    """pixels: rows of per-pixel tuples (or ints for 1-channel types).
+    Independent encoder: supports depths 1/2/4/8/16 and Adam7
+    interlace (each pass filtered as its own sub-image, per spec)."""
     import zlib as _z
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.operators.multimodal import (
+        _PNG_ADAM7,
+    )
 
     h, w = len(pixels), len(pixels[0])
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    rows = []
-    for row in pixels:
+    bpp = ch * depth // 8 if depth >= 8 else 1
+
+    def sample_bytes(row_pixels):
         flat = []
-        for p in row:
+        for p in row_pixels:
             flat.extend(p if isinstance(p, (tuple, list)) else (p,))
-        assert len(flat) == w * ch
-        rows.append(bytes(flat))
-    filters = filters if filters is not None else [0] * h
+        assert len(flat) == len(row_pixels) * ch
+        if depth == 8:
+            return bytes(flat)
+        if depth == 16:
+            out = bytearray()
+            for v in flat:
+                out += int(v).to_bytes(2, "big")
+            return bytes(out)
+        acc, nb, out = 0, 0, bytearray()  # sub-byte: MSB-first packing
+        for v in flat:
+            acc = (acc << depth) | v
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc, nb = 0, 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return bytes(out)
+
+    def paeth(a, b, c):
+        q = a + b - c
+        pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def filter_sub_image(pixel_rows, filt_list):
+        raw = bytearray()
+        byte_rows = [sample_bytes(r) for r in pixel_rows]
+        prev = bytes(len(byte_rows[0])) if byte_rows else b""
+        for y, row in enumerate(byte_rows):
+            ft = filt_list[y % len(filt_list)]
+            raw.append(ft)
+            n = len(row)
+            left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
+            ul = lambda i: prev[i - bpp] if i >= bpp else 0  # noqa: E731
+            if ft == 0:
+                enc = row
+            elif ft == 1:
+                enc = bytes((row[i] - left(i)) % 256 for i in range(n))
+            elif ft == 2:
+                enc = bytes((row[i] - prev[i]) % 256 for i in range(n))
+            elif ft == 3:
+                enc = bytes(
+                    (row[i] - (left(i) + prev[i]) // 2) % 256 for i in range(n)
+                )
+            elif ft == 4:
+                enc = bytes(
+                    (row[i] - paeth(left(i), prev[i], ul(i))) % 256
+                    for i in range(n)
+                )
+            else:
+                raise ValueError(ft)
+            raw += enc
+            prev = row
+        return raw
+
+    filt_list = filters if filters is not None else [0]
     raw = bytearray()
-    prev = bytes(w * ch)
-    for y, row in enumerate(rows):
-        ft = filters[y]
-        raw.append(ft)
-        n = len(row)
-        left = lambda i: row[i - ch] if i >= ch else 0  # noqa: E731
-        ul = lambda i: prev[i - ch] if i >= ch else 0  # noqa: E731
-        if ft == 0:
-            enc = row
-        elif ft == 1:
-            enc = bytes((row[i] - left(i)) % 256 for i in range(n))
-        elif ft == 2:
-            enc = bytes((row[i] - prev[i]) % 256 for i in range(n))
-        elif ft == 3:
-            enc = bytes(
-                (row[i] - (left(i) + prev[i]) // 2) % 256 for i in range(n)
-            )
-        elif ft == 4:
-
-            def paeth(a, b, c):
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    return a
-                return b if pb <= pc else c
-
-            enc = bytes(
-                (row[i] - paeth(left(i), prev[i], ul(i))) % 256 for i in range(n)
-            )
-        else:
-            raise ValueError(ft)
-        raw += enc
-        prev = row
+    if interlace == 0:
+        raw += filter_sub_image(pixels, filt_list)
+    else:
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = [row[x0::dx] for row in pixels[y0::dy]]
+            sub = [r for r in sub if r]
+            if sub:
+                raw += filter_sub_image(sub, filt_list)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -598,8 +635,16 @@ def test_png_color_types_golden():
 
 def test_png_codec_boundary_stays_none():
     pix = [[(1, 2, 3)]]
-    assert MM.pixel_stats(_encode_png(pix, 2, depth=16)) is None  # 16-bit
-    assert MM.pixel_stats(_encode_png(pix, 2, interlace=1)) is None  # Adam7
+    # spec-invalid combos stay behind the boundary (16-bit palette,
+    # unknown interlace method); real 16-bit/Adam7 decode has goldens
+    assert MM.pixel_stats(
+        _encode_png([[0]], color_type=3, palette=bytes(3), depth=16)
+    ) is None
+    bad_il = bytearray(_encode_png(pix, 2))
+    # IHDR interlace byte lives at offset 8(sig)+8(len+type)+12
+    assert bad_il[8 + 8 + 12] == 0
+    bad_il[8 + 8 + 12] = 2
+    assert MM.pixel_stats(bytes(bad_il)) is None
     # out-of-range palette index
     bad_pal = _encode_png([[5]], color_type=3, palette=bytes(3))
     assert MM.pixel_stats(bad_pal) is None
@@ -1658,3 +1703,96 @@ def test_jpeg_progressive_cross_check_against_pillow():
     with Image.open(io.BytesIO(payload)) as im:
         pil_luma = np.asarray(im.convert("L"), dtype=np.float64).mean() / 255.0
     assert abs(feats["mean_luma"] - pil_luma) < 0.01
+
+
+def test_png_16bit_golden():
+    """16-bit gray and RGB: samples are big-endian byte pairs, luma
+    normalized by 65535."""
+    g = _encode_png(
+        [[0, 32768], [65535, 16384]], color_type=0, depth=16, filters=[1, 2]
+    )
+    want = (0 + 32768 + 65535 + 16384) / 4 / 65535
+    assert abs(MM.pixel_stats(g)["mean_luma"] - want) < 1e-12
+    rgb = _encode_png(
+        [[(65535, 0, 0), (0, 65535, 0)]], color_type=2, depth=16, filters=[4]
+    )
+    assert abs(MM.pixel_stats(rgb)["mean_luma"] - (0.299 + 0.587) / 2) < 1e-12
+
+
+def test_png_adam7_matches_noninterlaced():
+    """Adam7: seven filtered sub-images scattered on the pass grid must
+    reconstruct the identical raster — check against the progressive
+    (sic) and plain encodings of the same pixels, at 8 and 16 bit, on
+    dimensions that exercise partial/empty passes (9x5 and 3x2)."""
+    import random
+
+    rng = random.Random(42)
+    for w, h, ct, depth in ((9, 5, 2, 8), (3, 2, 0, 16), (16, 16, 6, 8)):
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        top = (1 << depth) - 1
+        pix = [
+            [
+                tuple(rng.randint(0, top) for _ in range(ch))
+                if ch > 1
+                else rng.randint(0, top)
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        plain = MM.pixel_stats(_encode_png(pix, ct, depth=depth, filters=[0, 1, 2, 3, 4]))
+        inter = MM.pixel_stats(
+            _encode_png(pix, ct, depth=depth, interlace=1, filters=[2, 4, 1])
+        )
+        assert plain is not None and inter is not None
+        assert (inter["width"], inter["height"]) == (w, h)
+        assert abs(inter["mean_luma"] - plain["mean_luma"]) < 1e-12
+
+
+def test_png_sub_byte_depths_golden():
+    """1/2/4-bit gray and palette: MSB-first bit unpacking with row
+    padding dropped; gray normalized by 2^depth-1."""
+    # 1-bit 5x3 checkerboard: rows pad to whole bytes
+    bits = [[(x + y) % 2 for x in range(5)] for y in range(3)]
+    got = MM.pixel_stats(_encode_png(bits, color_type=0, depth=1, filters=[0, 2, 0]))
+    want = sum(sum(r) for r in bits) / 15 / 1.0
+    assert abs(got["mean_luma"] - want) < 1e-12
+    # 2-bit gray gradient
+    g2 = _encode_png([[0, 1, 2, 3, 3]], color_type=0, depth=2)
+    assert abs(MM.pixel_stats(g2)["mean_luma"] - (0 + 1 + 2 + 3 + 3) / 5 / 3) < 1e-12
+    # 4-bit palette: indices through PLTE
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    p4 = _encode_png([[0, 1, 2], [2, 1, 0]], color_type=3, palette=pal, depth=4)
+    want = (0.299 + 0.587 + 0.114) * 2 / 6
+    assert abs(MM.pixel_stats(p4)["mean_luma"] - want) < 1e-12
+    # 1-bit INTERLACED palette: sub-byte stride inside Adam7 passes
+    p1i = _encode_png(
+        [[(x * y) % 2 for x in range(9)] for y in range(5)],
+        color_type=3, palette=bytes([0, 0, 0, 255, 255, 255]), depth=1,
+        interlace=1,
+    )
+    p1n = _encode_png(
+        [[(x * y) % 2 for x in range(9)] for y in range(5)],
+        color_type=3, palette=bytes([0, 0, 0, 255, 255, 255]), depth=1,
+    )
+    assert abs(
+        MM.pixel_stats(p1i)["mean_luma"] - MM.pixel_stats(p1n)["mean_luma"]
+    ) < 1e-12
+
+
+def test_png_16bit_cross_check_against_pillow():
+    """Pillow encodes a 16-bit grayscale PNG; our decoder must agree
+    with the analytic mean."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 65536, size=(11, 13)).astype(np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="I;16").save(buf, format="PNG")
+    payload = buf.getvalue()
+    feats = MM.pixel_stats(payload)
+    assert feats is not None
+    assert abs(feats["mean_luma"] - arr.mean() / 65535.0) < 1e-6
