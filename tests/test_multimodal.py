@@ -1796,3 +1796,101 @@ def test_png_16bit_cross_check_against_pillow():
     feats = MM.pixel_stats(payload)
     assert feats is not None
     assert abs(feats["mean_luma"] - arr.mean() / 65535.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table extraction (r10): frame sampling over a REAL ISO BMFF
+# box tree built here — stts/stsz/stsc/stco/stss joined to per-sample
+# (offset, size, pts, keyframe), coded bytes addressed in mdat.
+# ---------------------------------------------------------------------------
+
+
+def _box(t: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + t + body
+
+
+def _full(t: bytes, body: bytes) -> bytes:  # version=0, flags=0
+    return _box(t, b"\x00\x00\x00\x00" + body)
+
+
+def _mini_mp4():
+    """ftyp + mdat(5 coded frames) + moov with a full sample table:
+    sizes 10..50, chunk map {c1: frames 1-2, c2: frames 3-5}, deltas
+    100 @ timescale 1000, sync samples {1, 4}."""
+    frames = [bytes([i + 1]) * (10 * (i + 1)) for i in range(5)]
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body_start = len(ftyp) + 8
+    mdat = _box(b"mdat", b"".join(frames))
+    sizes = [len(f) for f in frames]
+    stts = _full(b"stts", struct.pack(">I", 1) + struct.pack(">II", 5, 100))
+    stsz = _full(
+        b"stsz", struct.pack(">II", 0, 5) + struct.pack(">5I", *sizes)
+    )
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 3, 1),
+    )
+    stco = _full(
+        b"stco",
+        struct.pack(">I", 2)
+        + struct.pack(">II", mdat_body_start, mdat_body_start + sum(sizes[:2])),
+    )
+    stss = _full(b"stss", struct.pack(">I", 2) + struct.pack(">II", 1, 4))
+    stbl = _box(b"stbl", stts + stsz + stsc + stco + stss)
+    minf = _box(b"minf", stbl)
+    mdhd = _full(
+        b"mdhd", struct.pack(">IIII", 0, 0, 1000, 500)  # timescale 1000
+    )
+    hdlr = _full(b"hdlr", b"\x00\x00\x00\x00" + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 500) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, frames
+
+
+def test_mp4_sample_table_parse():
+    payload, frames = _mini_mp4()
+    t = MM.parse_mp4_sample_table(payload)
+    assert t is not None
+    assert t["timescale"] == 1000
+    samples = t["samples"]
+    assert len(samples) == 5
+    assert [s[1] for s in samples] == [10, 20, 30, 40, 50]
+    assert [s[2] for s in samples] == [0, 100, 200, 300, 400]
+    assert [s[3] for s in samples] == [True, False, False, True, False]
+    # offsets address the REAL coded bytes in mdat
+    for (off, size, _, _), f in zip(samples, frames):
+        assert payload[off : off + size] == f
+
+
+def test_sample_video_frames_real_mp4(spark):
+    import hashlib
+
+    payload, frames = _mini_mp4()
+    assert MM.sniff_format(payload) == ("video", "mp4")
+    assets = spark.createDataFrame(
+        [("v1", bytearray(payload))], "asset_id string, payload binary"
+    )
+    rows = {r.frame_index: r for r in MM.sample_video_frames(assets, max_frames=5).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    for k, f in enumerate(frames):
+        assert rows[k].frame_hash == hashlib.md5(f).hexdigest()
+        assert rows[k].n_bytes == len(f)
+        assert abs(rows[k].pts_seconds - k * 0.1) < 1e-9
+    assert [rows[k].keyframe for k in range(5)] == [True, False, False, True, False]
+    # max_frames=2 picks the track endpoints
+    two = sorted(
+        r.frame_index
+        for r in MM.sample_video_frames(assets, max_frames=2).collect()
+    )
+    assert two == [0, 4]
+
+
+def test_sample_video_frames_fallback_windows(assets):
+    """Assets without a parseable sample table keep the byte-window
+    fallback shape with null pts/keyframe."""
+    frames = MM.sample_video_frames(assets).collect()
+    assert all(f.pts_seconds is None and f.keyframe is None for f in frames)
