@@ -87,7 +87,9 @@ TAIL_QUERIES: tuple[str, ...] = (
     # ----- sampled verification arms (birth-parked harness arms) -----
     # sf10 rows: bpe_encode_ids 138s / sec_json_doc 134s /
     # fuzzy_match 1155s / simhash64 32s (r9 sweep artifact);
-    # jaccard 26s / recall 54s / semantic 29s (r10 sweep artifact).
+    # jaccard 26s / recall 54s / semantic 29s (r10 sweep artifact;
+    # the FULL q_dedup_jaccard is also sf10-green there, 4070s, after
+    # the maxResultSize root-cause).
     "q_bpe_encode_ids_sampled",
     "q_sec_json_doc_sampled",
     "q_fuzzy_match_sampled",
