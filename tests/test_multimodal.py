@@ -1894,3 +1894,105 @@ def test_sample_video_frames_fallback_windows(assets):
     fallback shape with null pts/keyframe."""
     frames = MM.sample_video_frames(assets).collect()
     assert all(f.pts_seconds is None and f.keyframe is None for f in frames)
+
+
+def test_jpeg_progressive_roundtrip_fuzz():
+    """Deterministic fuzz: random images x sampling x successive-
+    approximation depths — every progressive decode must equal the
+    baseline decode of the same image bit-for-bit (all-ones quant)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    cases = [
+        (rng.randint(8, 41), rng.randint(8, 41), mode, al_dc, al_ac)
+        for mode in (None, "444", "420")
+        for al_dc, al_ac in ((0, 0), (1, 2), (2, 1))
+    ]
+    for h, w, mode, al_dc, al_ac in cases:
+        if mode is None:
+            arr = rng.randint(0, 256, size=(h, w)).astype(np.float64)
+            base = MM.jpeg_pixel_stats(_encode_jpeg(arr))
+            prog = MM.jpeg_pixel_stats(
+                _encode_jpeg_progressive(arr, al_dc=al_dc, al_ac=al_ac)
+            )
+        else:
+            arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.float64)
+            base = MM.jpeg_pixel_stats(_encode_jpeg(arr, subsample=mode))
+            prog = MM.jpeg_pixel_stats(
+                _encode_jpeg_progressive(
+                    arr, subsample=mode, al_dc=al_dc, al_ac=al_ac
+                )
+            )
+        assert base is not None and prog is not None, (h, w, mode, al_dc, al_ac)
+        assert (prog["width"], prog["height"]) == (w, h)
+        assert abs(prog["mean_luma"] - base["mean_luma"]) < 1e-9, (
+            h, w, mode, al_dc, al_ac,
+        )
+
+
+def test_png_matrix_roundtrip_fuzz():
+    """Deterministic fuzz over the full integer-PNG matrix: every
+    (color type, depth, interlace) combination the spec allows, random
+    dims and filters — interlaced must equal plain, and both must equal
+    the analytic luma computed from the raw samples."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(77)
+    combos = [
+        (ct, d)
+        for ct, depths in {
+            0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+            4: (8, 16), 6: (8, 16),
+        }.items()
+        for d in depths
+    ]
+    for ct, depth in combos:
+        w, h = rng.randint(1, 19), rng.randint(1, 13)
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        top = (1 << depth) - 1
+        pal_n = min(1 << depth, 16)
+        if ct == 3:
+            pix = [[rng.randint(0, pal_n - 1) for _ in range(w)] for _ in range(h)]
+            pal = bytes(rng.randint(0, 255) for _ in range(pal_n * 3))
+        else:
+            pal = None
+            pix = [
+                [
+                    tuple(rng.randint(0, top) for _ in range(ch))
+                    if ch > 1
+                    else rng.randint(0, top)
+                    for _ in range(w)
+                ]
+                for _ in range(h)
+            ]
+        filters = [rng.randint(0, 4) for _ in range(3)]
+        plain = MM.pixel_stats(
+            _encode_png(pix, ct, depth=depth, palette=pal, filters=filters)
+        )
+        inter = MM.pixel_stats(
+            _encode_png(pix, ct, depth=depth, palette=pal, interlace=1,
+                        filters=filters[::-1])
+        )
+        assert plain is not None and inter is not None, (ct, depth, w, h)
+        assert abs(plain["mean_luma"] - inter["mean_luma"]) < 1e-12, (ct, depth)
+        # analytic luma from the raw samples
+        a = np.array(
+            [[p if isinstance(p, (tuple, list)) else (p,) for p in row]
+             for row in pix],
+            dtype=np.float64,
+        )
+        if ct == 3:
+            lut = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+            rgb = lut[a[..., 0].astype(int)]
+            want = (
+                0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            ).mean() / 255.0
+        elif ch >= 3:
+            want = (
+                0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+            ).mean() / top
+        else:
+            want = a[..., 0].mean() / top
+        assert abs(plain["mean_luma"] - want) < 1e-9, (ct, depth)
