@@ -120,6 +120,13 @@ def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
     _sweep_stale_tempdirs()
     con = duckdb.connect()
     con.execute(f"SET memory_limit = '{duck_mem}'")
+    # thread-stack mmaps count against vm.max_map_count alongside the
+    # buffer blocks; heavy oracles at default threads=32 can abort with
+    # pthread EAGAIN ('Resource temporarily unavailable') — cap is
+    # env-overridable for retries
+    threads = os.environ.get("SWEEP_DUCK_THREADS")
+    if threads:
+        con.execute(f"SET threads = {int(threads)}")
     # Per-process spill dir: DuckDB's default CWD-relative `.tmp` uses
     # non-unique spill file names, so two concurrent children (or a
     # sweep overlapping a pytest/verify run) corrupt each other's
