@@ -134,6 +134,7 @@ HEADLINE = [
     "q_dedup_jaccard_sampled",
     "q_dedup_recall_sampled",
     "q_dedup_semantic_sampled",
+    "q_dedup_embedding_sampled",
 ]
 
 

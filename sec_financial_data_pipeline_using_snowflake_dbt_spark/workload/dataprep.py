@@ -330,9 +330,38 @@ def q_dedup_simhash64_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact label-blocked cosine pairs — the quadratic oracle surface
+    (the scale paths are lsh/semantic/cluster). Largest-scale harness
+    bound: the within-label all-pairs cosine at the largest test scale
+    killed an 88-minute JVM (r10 sweep row); the sampled arm below
+    carries the sf10 cross-engine signal."""
     return DD.embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
     )
+
+
+_EMBEDDING_SAMPLED_SQL = PREP_ORACLES["q_dedup_embedding"].replace(
+    "FROM embeddings",
+    "FROM embeddings\n"
+    "               WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'",
+)
+assert _EMBEDDING_SAMPLED_SQL != PREP_ORACLES["q_dedup_embedding"]
+assert _EMBEDDING_SAMPLED_SQL.count("FROM embeddings") == 1
+
+
+@q("q_dedup_embedding_sampled", _EMBEDDING_SAMPLED_SQL)
+def q_dedup_embedding_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-scale verification arm of q_dedup_embedding (the r9/r10
+    sampled-arm pattern): the identical label-blocked exact-cosine pair
+    join over a deterministic md5 1/16 stratum of embeddings, bounding
+    the intentionally-quadratic arm (~1/256 of the pair work) inside a
+    sweep chunk at the largest scale. Within-stratum pairs on both
+    engines; the full exact arm stays the contract at the scales both
+    engines can replay."""
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    )
+    return DD.embedding_neardup_pairs(emb, block_col="label", threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,12 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_dedup_jaccard_sampled",
     "q_dedup_recall_sampled",
     "q_dedup_semantic_sampled",
+    # r10: the large-scale verification arm of q_dedup_embedding — md5
+    # 1/16 embedding stratum bounds the label-blocked exact-cosine pair
+    # join (the full arm killed an 88-minute JVM at sf10; r10 sweep
+    # row). Parked at birth BY DESIGN as a harness arm; pytest-oracled
+    # every run.
+    "q_dedup_embedding_sampled",
     # ----- rows-only multimodal demos (no DuckDB oracle for binary
     # decode; golden-byte pytest-verified incl. real PNG/GIF/JPEG) -----
     "q_multimodal_features",   # driver rows r7
