@@ -191,15 +191,32 @@ def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
         },
     )
     con = _duckdb_views(sf_dir, duck_mem=os.environ.get("SWEEP_DUCK_MEM", "8GB"))
+    # names whose output is too large to materialize for the full sorted
+    # compare: both engines reduce to (count, canonical row-checksum)
+    # engine-side instead — see oracle_harness.compare_agg (r11; the
+    # q_dedup_embedding sf10 whale emits ~9e8 rows and the collect is
+    # what killed the r10 JVM, not the join)
+    agg_names = set(filter(None, os.environ.get("SWEEP_AGG_COMPARE", "").split(",")))
     for name in names:
         t0 = time.time()
         try:
-            problems = compare(
-                QUERIES[name](spark, sf_dir),
-                con.execute(ORACLES[name]).df(),
-                name,
-            )
-            rec = {"name": name, "ok": not problems, "problems": problems}
+            if name in agg_names:
+                from tests.oracle_harness import compare_agg
+
+                problems = compare_agg(
+                    QUERIES[name](spark, sf_dir), con, ORACLES[name], name
+                )
+                rec = {
+                    "name": name, "ok": not problems,
+                    "problems": problems, "mode": "agg",
+                }
+            else:
+                problems = compare(
+                    QUERIES[name](spark, sf_dir),
+                    con.execute(ORACLES[name]).df(),
+                    name,
+                )
+                rec = {"name": name, "ok": not problems, "problems": problems}
         except Exception as exc:  # noqa: BLE001 — report, don't die mid-chunk
             rec = {
                 "name": name,
@@ -210,9 +227,47 @@ def _run_chunk(names: list[str], sf_dir: str, mem: str, threads: int) -> None:
         print("@@RESULT " + json.dumps(rec), flush=True)
 
 
+#: failure texts that mean the Spark JVM itself died (gateway gone) —
+#: the r10 blind spot: ``_describe_exc`` captures live-JVM Java stacks,
+#: but a DEAD JVM surfaces as a *Python* ConnectionRefusedError that
+#: routes around it, banking zero diagnostic bits (VERDICT r10 #1)
+_JVM_DEAD_MARKERS = (
+    "ConnectionRefused",
+    "Connection refused",
+    "Py4JNetworkError",
+    "Java gateway process",
+    "child died",
+)
+
+
+def _attach_jvm_death_evidence(rec: dict, stderr: str, since: float) -> None:
+    """On a dead-JVM failure, bank the child's stderr tail plus any
+    JVM fatal-error log (``hs_err_pid*.log``) written since the chunk
+    started — the bits r10's q_dedup_embedding death never captured."""
+    import glob
+
+    text = " ".join(rec.get("problems") or [])
+    if rec.get("ok") or not any(m in text for m in _JVM_DEAD_MARKERS):
+        return
+    ev: list[str] = []
+    tail = "\n".join(stderr.splitlines()[-100:])[-4000:]
+    if tail.strip():
+        ev.append("child stderr tail:\n" + tail)
+    for f in sorted(glob.glob(os.path.join(REPO, "hs_err_pid*.log"))):
+        try:
+            if os.path.getmtime(f) >= since:
+                with open(f, errors="replace") as fh:
+                    ev.append(f"{os.path.basename(f)} head:\n" + fh.read(3000))
+        except OSError:
+            continue
+    if ev:
+        rec["jvm_death_evidence"] = ev
+
+
 def _spawn(names: list[str], args) -> dict[str, dict]:
     """Parent side: run one chunk in a fresh process, parse its results.
     A child that dies wholesale yields synthetic not-ok records."""
+    chunk_t0 = time.time()
     cmd = [
         sys.executable, os.path.abspath(__file__), args.sf_dir,
         "--child", ",".join(names),
@@ -246,6 +301,7 @@ def _spawn(names: list[str], args) -> dict[str, dict]:
     # stream per-oracle outcomes as chunks finish — a later crash must
     # not lose completed results (r8: a chunk timeout ate chunk 1's)
     for name in names:
+        _attach_jvm_death_evidence(out[name], stderr, chunk_t0)
         r = out[name]
         took = f" ({r['sec']}s)" if r["sec"] is not None else ""
         print(f"[sweep]   {name}: {'ok' if r['ok'] else 'FAIL'}{took}", flush=True)

@@ -55,6 +55,95 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(out)
 
 
+#: Canonical null marker shared by both engines' row-string builders.
+_AGG_NULL = "∅"
+
+#: Spark dtypes the agg-compare path knows how to canonicalize. Anything
+#: else (decimal, timestamp, arrays) must fail LOUD rather than hash two
+#: engine-specific string renderings that merely happen to differ.
+_AGG_SIMPLE = {"tinyint", "smallint", "int", "bigint", "string", "boolean", "date"}
+
+
+def compare_agg(spark_df, duck_con, oracle_sql: str, name: str) -> list[str]:
+    """Engine-side aggregate compare for whale outputs that cannot be
+    materialized (r10: the full q_dedup_embedding arm at the largest
+    test scale emits ~9e8 rows; ``compare()`` collecting 2×20+ GiB of
+    pairs to one pandas process is what killed the 88-minute JVM, not
+    the join). Both engines reduce their OWN result to
+    ``(COUNT(*), SUM(first-15-hex-digits-of-md5(canonical row)))`` —
+    Spark distributed, DuckDB native — and only two scalars cross the
+    gateway.
+
+    The checksum is order-independent (sum) and value-checking
+    (collision-resistant per row); doubles are quantized at 1e-6 on BOTH
+    sides (identical quantization ⇒ engines agree iff values agree to
+    quantization — exact for the registry's ROUND(x, 3) outputs, whose
+    doubles are the same nearest-representable on both engines). A
+    weaker signal than the full sorted-value compare (no per-row diff
+    sample on mismatch), recorded as ``mode: agg`` in sweep artifacts so
+    the ledger stays honest about which check ran.
+    """
+    import pyspark.sql.functions as F
+
+    dcols = {
+        r[0]: str(r[1])
+        for r in duck_con.execute(f"DESCRIBE SELECT * FROM ({oracle_sql}) oq").fetchall()
+    }
+    scols = dict(spark_df.dtypes)
+    if sorted(scols) != sorted(dcols):
+        return [
+            f"{name}: column mismatch spark={sorted(scols)} oracle={sorted(dcols)}"
+        ]
+    cols = sorted(scols)
+
+    def spark_canon(c: str):
+        t = scols[c]
+        if t in ("double", "float"):
+            s = F.round(F.col(c).cast("double") * 1e6).cast("long").cast("string")
+        elif t in _AGG_SIMPLE:
+            s = F.col(c).cast("string")
+        else:
+            raise RuntimeError(f"{name}: agg-compare unsupported spark dtype {c}:{t}")
+        return F.coalesce(s, F.lit(_AGG_NULL))
+
+    def duck_canon(c: str) -> str:
+        t = dcols[c].upper()
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            s = f'CAST(CAST(ROUND(CAST("{c}" AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)'
+        elif t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "VARCHAR", "BOOLEAN", "DATE"):
+            s = f'CAST("{c}" AS VARCHAR)'
+        else:
+            raise RuntimeError(f"{name}: agg-compare unsupported duckdb type {c}:{t}")
+        return f"COALESCE({s}, '{_AGG_NULL}')"
+
+    # every cell is COALESCE'd, so Spark concat_ws's skip-null and
+    # DuckDB ||'s null-propagation never see a NULL — both emit the
+    # identical '|'-joined canonical row string
+    row_str = F.concat_ws("|", *[spark_canon(c) for c in cols])
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+    srow = (
+        spark_df.select(h.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("hsum"))
+        .collect()[0]
+    )
+    dexpr = " || '|' || ".join(duck_canon(c) for c in cols)
+    drow = duck_con.execute(
+        f"SELECT COUNT(*) AS n, "
+        f"SUM(CAST(CAST('0x' || SUBSTR(MD5({dexpr}), 1, 15) AS UBIGINT) AS HUGEINT)) AS hsum "
+        f"FROM ({oracle_sql}) oq"
+    ).fetchone()
+    problems: list[str] = []
+    sn, dn = int(srow["n"]), int(drow[0])
+    sh, dh = int(srow["hsum"] or 0), int(drow[1] or 0)
+    if sn != dn:
+        problems.append(f"{name}: rowcount spark={sn} oracle={dn} (agg mode)")
+    if sh != dh:
+        problems.append(
+            f"{name}: row-checksum mismatch spark={sh} oracle={dh} (agg mode)"
+        )
+    return problems
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
     """Return list of problems (empty = match)."""
     problems: list[str] = []

@@ -150,3 +150,77 @@ def test_corpus_stats_approx_distinct_arm(spark):
     )
     assert "Expand" in plan_exact
     assert "Expand" not in plan_approx
+
+
+# ---------------------------------------------------------------------------
+# compare_agg: the engine-side aggregate compare for whale outputs
+# (oracle_harness.compare_agg; r11 — the q_dedup_embedding sf10 arm's
+# ~9e8-row output cannot be materialized, so both engines reduce to
+# (count, canonical row-checksum) and only two scalars cross the gateway).
+# ---------------------------------------------------------------------------
+def _agg_duck(rows_sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW oq AS {rows_sql}")
+    return con
+
+
+def test_compare_agg_matches_on_equal_results(spark):
+    from .oracle_harness import compare_agg
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.351), (3, 4, 0.5), (5, None, -0.25)],
+        "id_a bigint, id_b bigint, cos double",
+    )
+    con = _agg_duck(
+        "SELECT * FROM (VALUES (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(0.5 AS DOUBLE)), "
+        "(5, NULL, -0.25), (1, 2, 0.351)) t(id_a, id_b, cos)"
+    )
+    assert compare_agg(df, con, "SELECT * FROM oq", "t_agg") == []
+
+
+def test_compare_agg_detects_value_and_count_mismatch(spark):
+    from .oracle_harness import compare_agg
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.351), (3, 4, 0.5)], "id_a bigint, id_b bigint, cos double"
+    )
+    con = _agg_duck(
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0.352 AS DOUBLE)), "
+        "(3, 4, 0.5)) t(id_a, id_b, cos)"
+    )
+    probs = compare_agg(df, con, "SELECT * FROM oq", "t_agg")
+    assert probs and "checksum" in probs[0]
+    probs = compare_agg(
+        df, con, "SELECT * FROM oq WHERE id_a = 3", "t_agg"
+    )
+    assert any("rowcount" in p for p in probs)
+
+
+def test_compare_agg_is_order_independent_and_null_distinct(spark):
+    """The checksum must not confuse NULL with the literal marker string
+    in a neighboring column, and must ignore row order entirely."""
+    from .oracle_harness import compare_agg
+
+    df = spark.createDataFrame(
+        [(None, "x"), (7, None)], "k bigint, s string"
+    )
+    con = _agg_duck(
+        "SELECT * FROM (VALUES (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR)), "
+        "(NULL, 'x')) t(k, s)"
+    )
+    assert compare_agg(df, con, "SELECT * FROM oq", "t_agg") == []
+
+
+def test_compare_agg_rejects_unsupported_dtype(spark):
+    import pytest as _pytest
+
+    from .oracle_harness import compare_agg
+
+    df = spark.createDataFrame([(1,)], "v int").selectExpr(
+        "CAST(v AS DECIMAL(10,2)) AS v"
+    )
+    con = _agg_duck("SELECT CAST(1.00 AS DECIMAL(10,2)) AS v")
+    with _pytest.raises(RuntimeError, match="unsupported"):
+        compare_agg(df, con, "SELECT * FROM oq", "t_agg")
