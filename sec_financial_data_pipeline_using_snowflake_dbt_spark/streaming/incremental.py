@@ -294,10 +294,14 @@ def stream_cdc_sink(
     (:func:`_read_cdc_state`) then adopts the newest ``v=*`` directory
     that has a ``_SUCCESS`` — which is exactly the fully-written new
     state. A foreachBatch redelivery of an ALREADY-COMMITTED batch
-    (state version ≥ batch id) is detected and skipped — the committed
+    (state version == batch id) is detected and skipped — the committed
     state already folds it (the seq-aware merge is idempotent), and a
     rewrite would read from the directory it overwrites, which Spark
-    refuses; only the marker is re-published. Old versions are retained for
+    refuses; only the marker is re-published. A state version AHEAD of
+    the delivered batch id is a checkpoint/target mismatch (a
+    deleted/recreated checkpoint restarts batch ids at 0) and raises
+    rather than silently discarding the new run's first batches
+    (ADVICE r10). Old versions are retained for
     time travel; expire them with a storage lifecycle rule (at 100 TB
     this layout is exactly the poor-man's Iceberg — the state rewrite per
     batch is the price of plain parquet, and the reason the real thing
@@ -317,7 +321,7 @@ def stream_cdc_sink(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state, state_version = _read_cdc_state_versioned(spark, target_path)
-        if state_version is not None and state_version >= batch_id:
+        if state_version is not None and state_version == batch_id:
             # foreachBatch REDELIVERY after a crash in the commit window
             # (marker already at v=<batch_id>, or the no-marker recovery
             # adopted it): the committed state already folds this batch —
@@ -329,6 +333,23 @@ def stream_cdc_sink(
             # and let the checkpoint commit complete.
             _commit_cdc_marker(spark, target_path, state_version)
             return
+        if state_version is not None and state_version > batch_id:
+            # NOT redelivery: foreachBatch only ever redelivers the last
+            # uncommitted batch, so the committed state can be at most one
+            # version ahead. A version ahead by more means the CHECKPOINT
+            # does not belong to this TARGET (deleted/recreated checkpoint
+            # restarts ids at 0 against a target at v=N) — silently
+            # skipping would discard the first state_version+1 batches of
+            # the new run (ADVICE r10, medium). Fail loudly instead.
+            raise RuntimeError(
+                f"stream_cdc_sink: checkpoint/target mismatch — target "
+                f"{target_path!r} is committed at v={state_version} but the "
+                f"stream delivered batch {batch_id}. This happens when the "
+                f"checkpoint was deleted/recreated against an existing "
+                f"target. Resume with the original checkpoint, or point the "
+                f"new stream at a fresh target (copy the current state "
+                f"forward if it should seed the new run)."
+            )
         if state is None:
             merged = cdc_apply(
                 batch_df, key_cols, seq_cols,

@@ -426,3 +426,38 @@ def test_stream_cdc_sink_survives_redelivery(spark, tmp_path):
     stream_cdc_sink(make_stream(), target, ckpt, KEY, SEQ)
     assert os.path.isfile(os.path.join(target, "_LATEST"))
     assert _snap(read_cdc_snapshot(spark, target)) == want
+
+
+def test_stream_cdc_sink_rejects_checkpoint_target_mismatch(spark, tmp_path):
+    """ADVICE r10 (medium): the redelivery skip must be scoped to TRUE
+    redelivery (state_version == batch_id). A deleted/recreated
+    checkpoint against an existing target restarts batch ids at 0 while
+    the target sits at v=N — previously every batch up to N was
+    silently discarded; now the sink fails loudly naming the
+    mismatch."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.streaming.incremental import (
+        stream_cdc_sink,
+    )
+
+    rng = random.Random(99)
+    rows = _random_changelog(rng, n_keys=8, n_changes=40)
+    df = _df(spark, rows)
+    src = str(tmp_path / "in")
+    df.repartition(3).write.parquet(src)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+
+    target = str(tmp_path / "snap")
+    stream_cdc_sink(make_stream(), target, str(tmp_path / "ck1"), KEY, SEQ)
+    # 3 input files -> 3 batches -> target committed at v=2; a FRESH
+    # checkpoint redelivers batch 0 against it
+    with pytest.raises(StreamingQueryException, match="checkpoint/target mismatch"):
+        stream_cdc_sink(make_stream(), target, str(tmp_path / "ck2"), KEY, SEQ)
