@@ -143,3 +143,29 @@ SQL_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS 
 SQL_CHARGE = (
     f"CAST({SQL_REVENUE} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))"
 )
+
+
+def require_sql_surgery(
+    sampled: str, full: str, name: str, needle: str, n: int = 1
+) -> str:
+    """Fail-loud guard for ``.replace``-derived sampled-arm oracles.
+
+    The sampled arms are built by string surgery on the full oracle; a
+    silent ``.replace`` no-op would ship an UNSAMPLED oracle that no
+    longer matches the stratified Spark arm. These guards were bare
+    module-level ``assert`` statements, which ``python -O`` strips
+    (ADVICE r10) — raise instead, and additionally pin that ``needle``
+    (the surgery site's anchor) occurs exactly ``n`` times in the result
+    so a drifted full oracle that matches the pattern twice (or zero
+    times after an edit) is caught at import."""
+    if sampled == full:
+        raise RuntimeError(
+            f"{name}: sampled-arm SQL surgery did not land (.replace was a no-op)"
+        )
+    found = sampled.count(needle)
+    if found != n:
+        raise RuntimeError(
+            f"{name}: expected {n} occurrence(s) of {needle!r} in the sampled "
+            f"oracle, found {found} — the full oracle drifted under the surgery"
+        )
+    return sampled

@@ -17,7 +17,7 @@ from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators import textops as TO
-from .common import table
+from .common import require_sql_surgery, table
 
 PREP_QUERIES: dict[str, object] = {}
 PREP_ORACLES: dict[str, str] = {}
@@ -97,7 +97,14 @@ _JACCARD_SAMPLED_SQL = PREP_ORACLES["q_dedup_jaccard"].replace(
     f"SELECT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents\n"
     "      WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
 )
-assert _JACCARD_SAMPLED_SQL != PREP_ORACLES["q_dedup_jaccard"]
+_JACCARD_SAMPLED_SQL = require_sql_surgery(
+    _JACCARD_SAMPLED_SQL, PREP_ORACLES["q_dedup_jaccard"],
+    "q_dedup_jaccard_sampled", "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
+)
+require_sql_surgery(
+    _JACCARD_SAMPLED_SQL, PREP_ORACLES["q_dedup_jaccard"],
+    "q_dedup_jaccard_sampled", "FROM documents",
+)
 
 
 @q("q_dedup_jaccard_sampled", _JACCARD_SAMPLED_SQL)
@@ -297,7 +304,10 @@ _SIMHASH64_SAMPLED_SQL = PREP_ORACLES["q_dedup_simhash64"].replace(
     f"SELECT DISTINCT doc_id, lang, UNNEST({SQL_DTOKENS}) AS token FROM documents\n"
     "      WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
 )
-assert _SIMHASH64_SAMPLED_SQL != PREP_ORACLES["q_dedup_simhash64"]
+_SIMHASH64_SAMPLED_SQL = require_sql_surgery(
+    _SIMHASH64_SAMPLED_SQL, PREP_ORACLES["q_dedup_simhash64"],
+    "q_dedup_simhash64_sampled", "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
+)
 
 
 @q("q_dedup_simhash64_sampled", _SIMHASH64_SAMPLED_SQL)
@@ -345,8 +355,14 @@ _EMBEDDING_SAMPLED_SQL = PREP_ORACLES["q_dedup_embedding"].replace(
     "FROM embeddings\n"
     "               WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'",
 )
-assert _EMBEDDING_SAMPLED_SQL != PREP_ORACLES["q_dedup_embedding"]
-assert _EMBEDDING_SAMPLED_SQL.count("FROM embeddings") == 1
+_EMBEDDING_SAMPLED_SQL = require_sql_surgery(
+    _EMBEDDING_SAMPLED_SQL, PREP_ORACLES["q_dedup_embedding"],
+    "q_dedup_embedding_sampled", "SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'",
+)
+require_sql_surgery(
+    _EMBEDDING_SAMPLED_SQL, PREP_ORACLES["q_dedup_embedding"],
+    "q_dedup_embedding_sampled", "FROM embeddings",
+)
 
 
 @q("q_dedup_embedding_sampled", _EMBEDDING_SAMPLED_SQL)
@@ -2803,8 +2819,14 @@ _RECALL_SAMPLED_SQL = _dedup_recall_sql(0.8).replace(
     "AS toks FROM documents\n"
     "      WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
 )
-assert _RECALL_SAMPLED_SQL != _dedup_recall_sql(0.8)
-assert _RECALL_SAMPLED_SQL.count("FROM documents") == 1
+_RECALL_SAMPLED_SQL = require_sql_surgery(
+    _RECALL_SAMPLED_SQL, _dedup_recall_sql(0.8),
+    "q_dedup_recall_sampled", "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'",
+)
+require_sql_surgery(
+    _RECALL_SAMPLED_SQL, _dedup_recall_sql(0.8),
+    "q_dedup_recall_sampled", "FROM documents",
+)
 
 
 @q("q_dedup_recall_sampled", _RECALL_SAMPLED_SQL)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import facts as FCT
-from .common import table
+from .common import require_sql_surgery, table
 
 SEC_QUERIES: dict[str, object] = {}
 SEC_ORACLES: dict[str, str] = {}
@@ -415,7 +415,10 @@ _SEC_JSON_DOC_SAMPLED_SQL = _SEC_JSON_DOC_SQL.replace(
     "LEFT JOIN pre p ON n.adsh = p.adsh AND n.tag = p.tag\n"
     "  WHERE SUBSTR(MD5(s.adsh), 1, 1) IN ('0', '1', '2', '3')\n)",
 )
-assert _SEC_JSON_DOC_SAMPLED_SQL != _SEC_JSON_DOC_SQL  # surgery must land
+_SEC_JSON_DOC_SAMPLED_SQL = require_sql_surgery(
+    _SEC_JSON_DOC_SAMPLED_SQL, _SEC_JSON_DOC_SQL, "q_sec_json_doc_sampled",
+    "SUBSTR(MD5(s.adsh), 1, 1) IN ('0', '1', '2', '3')",
+)
 
 SEC_QUERIES["q_sec_json_doc"] = q_sec_json_doc
 SEC_ORACLES["q_sec_json_doc"] = _SEC_JSON_DOC_SQL

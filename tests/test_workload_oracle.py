@@ -224,3 +224,20 @@ def test_compare_agg_rejects_unsupported_dtype(spark):
     con = _agg_duck("SELECT CAST(1.00 AS DECIMAL(10,2)) AS v")
     with _pytest.raises(RuntimeError, match="unsupported"):
         compare_agg(df, con, "SELECT * FROM oq", "t_agg")
+
+
+def test_require_sql_surgery_guards():
+    """ADVICE r10: the sampled-arm surgery guards must survive python -O
+    (RuntimeError, not assert) and catch both a no-op replace and a
+    drifted full oracle where the anchor lands a second time."""
+    import pytest as _pytest
+
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.common import (
+        require_sql_surgery,
+    )
+
+    assert require_sql_surgery("a frag b", "orig", "x", "frag") == "a frag b"
+    with _pytest.raises(RuntimeError, match="no-op"):
+        require_sql_surgery("same", "same", "x", "frag")
+    with _pytest.raises(RuntimeError, match="occurrence"):
+        require_sql_surgery("a frag b frag", "orig", "x", "frag")
