@@ -1578,10 +1578,12 @@ def parse_mp4_sample_table(payload: bytes) -> dict[str, Any] | None:
     """REAL ISO BMFF sample-table parse (ISO/IEC 14496-12 §8.5-8.7) —
     the zero-codec half of video frame sampling: walk
     moov/trak/mdia/minf/stbl of the first VIDEO track (hdlr 'vide';
-    falls back to the first track bearing an stbl) and join the four
-    tables a player joins:
+    falls back to the first stbl-bearing track whose hdlr is absent or
+    unknown — never 'soun'/'hint', which would emit audio samples as
+    video frames) and join the tables a player joins:
 
-    - ``stts``  decode deltas     → per-sample PTS (decode order),
+    - ``stts``  decode deltas (+ ``ctts`` composition offsets when
+      present, so B-frame media reports true PTS) → per-sample PTS,
     - ``stsz``  sample sizes      → per-sample byte length,
     - ``stsc`` + ``stco``/``co64`` chunk map → absolute file offsets,
     - ``stss``  sync table        → keyframe flags (absent = all sync).
@@ -1613,11 +1615,17 @@ def parse_mp4_sample_table(payload: bytes) -> dict[str, Any] | None:
             continue
         mdhd = _mp4_child(payload, mdia[0], mdia[1], b"mdhd")
         cand = (stbl, mdhd)
-        if fallback is None:
-            fallback = cand
-        if hdlr and payload[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12] if hdlr else None
+        if handler == b"vide":
             chosen = cand
             break
+        # ADVICE r10: never emit audio/hint samples as video frames —
+        # the missing-hdlr fallback is for malformed/minimal muxes, so
+        # it may only adopt a track whose handler is absent or unknown
+        if handler in (b"soun", b"hint"):
+            continue
+        if fallback is None:
+            fallback = cand
     if chosen is None:
         chosen = fallback
     if chosen is None:
@@ -1638,6 +1646,7 @@ def parse_mp4_sample_table(payload: bytes) -> dict[str, Any] | None:
     stco = full_body(b"stco")
     co64 = None if stco is not None else full_body(b"co64")
     stss = full_body(b"stss")
+    ctts = full_body(b"ctts")
     if stts is None or stsz is None or stsc is None or (stco is None and co64 is None):
         return None
     try:
@@ -1662,6 +1671,25 @@ def parse_mp4_sample_table(payload: bytes) -> dict[str, Any] | None:
                 break
         if len(pts) < n_samples:
             return None
+        # ctts: composition offsets (ISO 14496-12 §8.6.1.3) — without
+        # them, B-frame media would report DTS under a column named
+        # pts_seconds (ADVICE r10). Version 0 offsets are unsigned,
+        # version 1 signed; pts = dts + offset per sample.
+        if ctts is not None:
+            signed = ctts[0] == 1
+            (n_ctts,) = struct.unpack(">I", ctts[4:8])
+            k = 0
+            for e in range(n_ctts):
+                cnt, off = struct.unpack(
+                    ">Ii" if signed else ">II", ctts[8 + 8 * e : 16 + 8 * e]
+                )
+                for _ in range(min(cnt, n_samples - k)):
+                    pts[k] += off
+                    k += 1
+                if k >= n_samples:
+                    break
+            if k < n_samples:
+                return None  # declared table shorter than the track: corrupt
         # chunk offsets
         if stco is not None:
             (n_chunks,) = struct.unpack(">I", stco[4:8])

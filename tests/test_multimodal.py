@@ -1996,3 +1996,93 @@ def test_png_matrix_roundtrip_fuzz():
         else:
             want = a[..., 0].mean() / top
         assert abs(plain["mean_luma"] - want) < 1e-9, (ct, depth)
+
+
+def _mini_mp4_boxes():
+    """The _mini_mp4 sample-table boxes, returned piecemeal so variants
+    (ctts, audio tracks) can recompose them."""
+    frames = [bytes([i + 1]) * (10 * (i + 1)) for i in range(5)]
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body_start = len(ftyp) + 8
+    mdat = _box(b"mdat", b"".join(frames))
+    sizes = [len(f) for f in frames]
+    stts = _full(b"stts", struct.pack(">I", 1) + struct.pack(">II", 5, 100))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 5) + struct.pack(">5I", *sizes))
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 3, 1),
+    )
+    stco = _full(
+        b"stco",
+        struct.pack(">I", 2)
+        + struct.pack(">II", mdat_body_start, mdat_body_start + sum(sizes[:2])),
+    )
+    stss = _full(b"stss", struct.pack(">I", 2) + struct.pack(">II", 1, 4))
+    mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 500))
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 500) + b"\x00" * 80)
+    return frames, ftyp, mdat, (stts + stsz + stsc + stco + stss), mdhd, mvhd
+
+
+def _trak(handler: bytes | None, stbl_body: bytes, mdhd: bytes) -> bytes:
+    minf = _box(b"minf", _box(b"stbl", stbl_body))
+    parts = [mdhd]
+    if handler is not None:
+        parts.append(_full(b"hdlr", b"\x00\x00\x00\x00" + handler + b"\x00" * 12))
+    parts.append(minf)
+    return _box(b"trak", _box(b"mdia", b"".join(parts)))
+
+
+def test_mp4_ctts_composition_offsets_give_true_pts():
+    """ADVICE r10: pts_seconds must include ctts composition offsets —
+    a B-frame reorder (decode order I P B, presentation I B P) used to
+    report DTS under the pts name. Both the unsigned v0 and signed v1
+    ctts forms must land."""
+    frames, ftyp, mdat, tables, mdhd, mvhd = _mini_mp4_boxes()
+    # v0 (unsigned): every sample shifted +50 ticks
+    ctts0 = _full(b"ctts", struct.pack(">I", 1) + struct.pack(">II", 5, 50))
+    payload = ftyp + mdat + _box(
+        b"moov", mvhd + _trak(b"vide", tables + ctts0, mdhd)
+    )
+    t = MM.parse_mp4_sample_table(payload)
+    assert [s[2] for s in t["samples"]] == [50, 150, 250, 350, 450]
+    # v1 (signed): classic B-frame pattern — decode I P B P B, offsets
+    # [+100, +200, -100, +200, -100] -> pts [100, 300, 100(+100 base)..]
+    ctts1 = bytes([1, 0, 0, 0]) + struct.pack(">I", 5) + b"".join(
+        struct.pack(">Ii", 1, o) for o in (100, 200, -100, 200, -100)
+    )
+    payload = ftyp + mdat + _box(
+        b"moov", mvhd + _trak(b"vide", tables + _box(b"ctts", ctts1), mdhd)
+    )
+    t = MM.parse_mp4_sample_table(payload)
+    assert [s[2] for s in t["samples"]] == [100, 300, 100, 500, 300]
+    # declared ctts shorter than the track = corrupt -> None
+    ctts_short = _full(b"ctts", struct.pack(">I", 1) + struct.pack(">II", 2, 50))
+    payload = ftyp + mdat + _box(
+        b"moov", mvhd + _trak(b"vide", tables + ctts_short, mdhd)
+    )
+    assert MM.parse_mp4_sample_table(payload) is None
+
+
+def test_mp4_track_fallback_skips_audio_and_hint():
+    """ADVICE r10: an audio-only (or audio-first) MP4 must not emit its
+    sound samples as video 'frames'; the no-hdlr fallback remains for
+    minimal muxes."""
+    frames, ftyp, mdat, tables, mdhd, mvhd = _mini_mp4_boxes()
+    # audio-only: no video track -> None
+    payload = ftyp + mdat + _box(b"moov", mvhd + _trak(b"soun", tables, mdhd))
+    assert MM.parse_mp4_sample_table(payload) is None
+    payload = ftyp + mdat + _box(b"moov", mvhd + _trak(b"hint", tables, mdhd))
+    assert MM.parse_mp4_sample_table(payload) is None
+    # audio-first, video second: the video track must be chosen (sound
+    # track first in the moov)
+    payload = ftyp + mdat + _box(
+        b"moov", mvhd + _trak(b"soun", tables, mdhd) + _trak(b"vide", tables, mdhd)
+    )
+    t = MM.parse_mp4_sample_table(payload)
+    assert t is not None and len(t["samples"]) == 5
+    # hdlr-less minimal mux still parses via the fallback
+    payload = ftyp + mdat + _box(b"moov", mvhd + _trak(None, tables, mdhd))
+    t = MM.parse_mp4_sample_table(payload)
+    assert t is not None and len(t["samples"]) == 5
