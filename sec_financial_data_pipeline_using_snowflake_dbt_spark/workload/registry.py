@@ -37,12 +37,51 @@ from .streaming_q import STREAM_ORACLES, STREAM_QUERIES
 #: (which successor took each slot, round by round) moved verbatim to
 #: NOTES_parks.md (VERDICT r9 #5).
 #:
-#: r10 rotation (VERDICT r9 #4): the twelve oldest parks return to the
-#: window (q_projection, q_distinct, q_semi_join, q_pagination, q_pivot,
-#: q_json_extract, q_case_quarter, q_collect_list, q_array_ops,
-#: q_filter_compose, q_watermark, q_validation_stats — all last
-#: driver-green r5). Parked in exchange, each with a green r9 row:
+#: r11 rotation (VERDICT r10 #3): the twelve oldest parks return —
+#: the five remaining r5-era (q_json_doc, q_surrogate_key,
+#: q_fact_star_shape, q_left_join_counts, q_expr_key_join), five r6-era
+#: (q_greatest_least, q_window_frames, q_string_funcs, q_stats_agg,
+#: q_broadcast_star), plus q_multimodal_features/q_multimodal_frames,
+#: which gained REAL DuckDB oracles this round (VERDICT r10 #2) and
+#: enter the hard signal for the first time as hash-checked rows.
+#: Parked in exchange (the twelve r10 returns, each freshly green r10):
 TAIL_QUERIES: tuple[str, ...] = (
+    # ----- r11 parks (green r10; coverage stories per entry) -----
+    # green r1-r5+r10; P1-P4 projection/rename surface stays in-window
+    # via q_sec_fact_bs' staging selects; pytest-oracled every run.
+    "q_projection",
+    # green r1-r5+r10; A2 via q_profile's oracle-pinned exact-distinct
+    # arm and q_sec_fact_bs' J7 distinct-pushdown dimensions.
+    "q_distinct",
+    # green r1-r5+r10; J10 semi/anti surface via test_checks'
+    # fk_orphans every run.
+    "q_semi_join",
+    # green r1-r5+r10; O1/O3 deterministic global sort + LIMIT/OFFSET
+    # pinned by test_serve's pagination battery.
+    "q_pagination",
+    # green r1-r5+r10; A6 value_counts via q_corpus_stats' per-source
+    # rollup; pytest-oracled.
+    "q_pivot",
+    # green r1-r5+r10; F6 extraction via the in-window flagship
+    # q_sec_json_doc.
+    "q_json_extract",
+    # green r1-r5+r10; F2/F3 CASE/date surface via q_sec_fact_bs'
+    # fiscal-date build + the quarter_string parity test.
+    "q_case_quarter",
+    # green r1-r5+r10; A3 deterministic ARRAY_AGG via q_sec_json_doc.
+    "q_collect_list",
+    # green r1-r5+r10; F6 array HOFs via the in-window
+    # q_dedup_span_removal's fold/filter chain.
+    "q_array_ops",
+    # green r1-r5+r10; P7/P8 dynamic predicates via test_serve's
+    # filter-compose battery every run.
+    "q_filter_compose",
+    # green r1-r5+r10; A4/P11 watermark surface via the in-window
+    # q_stream_join.
+    "q_watermark",
+    # green r1-r5+r10; F7-F9 regex/range/length checks via test_checks
+    # every run.
+    "q_validation_stats",
     # ----- r10 parks (green r9; coverage stories per entry) -----
     # green r1-r7+r9 (most rows of any query); A1/F4 decimal-agg surface
     # stays in-window via q_sec_fact_bs' DecimalType(28,4) measures;
@@ -103,10 +142,6 @@ TAIL_QUERIES: tuple[str, ...] = (
     # row). Parked at birth BY DESIGN as a harness arm; pytest-oracled
     # every run.
     "q_dedup_embedding_sampled",
-    # ----- rows-only multimodal demos (no DuckDB oracle for binary
-    # decode; golden-byte pytest-verified incl. real PNG/GIF/JPEG) -----
-    "q_multimodal_features",   # driver rows r7
-    "q_multimodal_frames",     # driver rows r7
     # ----- r9 parks (green r8; stories in NOTES_parks.md) -----
     "q_window_running",        # r8; windows via q_pack_token_ids + pytest
     "q_dedup_embedding",       # r8; via q_cluster_sample + q_ann_recall
@@ -132,11 +167,6 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_dedup_verify",          # r7; chain contained in q_dedup_recall
     "q_bpe_encode_ids",        # r7; nested in q_tokenizer_fertility oracle
     # ----- r7 parks (stories in NOTES_parks.md) -----
-    "q_greatest_least",        # r6; F4 math via q_pricing_summary's family
-    "q_window_frames",         # r6; frames via q_pack_token_ids cumsums
-    "q_string_funcs",          # r6; F1 via q_pii_scrub + span-removal HOFs
-    "q_stats_agg",             # r6; stddev battery; pytest-oracled
-    "q_broadcast_star",        # r6; J2 hint via q_sec_fact_bs (golden)
     "q_bm25",                  # r6; full chain inside q_hybrid_rrf oracle
     "q_bigram_logprob",        # r6; chain inside q_perplexity_buckets
     "q_data_mixture",          # r6; resample via q_training_mix
@@ -156,11 +186,6 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_global_shuffle",        # r6; shard machinery via q_pack_token_ids
     "q_quality_filter",        # r6; nested in q_corpus_stats oracle
     # ----- r6 and earlier parks (stories in NOTES_parks.md) -----
-    "q_json_doc",              # r5; A3/F6 via q_sec_json_doc (in-window)
-    "q_surrogate_key",         # r5; F5 byte-parity via q_sec_fact_bs
-    "q_fact_star_shape",       # r5; star joins via q_sec_fact_bs
-    "q_left_join_counts",      # r5; J3/J4 via q_sec_fact_bs left joins
-    "q_expr_key_join",         # r5; J5 runs inside q_sec_fact_bs build
     "q_dedup_simhash",         # r5; 16-bit parity arm; pytest + HEADLINE
     "q_c4_clean",              # r5; line stage inside q_line_dedup
     "q_pack_sequences",        # r5; pack chain via q_pack_token_ids

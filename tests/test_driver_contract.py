@@ -43,20 +43,21 @@ def test_oracle_queries_inside_driver_window():
         # flagships (the two SEC dbt-project builds)
         "q_sec_fact_bs",
         "q_sec_json_doc",
-        # r10 returns (VERDICT r9 #4): the twelve r5-era parks re-earn
-        # their driver rows this round
-        "q_projection",
-        "q_distinct",
-        "q_semi_join",
-        "q_pagination",
-        "q_pivot",
-        "q_json_extract",
-        "q_case_quarter",
-        "q_collect_list",
-        "q_array_ops",
-        "q_filter_compose",
-        "q_watermark",
-        "q_validation_stats",
+        # r11 returns (VERDICT r10 #3): the five remaining r5-era parks,
+        # five r6-era parks, and the two multimodal queries that gained
+        # REAL DuckDB oracles this round (first-ever hash-checked rows)
+        "q_json_doc",
+        "q_surrogate_key",
+        "q_fact_star_shape",
+        "q_left_join_counts",
+        "q_expr_key_join",
+        "q_greatest_least",
+        "q_window_frames",
+        "q_string_funcs",
+        "q_stats_agg",
+        "q_broadcast_star",
+        "q_multimodal_features",
+        "q_multimodal_frames",
         # containment pins: each holds one or more parked predecessors'
         # surfaces inside its own oracle (see registry.py annotations)
         "q_kmeans_quality",        # q_ann_ivf's Lloyd unroll (2 widths)
