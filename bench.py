@@ -145,6 +145,21 @@ HEADLINE = [
 #: Env-overridable so the pytest smoke can run a single rep.
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+#: Run-level noise canary (VERDICT r10 What's wrong #2): two clean
+#: ``contended_by: []`` runs of the SAME code differed 9.6% — process
+#: scanning catches sibling harness load, not box-level noise, so a
+#: single artifact could not distinguish a uniform ~10% code regression
+#: from a noisy box. Three fixed cheap queries are re-timed at
+#: measurement start AND end; the artifact stamps both passes and their
+#: ratio, so a uniformly-inflated run self-identifies (high canary times
+#: at both ends ⇒ the box was slow; start≈end fast but headline slow ⇒
+#: a real regression). Picks are the cheapest stable HEADLINE members —
+#: per-pass cost ~5 s against an ~130 s suite.
+CANARY = ("q_fingerprint", "q_text_quality", "q_window_topk")
+
+#: start/end canary ratio above which the artifact is stamped noisy.
+CANARY_DRIFT_WARN = 1.25
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -298,7 +313,28 @@ def main() -> None:
         spark.catalog.clearCache()
         return best
 
+    # untimed canary warm pass: the start pass must not pay per-query
+    # plan-compile/codegen costs the end pass won't (that asymmetry
+    # would bias drift < 1 on every run)
+    for n in CANARY:
+        force(QUERIES[n](spark, sf_dir))
+    DD.release_dedup_caches()
+    spark.catalog.clearCache()
+    canary_start = {n: round(measure(n), 3) for n in CANARY}
+
     timings = {name: round(measure(name), 3) for name in headline}
+
+    canary_end = {n: round(measure(n), 3) for n in CANARY}
+    canary_drift = round(
+        sum(canary_end.values()) / max(sum(canary_start.values()), 1e-9), 3
+    )
+    if max(canary_drift, 1 / max(canary_drift, 1e-9)) > CANARY_DRIFT_WARN:
+        print(
+            f"BENCH CANARY DRIFT: start {canary_start} -> end {canary_end} "
+            f"(ratio {canary_drift}) - box speed changed mid-run; treat the "
+            "suite total as noisy",
+            file=sys.stderr,
+        )
 
     # budget check applies only at the budgets' own scale (sf0.1);
     # violations re-measure once (fresh best-of-reps) before flagging
@@ -327,6 +363,13 @@ def main() -> None:
         "over_budget": over,
         "noise_spikes": noise,
         "contended_by": contended_by,
+        # run-level noise self-measurement: the same three cheap queries
+        # timed before and after the suite. start≈end but both high vs
+        # their budgets ⇒ slow box all run; drift ≫ 1 ⇒ the box slowed
+        # mid-run (suite total inflated); ≈1.0 and fast ⇒ trust the run.
+        "canary_start": canary_start,
+        "canary_end": canary_end,
+        "canary_drift": canary_drift,
     }
     print(json.dumps(result))
     # Also land the full JSON on disk: the driver captures stdout with a
