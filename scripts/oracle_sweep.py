@@ -127,6 +127,12 @@ def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
     threads = os.environ.get("SWEEP_DUCK_THREADS")
     if threads:
         con.execute(f"SET threads = {int(threads)}")
+    # insertion-order preservation forces DuckDB to buffer whole
+    # pipeline outputs in order; the sweep compares order-insensitively,
+    # so heavy explode oracles (the q_bpe_encode_ids sf1 TLS-exhaustion
+    # bound, NOTES_r10 §9a) can drop it to stream instead of buffer
+    if os.environ.get("SWEEP_DUCK_NO_ORDER") == "1":
+        con.execute("SET preserve_insertion_order = false")
     # Per-process spill dir: DuckDB's default CWD-relative `.tmp` uses
     # non-unique spill file names, so two concurrent children (or a
     # sweep overlapping a pytest/verify run) corrupt each other's

@@ -162,38 +162,39 @@ def _be_u32(c) -> object:
 
 
 def _synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality asset synthesis as ONE documents scan: the
+    png/mp4 split is a CASE over ``doc_id`` parity, not a two-branch
+    union — a union of two filtered selects reads the corpus twice
+    (two FileScans), which at 100 TB is a second full pass for zero
+    information (r11 plan audit).
+
+    ASCII-only guard on the video branch: the frames oracle re-derives
+    the engine's byte-window md5s by slicing the payload as a VARCHAR,
+    which is byte-exact iff every character is one byte. The generated
+    corpora are all-ASCII so this filters nothing in practice; it makes
+    the char==byte slicing equivalence hold by construction rather than
+    by luck (the sampled-arm discipline: restrict BOTH arms
+    identically)."""
     docs = table(spark, sf_dir, "documents")
-    png = docs.filter(F.col("doc_id") % 2 == 0).select(
+    is_png = F.col("doc_id") % 2 == 0
+    png_payload = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be_u32(F.lit(64) + F.col("doc_id") % 1024),
+        _be_u32(F.lit(64) + F.col("n_chars") % 1024),
+        F.lit(b"\x08\x02\x00\x00\x00"),
+        F.encode("text", "UTF-8"),
+    )
+    mp4_payload = F.concat(
+        F.lit(b"\x00\x00\x00\x18ftypmp42"), F.encode("text", "UTF-8")
+    )
+    return docs.filter(
+        is_png | (F.octet_length("text") == F.length("text"))
+    ).select(
         F.md5(F.col("doc_id").cast("string")).alias("asset_id"),
         F.lit("unknown").alias("modality"),
-        F.concat(
-            F.lit(b"\x89PNG\r\n\x1a\n"),
-            F.lit(b"\x00\x00\x00\x0dIHDR"),
-            _be_u32(F.lit(64) + F.col("doc_id") % 1024),
-            _be_u32(F.lit(64) + F.col("n_chars") % 1024),
-            F.lit(b"\x08\x02\x00\x00\x00"),
-            F.encode("text", "UTF-8"),
-        ).alias("payload"),
+        F.when(is_png, png_payload).otherwise(mp4_payload).alias("payload"),
     )
-    # ASCII-only guard on the video branch: the DuckDB oracle below
-    # re-derives the engine's byte-window md5s by slicing the payload as
-    # a VARCHAR, which is byte-exact iff every character is one byte.
-    # The generated corpora are all-ASCII so this filters nothing in
-    # practice; it makes the char==byte slicing equivalence hold by
-    # construction rather than by luck (the sampled-arm discipline:
-    # restrict BOTH arms identically).
-    mp4 = (
-        docs.filter(F.col("doc_id") % 2 == 1)
-        .filter(F.octet_length("text") == F.length("text"))
-        .select(
-            F.md5(F.col("doc_id").cast("string")).alias("asset_id"),
-            F.lit("unknown").alias("modality"),
-            F.concat(
-                F.lit(b"\x00\x00\x00\x18ftypmp42"), F.encode("text", "UTF-8")
-            ).alias("payload"),
-        )
-    )
-    return png.unionByName(mp4)
 
 
 # The decode outputs over these synthesized assets are deterministic
