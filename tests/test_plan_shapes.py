@@ -299,3 +299,21 @@ def test_funnel_single_scan(spark, tmp_path_factory):
     for bad in ("soonish", "7 days; DROP TABLE x", "7 fortnights", ""):
         with pytest.raises(ValueError, match="horizon"):
             FUN.funnel_steps(ev, steps, horizon=bad)
+
+
+def test_synth_assets_single_documents_scan(spark):
+    """The mixed-modality asset synthesis must stay ONE documents scan
+    (r11): the original two-branch union read the corpus twice — a
+    second full pass at 100 TB for zero information. Both multimodal
+    queries inherit the invariant."""
+    from sec_financial_data_pipeline_using_snowflake_dbt_spark.workload.extended import (
+        q_multimodal_features,
+        q_multimodal_frames,
+    )
+
+    for q in (q_multimodal_features, q_multimodal_frames):
+        plan = (
+            q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("documents.parquet") == 1, q.__name__
+        assert _exchanges(q(spark, SF_SMOKE)) == 0, q.__name__
