@@ -2548,11 +2548,15 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wtab/stab — one row per symbol per word per doc) exceeds any DuckDB
     cap this box allows at sf10 (8 GB pool OOM; 20 GB dies of mmap-count
     exhaustion first, NOTES_r8 §25) while the Spark side is fine. The
-    full query stays the contract at sf0.001–sf1 (hash-matched);
-    sf10-scale cross-engine coverage is carried by the SAMPLED arm below
-    plus the already-sf10-green q_bpe_train (the merge table) and
-    q_bpe_encode (the full-corpus d0..dN symbol strings), which together
-    pin every input the id emission consumes."""
+    r10 sf1 abort (DuckDB pthread TLS exhaustion, rc=-6) was CLOSED in
+    r11: ``SWEEP_DUCK_NO_ORDER=1`` (preserve_insertion_order=false — the
+    sweep compares order-insensitively, so the explode streams instead
+    of buffering in order) greens the full arm at sf1 in 121 s
+    (artifacts/sweep_sf1_r11.jsonl). The full query is hash-matched at
+    sf0.001–sf1; sf10-scale cross-engine coverage is carried by the
+    SAMPLED arm below plus the already-sf10-green q_bpe_train (the merge
+    table) and q_bpe_encode (the full-corpus d0..dN symbol strings),
+    which together pin every input the id emission consumes."""
     docs = table(spark, sf_dir, "documents")
     merges = [
         (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()
