@@ -39,6 +39,18 @@ Usage:
       --threads 8 [--only q_a,q_b] [--exclude q_c] \
       [--order-file timings.json] [--results-out sweep.jsonl]
 
+Env knobs (whale-taming, r10/r11):
+  SWEEP_MAX_RESULT   spark.driver.maxResultSize for children (dflt 8g)
+  SWEEP_DUCK_MEM     DuckDB memory_limit per child (dflt 8GB)
+  SWEEP_DUCK_THREADS cap DuckDB threads (pthread-TLS exhaustion)
+  SWEEP_DUCK_NO_ORDER=1  preserve_insertion_order=false — heavy explode
+                     oracles stream instead of buffering in order
+                     (sound: the compare is order-insensitive)
+  SWEEP_AGG_COMPARE  comma-separated names compared ENGINE-SIDE via
+                     (count, canonical row-checksum) — for outputs too
+                     large to materialize (oracle_harness.compare_agg);
+                     recorded as "mode": "agg" in results rows
+
 Exit 0 iff every oracle hash-matches (spurious-OOM retries allowed);
 prints one JSON summary line last.  ``--results-out`` appends one JSON
 line per oracle AS RESULTS ARRIVE, so a killed sweep loses nothing.
