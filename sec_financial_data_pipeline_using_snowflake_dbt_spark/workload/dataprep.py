@@ -341,10 +341,15 @@ def q_dedup_simhash64_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact label-blocked cosine pairs — the quadratic oracle surface
-    (the scale paths are lsh/semantic/cluster). Largest-scale harness
-    bound: the within-label all-pairs cosine at the largest test scale
-    killed an 88-minute JVM (r10 sweep row); the sampled arm below
-    carries the sf10 cross-engine signal."""
+    (the scale paths are lsh/semantic/cluster). sf10 status (r11):
+    GREEN in agg-compare mode, 8295 s (artifacts/sweep_sf10_r11.jsonl,
+    "mode": "agg"). Root cause of the r10 JVM death: the OUTPUT is
+    ~9.08e8 pairs (~20+ GiB per engine) — the full sorted compare's
+    materialization, not the join; both engines now reduce to
+    (count, canonical row-checksum) engine-side
+    (oracle_harness.compare_agg) and only two scalars cross the
+    gateway. The sampled arm below remains the cheap per-sweep
+    signal."""
     return DD.embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
     )
@@ -2552,11 +2557,17 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11: ``SWEEP_DUCK_NO_ORDER=1`` (preserve_insertion_order=false — the
     sweep compares order-insensitively, so the explode streams instead
     of buffering in order) greens the full arm at sf1 in 121 s
-    (artifacts/sweep_sf1_r11.jsonl). The full query is hash-matched at
-    sf0.001–sf1; sf10-scale cross-engine coverage is carried by the
-    SAMPLED arm below plus the already-sf10-green q_bpe_train (the merge
-    table) and q_bpe_encode (the full-corpus d0..dN symbol strings),
-    which together pin every input the id emission consumes."""
+    (artifacts/sweep_sf1_r11.jsonl). The sf10 bound was re-attacked with
+    the same knob in r11 and stands, wedged between DuckDB's two
+    limits: a 14 GB pool dies of the spurious 16 KB mmap-count OOM
+    (~57k buffer-block mappings vs vm.max_map_count 65530), an 8 GB
+    pool dies of a REAL 2.0 GiB allocation failure (6.6/7.4 GiB used) —
+    each reproduced in isolation (artifacts/sweep_sf10_r11.jsonl, four
+    rows). The full query is hash-matched at sf0.001–sf1; sf10-scale
+    cross-engine coverage is carried by the SAMPLED arm below plus the
+    already-sf10-green q_bpe_train (the merge table) and q_bpe_encode
+    (the full-corpus d0..dN symbol strings), which together pin every
+    input the id emission consumes."""
     docs = table(spark, sf_dir, "documents")
     merges = [
         (r.lhs, r.rhs) for r in TO.bpe_train(docs, n_merges=10).collect()

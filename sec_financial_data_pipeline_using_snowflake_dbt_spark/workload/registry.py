@@ -138,7 +138,8 @@ TAIL_QUERIES: tuple[str, ...] = (
     "q_dedup_semantic_sampled",
     # r10: the large-scale verification arm of q_dedup_embedding — md5
     # 1/16 embedding stratum bounds the label-blocked exact-cosine pair
-    # join (the full arm killed an 88-minute JVM at sf10; r10 sweep
+    # join. The FULL arm is sf10-GREEN as of r11 (agg-compare mode,
+    # 8295s — the ~9e8-row output is checked engine-side; r11 sweep
     # row). Parked at birth BY DESIGN as a harness arm; pytest-oracled
     # every run.
     "q_dedup_embedding_sampled",
