@@ -1169,6 +1169,12 @@ def dedup_clusters(
         # checkpoint — not (as previously) a full shuffle join of new
         # labels against old ones every round
         nmin = F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id"))
+        # EAGER checkpoint deliberately: an r11 A/B with eager=False
+        # (materialize inside the convergence probe's job, one job per
+        # round instead of two) measured SLOWER on local[32] —
+        # q_dedup_clusters 2.1→3.1 s, q_dedup_keep_best 2.3→3.5 s —
+        # the lazy get-or-compute path under the agg costs more than a
+        # dedicated materialization job saves.
         new_labels = (
             labels.alias("l")
             .join(nbr_min.alias("n"), "id", "left")

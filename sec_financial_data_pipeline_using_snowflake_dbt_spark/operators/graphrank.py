@@ -133,6 +133,11 @@ def pagerank(
                 .cast("long")
                 .alias("rank_units"),
             )
+            # eager (default) deliberately: an r11 A/B with eager=False
+            # measured q_pagerank 2.6→3.2 s on local[32] — the lazy
+            # get-or-compute path costs more than the per-iteration
+            # materialization job it saves (same result as the
+            # dedup_clusters A/B).
             .localCheckpoint()
         )
 

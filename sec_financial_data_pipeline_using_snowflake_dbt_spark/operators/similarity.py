@@ -103,7 +103,8 @@ def lsh_bucket(
     out = df
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        # one-expr literal plane (see _dlit) — not dim F.lit round-trips
+        plane = F.expr(_darr(_hyperplane(dim, p)))
         sign = (V.dot(F.col(vec_col), plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(sign, p)
     return out.withColumn("bucket", bucket)
@@ -211,19 +212,42 @@ def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal. ``repr(float)`` is the shortest decimal
+    that round-trips to the identical bits, and Spark's parser reads the
+    ``...D`` suffix back through ``Double.parseDouble`` — bit-exact both
+    ways (round-trip pytest-pinned, including -0.0 and denormals).
+
+    Why strings: literal-bearing plans are generated as ONE SQL
+    expression per operator instead of thousands of ``F.lit``/``F.array``
+    /``F.struct`` Python calls — each Column call is a py4j round-trip,
+    and an 8×64 centroid fold cost ~0.7 s of pure driver chatter PER
+    ASSIGN before any job ran (measured r11; the SQL string parses in
+    ~10 ms). The parsed expression is the same Catalyst literal tree the
+    Column API built, so results are bit-identical (pytest-pinned arm
+    equality + the unchanged DuckDB oracles)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite coordinate cannot be a plan literal: {x!r}")
+    return repr(x) + "D"
+
+
+def _darr(vals: list[float]) -> str:
+    """SQL ``array(...)`` of exact double literals."""
+    return "array(%s)" % ", ".join(_dlit(x) for x in vals)
+
+
 def _centroid_struct_array(cents: list[tuple[int, list[float]]]) -> F.Column:
     """A literal ``array<struct<cell:int, cvec:array<double>>>`` column
     from driver-side centroids — n_centroids × dim literals, folded by
-    codegen with zero data movement."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cell)).cast("int").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
-            )
-            for cell, cvec in cents
-        ]
+    codegen with zero data movement. Generated as one SQL string
+    (see ``_dlit``) so plan construction costs one py4j call, not
+    n_centroids × dim."""
+    structs = ", ".join(
+        f"named_struct('cell', CAST({int(cell)} AS INT), 'cvec', {_darr(cvec)})"
+        for cell, cvec in cents
     )
+    return F.expr(f"array({structs})")
 
 
 def _gemm_assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -859,7 +883,8 @@ def _pq_code_col(
                 F.struct(
                     _sqdist(
                         F.slice(vec, j * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        # one-expr codebook literal (see _dlit)
+                        F.expr(_darr(c)),
                     ).alias("dist"),
                     F.lit(ci).cast("int").alias("code"),
                 )
@@ -1063,14 +1088,12 @@ def ivfpq_topk(
         # driver-side LUTs and the oracle key by cell correctly. Zero
         # joins either way; the zip_with subtraction is the SAME double
         # op the Python/LUT and oracle sides perform.
-        cent_lookup = F.map_from_arrays(
-            F.array(*[F.lit(int(cell)) for cell in sorted(cent_map)]),
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cent_map[cell]])
-                    for cell in sorted(cent_map)
-                ]
-            ),
+        cent_lookup = F.expr(
+            "map_from_arrays(array(%s), array(%s))"
+            % (
+                ", ".join(str(int(cell)) for cell in sorted(cent_map)),
+                ", ".join(_darr(cent_map[cell]) for cell in sorted(cent_map)),
+            )
         )
         enc_vec = F.zip_with(
             F.col("v"),
