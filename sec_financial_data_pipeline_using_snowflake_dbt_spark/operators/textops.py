@@ -550,7 +550,11 @@ def contamination_report(
             (F.lit(0) - F.col("w.nh")).cast("long").alias("top_eval_hits"),
         )
     )
-    base = corpus.select(
+    # _spread here too: this pass evaluates word_shingles over the FULL
+    # corpus (size(), not explode), and a few-file input would run it
+    # in as few tasks — measured 3.0 s of the operator's 4.1 s at sf0.1
+    # serialized on 3 of 32 cores (r11; the ngram_diversity lesson).
+    base = _spread(corpus).select(
         F.col(id_col).alias("cid"),
         F.size(TX.word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
     )

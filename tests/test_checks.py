@@ -109,7 +109,7 @@ def test_profile_table_values_and_rendering(spark):
     assert got["t"]["max_value"] == "2024-01-02 03:04:05"
 
 
-def test_profile_table_is_one_scan_and_approx_skips_expand(spark):
+def test_profile_table_scan_split_and_approx_skips_expand(spark):
     from sec_financial_data_pipeline_using_snowflake_dbt_spark.checks import (
         profile_table,
     )
@@ -117,11 +117,17 @@ def test_profile_table_is_one_scan_and_approx_skips_expand(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     exact = profile_table(li)
     plan = exact._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1  # every aggregate in ONE scan
+    # r11: the exact arm deliberately scans TWICE — the count/null/
+    # min/max pass escapes the multi-distinct Expand (which multiplies
+    # its subtree's input n_cols×), so total rows through the partial
+    # aggregates drop even with the second scan. The Expand must stay
+    # confined to the distinct subtree.
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Expand") == 1
     approx = profile_table(li, approx_distinct=True)
     aplan = approx._jdf.queryExecution().executedPlan().toString()
-    # multi-exact-distinct needs Expand (input x n_cols); the HLL arm
-    # must not - that is its 100 TB advantage
+    # the HLL arm stays ONE scan with no Expand - its 100 TB advantage
+    assert aplan.count("Scan parquet") == 1
     assert "Expand" in plan and "Expand" not in aplan
     # HLL estimates stay sane on this table (within 5% default rsd ~ wide margin)
     ex = {r["column_name"]: r["n_distinct"] for r in exact.collect()}
