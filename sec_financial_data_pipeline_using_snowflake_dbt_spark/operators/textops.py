@@ -309,6 +309,14 @@ def c4_line_clean(
     Everything is array HOFs over one ``split`` — whole-stage codegen,
     no shuffle, no UDF: the operator is a pure map at any corpus size.
     """
+    # _spread: a few-file corpus scans as few tasks, serializing this
+    # per-doc line/regex fold on a handful of cores (interleaved A/B at
+    # sf0.1, r11: the single-row-group documents scan ran the whole map
+    # in 1 task). No-op at scale (splits >= cores) and on shuffle-
+    # bearing inputs — see _spread's probing discipline.
+    from .dedup import _spread
+
+    docs = _spread(docs)
     lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
 
     def word_count(l):
@@ -419,6 +427,11 @@ def scrub_pii(
     whole-stage codegen, no shuffle, no UDF: a flat map at any corpus
     size, exactly like c4_line_clean.
     """
+    # _spread: same rationale as c4_line_clean — the regex chain is the
+    # cost and a few-file input would run it in as few tasks.
+    from .dedup import _spread
+
+    docs = _spread(docs)
     clean = F.col(text_col)
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
@@ -821,6 +834,12 @@ def hashed_linear_score(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    # _spread: the derived arm's tokenize→md5→sum fold is pure per-doc
+    # CPU — a few-file corpus would run it on as few cores (r11
+    # interleaved A/B; same rationale as c4_line_clean).
+    from .dedup import _spread
+
+    docs = _spread(docs)
     # NULL text reads as an empty doc (0 tokens, logit = bias) — and
     # F.size on a NULL array is -1 under legacy sizeOfNull, so the
     # coalesce must happen on the ARRAY, not the size
@@ -1319,6 +1338,15 @@ def bm25_topk(
         F.explode(F.array_distinct(TX.tokens(F.lower(F.col("qtext"))))).alias("term"),
     )
     term_set = qterms.select("term").distinct()
+    # Deliberately NOT _spread and NOT dl-persisted (r11 interleaved
+    # A/B, min-of-4): the corpus tokenize is evaluated three times
+    # (stats aggregate, doc-length join, candidate explode), but all
+    # three subtrees run CONCURRENTLY inside one job, so on an
+    # otherwise-idle box the "wasted" parallel passes beat both the
+    # rebalance exchange (spread-only: 1.82 -> 2.31 s) and a
+    # serialized persist-then-reuse of the slim dl table
+    # (spread+persist: 2.62 s). Same loser shape as the other
+    # explode->aggregate text queries.
     dl = docs.select(
         F.col(id_col), F.size(TX.tokens(F.lower(F.col(text_col)))).cast("long").alias("dl")
     )
@@ -2239,6 +2267,14 @@ def bpe_encode_counts(
     ``MAX_CHAIN_MERGES`` like the IVF ``assign_strategy``.
     """
     sep = _BPE_SEP
+    # _spread: both arms are per-doc encode maps (codegen'd replace
+    # chain / Arrow mapInPandas) whose cost is CPU, not I/O — a
+    # few-file corpus would serialize them on as few cores (r11
+    # interleaved A/B: bpe_encode/encode_ids/tokenizer_fertility all
+    # win; no-op at scale or on shuffle-bearing inputs).
+    from .dedup import _spread
+
+    docs = _spread(docs)
     if strategy == "auto":
         strategy = "chain" if len(merges) <= MAX_CHAIN_MERGES else "ranked"
     if strategy == "ranked":
@@ -2660,6 +2696,12 @@ def bpe_encode_ids(
     derived from the same corpus).
     """
     sep = _BPE_SEP
+    # _spread: same rationale as bpe_encode_counts (the vocab
+    # derivation aggregates and is unaffected; the per-doc encode map
+    # is what needs the cores).
+    from .dedup import _spread
+
+    docs = _spread(docs)
     if vocab is None:
         vocab = bpe_vocab(docs, merges, text_col)
     if strategy == "auto":

@@ -33,6 +33,12 @@ def test_narrow_text_ops_are_shuffle_free(spark):
     over the full corpus at 100 TB and a single accidental shuffle
     turns a scan into a cluster-wide repartition."""
     docs = _docs(spark)
+    # At scale (splits >= cores) every one of these is exchange-free.
+    # Simulated here by handing the operator an input that already has
+    # >= defaultParallelism partitions: _spread (r11) must then be a
+    # no-op, so any Exchange is an accidental shuffle.
+    par = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(par)
     for op in (
         TO.quality_filter,
         TO.scrub_pii,
@@ -42,8 +48,15 @@ def test_narrow_text_ops_are_shuffle_free(spark):
         TO.language_id,
         TO.fingerprints,
     ):
-        n = _exchanges(op(docs))
-        assert n == 0, f"{op.__name__}: expected 0 Exchange, found {n}"
+        n = _exchanges(op(wide)) - _exchanges(wide)
+        assert n == 0, f"{op.__name__}: expected 0 added Exchange, found {n}"
+    # On an UNDER-partitioned scan the per-doc map operators spread the
+    # input so the regex/encode fold engages every core (r11) — exactly
+    # one rebalance Exchange, nothing more.
+    if docs.rdd.getNumPartitions() < par:
+        for op in (TO.scrub_pii, TO.c4_line_clean):
+            n = _exchanges(op(docs))
+            assert n == 1, f"{op.__name__}: expected the 1 _spread Exchange, found {n}"
 
 
 def test_mixture_resample_is_shuffle_free(spark):
@@ -133,10 +146,12 @@ def test_hashed_linear_score_is_shuffle_free(spark):
     tokenize, bucket, weigh, integer-sum — with zero joins and zero
     shuffles; that property is what makes scoring a 100 TB corpus a
     single map stage."""
-    docs = _docs(spark)
+    # already-parallel input: _spread (r11) must be a no-op, so the
+    # scoring pass stays a single exchange-free map stage at scale
+    docs = _docs(spark).repartition(spark.sparkContext.defaultParallelism)
     df = TO.hashed_linear_score(docs, dim=512)
-    n = _exchanges(df)
-    assert n == 0, f"hashed_linear_score: expected 0 Exchange, found {n}"
+    n = _exchanges(df) - _exchanges(docs)
+    assert n == 0, f"hashed_linear_score: expected 0 added Exchange, found {n}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
 
