@@ -109,6 +109,12 @@ def _spread(df: DataFrame) -> DataFrame:
     except ImportError:  # pragma: no cover — py4j ships with pyspark
         Py4JError = ()
     try:
+        # streaming frames: optimizedPlan() raises AnalysisException on
+        # an unstarted streaming query, and micro-batch partitioning is
+        # the source's concern — leave the frame untouched so the narrow
+        # operators keep running unchanged on readStream inputs
+        if df.isStreaming:
+            return df
         if not hasattr(df, "_jdf"):
             return df
         parallelism = df.sparkSession.sparkContext.defaultParallelism
