@@ -1153,12 +1153,21 @@ def dedup_clusters(
     ``pairs``.
     """
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # repartition BEFORE dropDuplicates: HashPartitioning(src) satisfies
+    # the dedup aggregate's ClusteredDistribution(src, dst) (subset key),
+    # so the dedup runs in the repartition's stage and the old
+    # distinct-then-repartition second Exchange disappears (r11 A/B:
+    # 2 exchanges -> 1, partitioning preserved for the per-round join).
+    # Trade-off at scale: duplicates now cross the one shuffle un-combined
+    # instead of map-side-deduped before an extra shuffle — near-dup pair
+    # generators emit (a, b) at most once per pair, so raw-rows x 1
+    # shuffle beats deduped-rows x 2.
     edges = (
         sym.unionByName(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     if nodes is None:
