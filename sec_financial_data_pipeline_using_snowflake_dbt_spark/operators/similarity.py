@@ -167,16 +167,14 @@ MAX_CENTROID_LITERAL_TERMS = 32768
 #: posexplode formulation to keep the aggregate column count bounded.
 MAX_MEAN_COLUMNS = 256
 
-#: Below this many corpus rows the per-column mean's fixed cost (planning
-#: + codegen of ``dim`` aggregate columns, paid per Lloyd iteration)
-#: exceeds the shuffle work it saves, so the mean step uses the
-#: posexplode formulation instead: measured at dim=64 on local[32],
-#: per-column is ~1.2 s SLOWER on a 2k-row corpus and ~26% faster on a
-#: 500k-row one (r6 A/B). Both formulations are bit-identical under
-#: ``round_means`` (pytest-enforced), so the dispatch is purely a cost
-#: choice. The row count is read off the already-persisted projected
-#: corpus — a cached-partition count, not an extra scan.
-MIN_ROWS_FOR_COLUMN_MEAN = 50_000
+#: (r6 had a MIN_ROWS_FOR_COLUMN_MEAN row-count dispatch here: the
+#: per-column mean built via dim separate agg Columns cost ~1.2 s of
+#: py4j/plan time per iteration, so small corpora used posexplode.
+#: r11 generates the dim avg columns as ONE expression string, which
+#: removed that fixed cost — the column arm is now a wash at 2k rows
+#: and ~26% faster at 500k, so the dispatch and its dedicated count()
+#: job are gone; both formulations are bit-identical under
+#: ``round_means``, pytest-enforced.)
 
 #: Above this many n_centroids x dim terms, ``assign_strategy='auto'``
 #: routes the Lloyd assign through the Arrow/numpy GEMM arm instead of
@@ -479,26 +477,28 @@ def ivf_assign(
 
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
 
-    # cached-partition count (the persist above already materialized for
-    # the init collect); picks the cheaper mean formulation — see
-    # MIN_ROWS_FOR_COLUMN_MEAN
-    n_rows = c.count()
-
     def _mean_step(assigned: DataFrame) -> DataFrame:
         # new centroid = element-wise mean of member vectors
-        if dim <= MAX_MEAN_COLUMNS and n_rows >= MIN_ROWS_FOR_COLUMN_MEAN:
+        if dim <= MAX_MEAN_COLUMNS:
             # one map-side-combined shuffle: dim avg columns over
             # groupBy(cell) — no posexplode (dim× row blow-up), no
             # second shuffle to re-assemble the vector (r6; cut
-            # q_ann_ivf's per-iteration cost ~2x at sf10)
-            mean_cols = []
-            for i in range(dim):
-                m = F.avg(F.col("v")[i])
-                if round_means is not None:
-                    m = F.round(m, round_means)
-                mean_cols.append(m.alias(f"m{i}"))
-            return assigned.groupBy("cell").agg(*mean_cols).select(
-                "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec")
+            # q_ann_ivf's per-iteration cost ~2x at sf10). Generated as
+            # ONE array(...) expression string (the _dlit lesson): the
+            # r6 small-corpus penalty that motivated a row-count
+            # dispatch was the per-column py4j/plan cost of dim
+            # separate agg Columns — built as one F.expr the arm is a
+            # wash at 2k rows (r11 interleaved A/B, bit-identical
+            # output) and still ~26% faster at 500k, so the dispatch
+            # (and its dedicated cached count() job per query) is gone.
+            t = (
+                (lambda i: f"round(avg(v[{i}]), {int(round_means)})")
+                if round_means is not None
+                else (lambda i: f"avg(v[{i}])")
+            )
+            terms = ", ".join(t(i) for i in range(dim))
+            return assigned.groupBy("cell").agg(
+                F.expr(f"array({terms})").alias("cvec")
             )
         # very wide vectors: dim literal agg columns would bloat the
         # plan/codegen — fall back to the posexplode formulation

@@ -1887,7 +1887,6 @@ def perplexity_buckets(
         F.round(F.lit(0.0) - F.col("avg_logprob"), round_to).alias("avg_nll"),
         F.round(F.lit(0.0) - F.col("avg_logprob"), hist_round).alias("q_nll"),
     )
-    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     hist = scored.groupBy("q_nll").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     # single-partition window, but over the bounded histogram — the
     # vocabulary-sized-table posture, not a corpus sort
@@ -1895,9 +1894,18 @@ def perplexity_buckets(
         Window.orderBy("q_nll")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # n_total = SUM(cnt) over the whole histogram, as a second frame of
+    # the SAME Window node (same partitioning+ordering) — the previous
+    # scored.count() scalar re-ran the whole scored reduce side as a
+    # second subtree just to count rows the histogram already counts
+    # (r11; interleaved A/B −11%, output bit-identical)
+    totw = (
+        Window.orderBy("q_nll")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     buckets = (
         hist.withColumn("cum", F.sum("cnt").over(cumw))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("n_total", F.sum("cnt").over(totw))
         .select(
             "q_nll",
             F.expr(f"CAST((cum * {int(n_buckets)} + n_total - 1) DIV n_total AS BIGINT)").alias(
