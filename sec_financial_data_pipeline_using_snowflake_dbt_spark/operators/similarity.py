@@ -1102,15 +1102,42 @@ def ivfpq_topk(
         )
     else:
         enc_vec = F.col("v")
-    sample_rows = (
-        assignments.select("id", "v", "cell").orderBy("id").limit(n_train).collect()
-    )
-    if residual:
-        sample = [
-            [x - c for x, c in zip(r.v, cent_map[r.cell])] for r in sample_rows
+    if _use_gemm("auto", n_centroids * dim):
+        # gemm assign is an opaque mapInPandas — pruning can't skip it,
+        # so collect the engine's cells as before
+        sample_rows = [
+            (list(r.v), r.cell)
+            for r in assignments.select("id", "v", "cell")
+            .orderBy("id")
+            .limit(n_train)
+            .collect()
         ]
     else:
-        sample = [list(r.v) for r in sample_rows]
+        # fold arm: cell is a pure driver-replicable function of
+        # (v, cents) — _sqdist_py is the same left-to-right fold as the
+        # Column expression and min((dist, cell)) is the same
+        # (dist asc, cell asc) tie-break — so selecting only (id, v)
+        # lets the optimizer PRUNE the whole assign fold out of this
+        # collect: a TakeOrdered over the persisted projection instead
+        # of a corpus-wide n_centroids x dim lambda pass (r11).
+        sample_rows = [
+            (
+                list(r.v),
+                min(
+                    (_sqdist_py(list(r.v), cvec), cell) for cell, cvec in cents
+                )[1],
+            )
+            for r in assignments.select("id", "v")
+            .orderBy("id")
+            .limit(n_train)
+            .collect()
+        ]
+    if residual:
+        sample = [
+            [x - c for x, c in zip(v, cent_map[cell])] for v, cell in sample_rows
+        ]
+    else:
+        sample = [v for v, _ in sample_rows]
     books = pq_train(sample, dim, m, k_sub, pq_iters, round_means)
     codes = assignments.select(
         "id", "cell", _pq_code_col(enc_vec, books, sub).alias("codes")
