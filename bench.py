@@ -371,19 +371,30 @@ def main() -> None:
         "canary_end": canary_end,
         "canary_drift": canary_drift,
     }
-    print(json.dumps(result))
-    # Also land the full JSON on disk: the driver captures stdout with a
-    # bounded tail, so one long suite would otherwise lose per-query
-    # data (BENCH_r08 recorded "parsed": null from exactly that).
+    # Land the full JSON on disk FIRST and announce the path on stderr:
+    # the driver captures stdout with a bounded tail, so one long suite
+    # would otherwise lose per-query data (BENCH_r08 recorded
+    # "parsed": null from exactly that; BENCH_r10's stdout line was
+    # never parsed despite rc=0 — VERDICT r11 #1 makes the on-disk
+    # artifact the canonical handoff).
     try:
         art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
         os.makedirs(art_dir, exist_ok=True)
-        with open(os.path.join(art_dir, "bench_latest.json"), "w") as fh:
+        art_path = os.path.join(art_dir, "bench_latest.json")
+        with open(art_path, "w") as fh:
             json.dump(result, fh, indent=1)
+        print(f"BENCH ARTIFACT: {art_path}", file=sys.stderr)
     except OSError as exc:  # a read-only checkout must not fail the bench
         print(f"WARNING: could not write artifacts/bench_latest.json: {exc}",
               file=sys.stderr)
+    # Stop Spark BEFORE emitting the one-line JSON so nothing (JVM
+    # shutdown chatter included) can land on stdout after it: the
+    # driver's contract is "last stdout line = the JSON", and this
+    # ordering plus flush makes that structurally true rather than
+    # timing-dependent. Measurement methodology unchanged — all
+    # timings are already taken by this point.
     spark.stop()
+    print(json.dumps(result), flush=True)
     if over and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(2)
 

@@ -78,6 +78,18 @@ def fingerprints(
     )
 
 
+def split_bucket(id_col: str = "doc_id", buckets: int = 100) -> F.Column:
+    """The deterministic split bucket of an id — first 4 hex digits of
+    md5(id) mod ``buckets``, an INT column. THE single spelling of the
+    bucket arithmetic: ``assign_split`` builds its bucket/split columns
+    from it, and compositions that only need a bucket PREDICATE (e.g.
+    "keep the train split") can filter on it directly instead of
+    joining ``assign_split``'s projected output back onto the corpus —
+    row-identical, minus a join."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % buckets
+
+
 def assign_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -92,10 +104,7 @@ def assign_split(
     and cluster sizes (unlike ``rand()`` or Spark's ``hash()``), so a
     document never migrates between splits as the corpus grows.
     """
-    h = F.md5(F.col(id_col).cast("string"))
-    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % buckets).alias(
-        "bucket"
-    )
+    bucket = split_bucket(id_col, buckets).alias("bucket")
     split = (
         F.when(F.col("bucket") < train, "train")
         .when(F.col("bucket") < train + val, "val")

@@ -755,7 +755,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3)
     clusters = DD.dedup_clusters(pairs, nodes=docs.select("doc_id"))
-    kept = DD.keep_best(docs, clusters, "n_chars")
+    # clusters was built with nodes=docs ids — full coverage, so the
+    # singleton anti-join inside keep_best is provably empty; skip it
+    kept = DD.keep_best(docs, clusters, "n_chars", clusters_cover_docs=True)
     return kept.join(
         clusters.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id"
     ).select("doc_id", "cluster_id", F.col("n_chars").alias("score"))
@@ -1327,21 +1329,59 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole regex/array chain; registered with the dedup cache
     # registry so release_dedup_caches() frees it between batches
     kept = _persist(cleaned.select("doc_id", F.col("clean_text").alias("text")))
+    # Materialize the cleaned corpus ONCE (this count is the cache
+    # build the first consumer would otherwise pay inside its own job),
+    # then run the two independent passes over the cache CONCURRENTLY
+    # (guide §2.6, VERDICT r11 next-round #1):
+    #   A — the banded minhash signature table (shingle + minhash agg),
+    #   B — exact-dedup survivors (hash agg + join-back), both persisted.
+    # Signatures are a pure per-row function of (id, text), so building
+    # them over `kept` instead of the survivors yields the IDENTICAL
+    # pair set once band rows are semi-join-restricted to survivor ids
+    # (survivors keep their signatures; dropped exact-duplicates' rows
+    # simply vanish). The extra signature work is bounded by the
+    # exact-dup rate (~0.2% of docs at sf0.1); the two passes
+    # previously ran back-to-back on the same persisted corpus.
+    sc = spark.sparkContext
+    sc.setJobDescription("corpus_pipeline: clean+persist corpus")
+    kept.count()
+    sc.setJobDescription(None)
     keepers = DD.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    # exact-dedup survivors feed FOUR consumers (minhash shingling,
-    # cluster nodes, keep_canonical, the split+pack tail) — persist
+    # exact-dedup survivors feed FOUR consumers (cluster nodes,
+    # keep_canonical, the split+pack tail, the band restrict) — persist
     surv = _persist(kept.join(keepers, "doc_id"))
+    band = DD.minhash_band_table(kept, num_hashes=8, bands=4, shingle_n=3)
+
+    def _force(df: DataFrame, desc: str) -> int:
+        sc.setJobDescription(desc)  # thread-local: labels stay separate
+        return df.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_force, band, "corpus_pipeline: minhash bands")
+        fb = pool.submit(_force, surv, "corpus_pipeline: exact-dedup survivors")
+        fa.result()
+        fb.result()
     # near-dup arm: LSH candidates -> connected components -> keep the
     # component-minimum doc (singletons kept by construction)
-    pairs = DD.minhash_lsh_pairs(surv, num_hashes=8, bands=4, shingle_n=3)
-    clusters = DD.dedup_clusters(pairs, nodes=surv.select("doc_id"))
-    canon = DD.keep_canonical(surv, clusters, id_col="doc_id")
-    train = (
-        TO.assign_split(canon)
-        .filter(F.col("split") == "train")
-        .select("doc_id")
+    band_surv = band.join(
+        surv.select(F.col("doc_id").alias("id")), "id", "left_semi"
     )
-    final = canon.join(train, "doc_id")
+    pairs = DD.minhash_lsh_pairs(surv, band_sig=band_surv)
+    clusters = DD.dedup_clusters(pairs, nodes=surv.select("doc_id"))
+    # clusters was built with nodes=surv ids, so it covers every surv
+    # doc — the singleton anti-join is provably empty; skip it
+    canon = DD.keep_canonical(
+        surv, clusters, id_col="doc_id", clusters_cover_docs=True
+    )
+    # train selection is a pure bucket predicate on doc_id (the same
+    # expression assign_split derives its split column from) — filter
+    # canon in place instead of joining assign_split's projection back
+    # on: row-identical (canon ids are unique; the join neither added
+    # nor removed rows), and the join + its duplicate canon subtree
+    # disappear from the plan (guide §2.4).
+    final = canon.filter(TO.split_bucket("doc_id") < 90)
     return TO.pack_sequences(
         final, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )

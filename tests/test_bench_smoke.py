@@ -23,6 +23,10 @@ def test_bench_emits_json_line():
         timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    # driver handoff contract (VERDICT r11 #1): the LAST stdout line is
+    # the one-line JSON — nothing may follow it — and stderr names the
+    # on-disk artifact that carries the same payload, so a truncated
+    # stdout capture can always be recovered from the file.
     line = proc.stdout.strip().splitlines()[-1]
     out = json.loads(line)
     assert out["metric"] == "suite_seconds"
@@ -30,6 +34,15 @@ def test_bench_emits_json_line():
     assert out["sf"] == 0.001
     assert out["value"] > 0
     assert len(out["queries"]) >= 16
+    assert "BENCH ARTIFACT: " in proc.stderr
+    art_path = [
+        ln.split("BENCH ARTIFACT: ", 1)[1]
+        for ln in proc.stderr.splitlines()
+        if "BENCH ARTIFACT: " in ln
+    ][-1].strip()
+    with open(art_path) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["queries"] == out["queries"]
     # budgets only apply at their own scale (sf0.1); at sf0.001 the
     # field must be present and empty
     assert out["over_budget"] == {}

@@ -347,6 +347,14 @@ def test_assign_split_rates_and_stability(spark, docs):
     n = len(m1)
     assert 0.8 < rates["train"] / n < 0.97
     assert rates["val"] > 0 and rates["test"] > 0
+    # split_bucket is THE bucket spelling: filtering on it must select
+    # exactly assign_split's train ids (r12: the corpus pipeline swaps
+    # its assign_split join-back for this predicate)
+    direct = {
+        r.doc_id
+        for r in docs.filter(TO.split_bucket("doc_id") < 90).collect()
+    }
+    assert direct == {d for d, s in m1.items() if s == "train"}
 
 
 def test_stratified_sample_rates(spark, docs):

@@ -96,3 +96,28 @@ def test_keep_canonical_end_to_end(spark):
     clusters = DD.dedup_clusters(pairs, nodes=docs.select("doc_id"))
     kept = sorted(r.doc_id for r in DD.keep_canonical(docs, clusters).collect())
     assert kept == [0, 1, 2, 4, 7]  # 3,5 fold into 1; 6 into 2
+    # clusters came from nodes=docs — full coverage, so the
+    # clusters_cover_docs fast path (no singleton anti-join) must be
+    # row-identical (r12: the pipeline composition takes it)
+    fast = sorted(
+        r.doc_id
+        for r in DD.keep_canonical(
+            docs, clusters, clusters_cover_docs=True
+        ).collect()
+    )
+    assert fast == kept
+    best = sorted(
+        r.doc_id
+        for r in DD.keep_best(
+            docs.withColumn("score", F.col("doc_id") % 3),
+            clusters,
+            "score",
+            clusters_cover_docs=True,
+        ).collect()
+    )
+    assert best == sorted(
+        r.doc_id
+        for r in DD.keep_best(
+            docs.withColumn("score", F.col("doc_id") % 3), clusters, "score"
+        ).collect()
+    )
