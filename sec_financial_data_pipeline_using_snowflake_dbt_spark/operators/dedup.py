@@ -98,6 +98,19 @@ def _spread(df: DataFrame) -> DataFrame:
     anyway). Only shuffle-free plans (file scans + narrow ops, where
     ``df.rdd`` is a metadata-only question) are probed.
     """
+    if _needs_spread(df):
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
+def _needs_spread(df: DataFrame) -> bool:
+    """The ``_spread`` decision alone — exported for callers that must
+    probe one frame and repartition ANOTHER (ivf_assign probes the raw
+    projection but rebalances above its persisted copy: running the
+    ``df.rdd`` probe on a cached-but-unmaterialized frame that two plan
+    arms share trips an AQE attribute-binding bug on Spark 4.1,
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — reproduced r12 on the
+    two-arm q_kmeans_quality union)."""
     # _jdf/rdd are classic-mode private surfaces; under Spark Connect (or
     # any runtime without them) skip the probe and leave df untouched —
     # a rebalance is an optimization, never a correctness requirement.
@@ -114,18 +127,16 @@ def _spread(df: DataFrame) -> DataFrame:
         # the source's concern — leave the frame untouched so the narrow
         # operators keep running unchanged on readStream inputs
         if df.isStreaming:
-            return df
+            return False
         if not hasattr(df, "_jdf"):
-            return df
+            return False
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         if _SHUFFLY_PLAN.search(plan):
-            return df
-        if df.rdd.getNumPartitions() >= parallelism:
-            return df
-        return df.repartition(parallelism)
+            return False
+        return df.rdd.getNumPartitions() < parallelism
     except (AttributeError, Py4JError):
-        return df
+        return False
 
 
 def exact_dedup(

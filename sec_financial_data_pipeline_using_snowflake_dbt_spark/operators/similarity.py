@@ -235,6 +235,28 @@ def _darr(vals: list[float]) -> str:
     return "array(%s)" % ", ".join(_dlit(x) for x in vals)
 
 
+def _centroid_lookup_expr(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Literal ``map<int, array<double>>`` from cell id to centroid —
+    keyed by CELL ID, not position (Lloyd can empty a cell and leave a
+    gapped cell set). ONE spelling shared by ivfpq's residual encode
+    and the centroid-distance consumers (kmeans_quality,
+    cluster_sample), which look a row's centroid up from this literal
+    instead of broadcast-joining the centroid table: the join bought
+    nothing (the centroids are driver-side by construction) and its
+    derived-key equality let the optimizer push a stream-side fold
+    into the broadcast build side, which binds against the wrong
+    child's attributes on Spark 4.1 (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    — reproduced r12 on q_kmeans_quality's first cold run)."""
+    cent_map = {cell: cvec for cell, cvec in cents}
+    return F.expr(
+        "map_from_arrays(array(%s), array(%s))"
+        % (
+            ", ".join(str(int(cell)) for cell in sorted(cent_map)),
+            ", ".join(_darr(cent_map[cell]) for cell in sorted(cent_map)),
+        )
+    )
+
+
 def _centroid_struct_array(cents: list[tuple[int, list[float]]]) -> F.Column:
     """A literal ``array<struct<cell:int, cvec:array<double>>>`` column
     from driver-side centroids — n_centroids × dim literals, folded by
@@ -372,6 +394,7 @@ def ivf_assign(
     round_means: int | None = None,
     early_stop_eps: float | None = None,
     assign_strategy: str = "auto",
+    return_first_n: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic Lloyd iterations.
 
@@ -420,18 +443,43 @@ def ivf_assign(
     unrolled CTE chain; on a converged corpus the early-stopped result
     is identical to the full run anyway (a fixed point stays fixed), so
     the same oracle still matches when enabled.
+
+    ``return_first_n`` (r12, VERDICT r11 #3 "fused init"): when > 0 the
+    function returns a THIRD element — the first ``return_first_n``
+    rows of the projected corpus by id ASC — collected in the SAME
+    driver job as the centroid init (the init collect just widens its
+    limit), so a caller that needs a lowest-id training sample (ivfpq's
+    PQ codebooks) pays zero extra jobs for it.
     """
-    from .dedup import _persist
+    from .dedup import _needs_spread, _persist
 
     # the projected corpus is scanned once per Lloyd iteration plus the
     # init collect and the final assign — persist it (registered with
-    # the dedup cache registry; release_dedup_caches() frees it)
-    c = _persist(
-        corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    # the dedup cache registry; release_dedup_caches() frees it).
+    # Rebalance to all cores (guide §2.5): a few-file corpus otherwise
+    # caches as ONE partition and every Lloyd assign fold + the final
+    # assign run their rows × n_centroids × dim lambda steps on a
+    # single core (measured r12: 0.5-0.9 s per Lloyd collect at sf0.1
+    # on local[32]); at 100 TB splits ≫ cores and this is a no-op by
+    # construction. Partition-layout independence of the results is the
+    # operator's documented contract (round_means absorbs partial-sum
+    # ulp order; unrounded means are documented last-ulp
+    # non-deterministic). NOTE the split: the probe runs on the RAW
+    # projection and the repartition goes ABOVE the cache — probing the
+    # cached frame (df.rdd) or caching the repartition both trip an AQE
+    # attribute-binding bug when two plan arms share the cache entry
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, reproduced r12 on the
+    # two-arm q_kmeans_quality union; _needs_spread docstring).
+    proj = corpus.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
     )
+    rebalance = _needs_spread(proj)
+    c = _persist(proj)
+    if rebalance:
+        c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    first_rows = c.orderBy("id").limit(max(n_centroids, return_first_n)).collect()
     cents: list[tuple[int, list[float]]] = [
-        (i + 1, list(r.v))
-        for i, r in enumerate(c.orderBy("id").limit(n_centroids).collect())
+        (i + 1, list(r.v)) for i, r in enumerate(first_rows[:n_centroids])
     ]
     spark = corpus.sparkSession
 
@@ -535,7 +583,24 @@ def ivf_assign(
     centroids = spark.createDataFrame(
         [(cell, cvec) for cell, cvec in cents], cent_schema
     )
+    # the centroid rows are already driver-side — attach them so
+    # consumers (ivf_topk/ivfpq_topk probe construction) skip the
+    # ~0.5 s LocalTableScan collect round-trip (_centroid_rows)
+    centroids._ivf_local_cents = cents
+    if return_first_n:
+        return assign(c), centroids, first_rows[:return_first_n]
     return assign(c), centroids
+
+
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-side (cell, cvec) list of a centroid table WITHOUT a
+    collect round-trip when ``ivf_assign`` built it (the list is
+    attached — it was collected to the driver to become plan literals
+    anyway); falls back to a real collect for frames built elsewhere."""
+    local = getattr(centroids, "_ivf_local_cents", None)
+    if local is not None:
+        return [(cell, list(cvec)) for cell, cvec in local]
+    return [(r.cell, list(r.cvec)) for r in centroids.collect()]
 
 
 def ivf_topk(
@@ -570,9 +635,10 @@ def ivf_topk(
         round_means=round_means, assign_strategy=assign_strategy,
     )
     use_gemm = _use_gemm(assign_strategy, n_centroids * dim)
-    # centroids is literal-backed (n_centroids local rows) — this collect
-    # runs no cluster job
-    cents = [(r.cell, list(r.cvec)) for r in centroids.collect()]
+    # centroid rows come straight off the driver-side list ivf_assign
+    # attached (a LocalTableScan collect still cost ~0.5 s of query
+    # execution per call — measured r12)
+    cents = _centroid_rows(centroids)
     members = assignments.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     ).withColumn("cn", V.norm(F.col("cv")))
@@ -682,14 +748,19 @@ def cluster_sample(
         vec_col=vec_col, round_means=round_means,
         assign_strategy=assign_strategy,
     )
-    # centroids is literal-backed (n_cells local rows); broadcast is
-    # bounded by construction, like the probe tables
-    d2 = _sqdist(F.col("v"), F.col("cvec"))
+    # each row's centroid comes from the literal cell→cvec map instead
+    # of a broadcast join against the (driver-side anyway) centroid
+    # table: same _sqdist fold over the same literal doubles, one
+    # BroadcastHashJoin fewer, and it sidesteps the Spark 4.1
+    # pushed-fold binding bug (_centroid_lookup_expr docstring)
+    cvec = F.element_at(
+        _centroid_lookup_expr(_centroid_rows(centroids)), F.col("cell").cast("int")
+    )
+    d2 = _sqdist(F.col("v"), cvec)
     # 'spread' negates the sort key instead of reversing the sort, so
     # one struct ordering serves both modes with the id asc tie-break
     keyed = (
-        assignments.join(F.broadcast(centroids), "cell")
-        .select(
+        assignments.select(
             "cell",
             F.struct(
                 (d2 if mode == "prototypes" else -d2).alias("key"),
@@ -759,9 +830,15 @@ def kmeans_quality(
         vec_col=vec_col, round_means=round_means,
         assign_strategy=assign_strategy,
     )
-    d2 = F.round(_sqdist(F.col("v"), F.col("cvec")), round_to)
+    # literal cell→cvec map lookup instead of the broadcast join — same
+    # fold over the same literal doubles, one BroadcastHashJoin fewer,
+    # and no pushed-fold binding bug (_centroid_lookup_expr docstring)
+    cvec = F.element_at(
+        _centroid_lookup_expr(_centroid_rows(centroids)), F.col("cell").cast("int")
+    )
+    d2 = F.round(_sqdist(F.col("v"), cvec), round_to)
     return (
-        assignments.join(F.broadcast(centroids), "cell")
+        assignments
         # DECIMAL(38,s): with ANSI off a per-value overflow at (18,s)
         # would silently NULL the distance out of the sum while the
         # DuckDB oracle raises — 38 digits hold any float64 square
@@ -953,27 +1030,33 @@ def pq_topk(
     the ROUNDED value with an id tie-break, so both engines rank
     identical numbers.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     sub = dim // m
-    sample = [
-        list(r.v)
-        for r in corpus.select(
-            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    # the training-sample and query-batch collects are independent scan
+    # jobs — overlap them (guide §2.6) instead of paying them serially
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _qfut = _pool.submit(
+            lambda: queries.select(
+                F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+            )
+            .orderBy("id")
+            .collect()
         )
-        .orderBy("id")
-        .limit(n_train)
-        .collect()
-    ]
+        sample = [
+            list(r.v)
+            for r in corpus.select(
+                F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+            )
+            .orderBy("id")
+            .limit(n_train)
+            .collect()
+        ]
+        _q_collected = _qfut.result()
     books = pq_train(sample, dim, m, k_sub, n_iters, round_means)
     codes = pq_encode(corpus, books, dim, id_col, vec_col)
 
-    q_rows = [
-        (int(r.id), list(r.v))
-        for r in queries.select(
-            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
-        )
-        .orderBy("id")
-        .collect()
-    ]
+    q_rows = [(int(r.id), list(r.v)) for r in _q_collected]
     spark = corpus.sparkSession
     # LUT[j][c]: exact sqdist from the query's j-th subvector to codebook
     # centroid c — left-to-right accumulation, mirroring the oracle
@@ -1072,11 +1155,41 @@ def ivfpq_topk(
     ``pq_topk``/``ivf_assign``: rounded means, left-associated distance
     folds, (dist, index) tie-breaks, ranking on the ROUNDED ADC.
     """
-    assignments, centroids = ivf_assign(
-        corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col,
-        round_means=round_means,
-    )
-    cents = [(r.cell, list(r.cvec)) for r in centroids.collect()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    # the query batch collect is independent of the IVF/PQ training —
+    # overlap it with the training's driver jobs (guide §2.6) instead
+    # of paying it serially after them
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _qfut = _pool.submit(
+            lambda: queries.select(
+                F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+            )
+            .orderBy("id")
+            .collect()
+        )
+        # ONE strategy decision feeds both ivf_assign and the sample
+        # path below (ADVICE r11: two independent "auto"s could desync
+        # and train the PQ on cells that disagree with the engine's)
+        strategy = "auto"
+        use_gemm = _use_gemm(strategy, n_centroids * dim)
+        res = ivf_assign(
+            corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col,
+            round_means=round_means, assign_strategy=strategy,
+            # fused init (VERDICT r11 #3): the PQ training sample is the
+            # same lowest-id projection the init collect already takes —
+            # widen that collect instead of running a second job (the
+            # gemm arm keeps its own engine-cell collect below: pruning
+            # cannot skip an opaque mapInPandas)
+            return_first_n=0 if use_gemm else n_train,
+        )
+        if use_gemm:
+            assignments, centroids = res
+            first_rows = None
+        else:
+            assignments, centroids, first_rows = res
+        _q_collected = _qfut.result()
+    cents = _centroid_rows(centroids)
     cent_map = {cell: cvec for cell, cvec in cents}
     sub = dim // m
     if residual:
@@ -1088,13 +1201,7 @@ def ivfpq_topk(
         # driver-side LUTs and the oracle key by cell correctly. Zero
         # joins either way; the zip_with subtraction is the SAME double
         # op the Python/LUT and oracle sides perform.
-        cent_lookup = F.expr(
-            "map_from_arrays(array(%s), array(%s))"
-            % (
-                ", ".join(str(int(cell)) for cell in sorted(cent_map)),
-                ", ".join(_darr(cent_map[cell]) for cell in sorted(cent_map)),
-            )
-        )
+        cent_lookup = _centroid_lookup_expr(cents)
         enc_vec = F.zip_with(
             F.col("v"),
             F.element_at(cent_lookup, F.col("cell").cast("int")),
@@ -1102,7 +1209,7 @@ def ivfpq_topk(
         )
     else:
         enc_vec = F.col("v")
-    if _use_gemm("auto", n_centroids * dim):
+    if use_gemm:
         # gemm assign is an opaque mapInPandas — pruning can't skip it,
         # so collect the engine's cells as before
         sample_rows = [
@@ -1116,10 +1223,10 @@ def ivfpq_topk(
         # fold arm: cell is a pure driver-replicable function of
         # (v, cents) — _sqdist_py is the same left-to-right fold as the
         # Column expression and min((dist, cell)) is the same
-        # (dist asc, cell asc) tie-break — so selecting only (id, v)
-        # lets the optimizer PRUNE the whole assign fold out of this
-        # collect: a TakeOrdered over the persisted projection instead
-        # of a corpus-wide n_centroids x dim lambda pass (r11).
+        # (dist asc, cell asc) tie-break. The rows themselves came back
+        # with the init collect (return_first_n — the identical
+        # TakeOrdered over the persisted projection, one job earlier),
+        # so this arm now runs zero jobs.
         sample_rows = [
             (
                 list(r.v),
@@ -1127,10 +1234,7 @@ def ivfpq_topk(
                     (_sqdist_py(list(r.v), cvec), cell) for cell, cvec in cents
                 )[1],
             )
-            for r in assignments.select("id", "v")
-            .orderBy("id")
-            .limit(n_train)
-            .collect()
+            for r in first_rows
         ]
     if residual:
         sample = [
@@ -1143,14 +1247,7 @@ def ivfpq_topk(
         "id", "cell", _pq_code_col(enc_vec, books, sub).alias("codes")
     )
 
-    q_rows = [
-        (int(r.id), list(r.v))
-        for r in queries.select(
-            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
-        )
-        .orderBy("id")
-        .collect()
-    ]
+    q_rows = [(int(r.id), list(r.v)) for r in _q_collected]
     probe_rows = []
     for qid, qv in q_rows:
         by_cell = sorted(
