@@ -44,7 +44,7 @@ MATERIALIZED at call time, like the other iterative operators here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 #: Fixed-point mass scale: 1.0 of PageRank mass = UNIT integer units.
@@ -92,9 +92,27 @@ def pagerank(
         )
         .crossJoin(F.broadcast(n_tot))
     )
-    ranks = base_tbl.select(
-        "node", "out_deg", "n", F.expr(f"{UNIT} DIV n").alias("rank_units")
-    ).localCheckpoint()
+    # the dangling mass rides each checkpoint's own materialization job
+    # as an Observation metric (the dedup_clusters convergence-probe
+    # fusion, r12): the per-iteration 1-row dangling aggregate — a
+    # second scan of the checkpointed ranks plus a broadcast build —
+    # becomes a driver-side BIGINT literal in the next iteration's
+    # update expression. Integer arithmetic is exact, so literal vs
+    # broadcast column is bit-identical.
+    _dang_metric = (
+        F.sum(F.when(F.col("out_deg") == 0, F.col("rank_units")))
+        .cast("long")
+        .alias("dang")
+    )
+    obs = Observation()
+    ranks = (
+        base_tbl.select(
+            "node", "out_deg", "n", F.expr(f"{UNIT} DIV n").alias("rank_units")
+        )
+        .observe(obs, _dang_metric)
+        .localCheckpoint()
+    )
+    dang = int(obs.get["dang"] or 0)
 
     teleport = F.expr(f"((100 - {damping_pct}) * ({UNIT} DIV n)) DIV 100")
     for _ in range(iters):
@@ -108,17 +126,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").cast("long").alias("in_sum"))
         )
-        dangling = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("out_deg") == 0, F.col("rank_units"))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("dang")
-        )
+        obs = Observation()
         ranks = (
             ranks.join(inflow, ranks.node == inflow.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "out_deg",
@@ -126,13 +136,14 @@ def pagerank(
                 (
                     teleport
                     + F.expr(
-                        f"({damping_pct} * (COALESCE(in_sum, 0) + (dang DIV n)))"
+                        f"({damping_pct} * (COALESCE(in_sum, 0) + ({dang} DIV n)))"
                         " DIV 100"
                     )
                 )
                 .cast("long")
                 .alias("rank_units"),
             )
+            .observe(obs, _dang_metric)
             # eager (default) deliberately: an r11 A/B with eager=False
             # measured q_pagerank 2.6→3.2 s on local[32] — the lazy
             # get-or-compute path costs more than the per-iteration
@@ -140,6 +151,7 @@ def pagerank(
             # dedup_clusters A/B).
             .localCheckpoint()
         )
+        dang = int(obs.get["dang"] or 0)
 
     return ranks.select(
         "node",
