@@ -10,7 +10,7 @@ output/hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import handle_null_date
@@ -122,6 +122,49 @@ FINANCIAL_DATA_FIELDS = (
 )
 
 
+#: Per-filing grouping keys of the nested financial document — THE
+#: single definition shared by ``financial_statements_json`` and the
+#: fused row-shaped build in workload/sec_star.py (ADVICE r11: a
+#: hand-copy there could silently drift from the operator).
+DOC_GROUP_KEYS = [
+    "adsh", "cik", "company_name", "sic", "filing_date", "fiscal_year",
+    "fiscal_period",
+]
+
+
+def doc_entry_struct() -> Column:
+    """The 9-field ``financial_data`` entry struct, in the field order
+    that defines both ``array_sort``'s comparator and the per-filing
+    cap's total order. One spelling (ADVICE r11)."""
+    return F.struct(
+        F.col("tag"),
+        F.col("tag_label"),
+        F.col("tag_description"),
+        F.col("numeric_value").alias("value"),
+        F.col("unit_of_measure"),
+        F.col("period_end_date"),
+        F.col("quarters_duration"),
+        F.col("statement_type"),
+        F.col("presentation_label"),
+    )
+
+
+def capped_staged(staged: DataFrame, max_facts_per_doc: int) -> DataFrame:
+    """``staged`` with ``__rn`` = row_number over the entry struct's
+    natural ordering within each filing (the same comparator
+    ``array_sort`` uses) and rows capped to ``__rn <= N`` — exactly the
+    sorted array's prefix. Callers: ``financial_statements_json``
+    (drops ``__rn`` and aggregates) and the fused workload path
+    (``entry_idx = __rn - 1`` — the nest-then-explode round-trip
+    removed in r11)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*DOC_GROUP_KEYS).orderBy(doc_entry_struct().asc())
+    return staged.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= F.lit(max_facts_per_doc)
+    )
+
+
 def financial_statements_json(
     staged: DataFrame,
     deterministic: bool = True,
@@ -145,33 +188,10 @@ def financial_statements_json(
     """
     if max_facts_per_doc is not None and not deterministic:
         raise ValueError("max_facts_per_doc requires deterministic=True")
-    entry = F.struct(
-        F.col("tag"),
-        F.col("tag_label"),
-        F.col("tag_description"),
-        F.col("numeric_value").alias("value"),
-        F.col("unit_of_measure"),
-        F.col("period_end_date"),
-        F.col("quarters_duration"),
-        F.col("statement_type"),
-        F.col("presentation_label"),
-    )
-    group_keys = [
-        "adsh", "cik", "company_name", "sic", "filing_date", "fiscal_year",
-        "fiscal_period",
-    ]
+    entry = doc_entry_struct()
+    group_keys = DOC_GROUP_KEYS
     if max_facts_per_doc is not None:
-        from pyspark.sql.window import Window
-
-        # row_number over the entry struct's natural ordering — the same
-        # comparator array_sort uses — so keeping rn <= N keeps exactly
-        # the sorted array's prefix
-        w = Window.partitionBy(*group_keys).orderBy(entry.asc())
-        staged = (
-            staged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= F.lit(max_facts_per_doc))
-            .drop("__rn")
-        )
+        staged = capped_staged(staged, max_facts_per_doc).drop("__rn")
     arr = F.collect_list(entry)
     if deterministic:
         arr = F.array_sort(arr)

@@ -348,8 +348,6 @@ def _sec_json_doc_build(
 ) -> DataFrame:
     from ..operators import json_doc as JD
 
-    from pyspark.sql.window import Window
-
     sub, tag, num, pre = synth_sec_raw(spark, sf_dir)
     if filing_sample:
         sub = sub.where(
@@ -368,25 +366,11 @@ def _sec_json_doc_build(
     # Verified bit-identical on the full sf0.1 output (600k rows) and by
     # the DuckDB oracle hash; interleaved A/B: ~2x (the aggregate's
     # buffers and the dim-9-struct arrays drop out of the plan).
-    entry = F.struct(
-        F.col("tag"),
-        F.col("tag_label"),
-        F.col("tag_description"),
-        F.col("numeric_value").alias("value"),
-        F.col("unit_of_measure"),
-        F.col("period_end_date"),
-        F.col("quarters_duration"),
-        F.col("statement_type"),
-        F.col("presentation_label"),
-    )
-    group_keys = [
-        "adsh", "cik", "company_name", "sic", "filing_date", "fiscal_year",
-        "fiscal_period",
-    ]
-    w = Window.partitionBy(*group_keys).orderBy(entry.asc())
-    capped = staged.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= F.lit(MAX_FACTS_PER_DOC)
-    )
+    # The cap/comparator is JD.capped_staged — the SAME definition
+    # financial_statements_json itself uses (ADVICE r11: the previous
+    # hand-copy of the entry struct and window here could silently
+    # drift from the operator).
+    capped = JD.capped_staged(staged, MAX_FACTS_PER_DOC)
     return capped.select(
         F.col("adsh").alias("filing_id"),
         F.col("company_name"),
