@@ -149,6 +149,10 @@ def _duckdb_views(sf_dir: str, duck_mem: str = "8GB"):
     # non-unique spill file names, so two concurrent children (or a
     # sweep overlapping a pytest/verify run) corrupt each other's
     # spills and die rc=-6/-11 — the r9 q_dedup_recall/keep_best FAILs.
+    # Pre-create the full path: DuckDB's own creation is not recursive,
+    # and a missing `.tmp` kills the first SPILLING query with
+    # "Failed to create directory" (r12 sf10 sweep).
+    os.makedirs(f".tmp/duck_{os.getpid()}", exist_ok=True)
     con.execute(f"SET temp_directory = '.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"

@@ -31,6 +31,10 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # r9 sf10 sweep when a sf0.01 verify run overlapped it).
     import os
 
+    # DuckDB's spill-dir creation is NOT recursive: if `.tmp` itself is
+    # missing the first spilling query dies with "Failed to create
+    # directory" (r12 sf10 sweep) — pre-create the full path.
+    os.makedirs(f".tmp/duck_{os.getpid()}", exist_ok=True)
     con.execute(f"SET temp_directory = '.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         con.execute(
